@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders over the driver's parquet testdata (TESTDATA.md).
+  *
+  * All engine inputs come through here so that scan-level concerns —
+  * column pruning, predicate pushdown, partition sizing — are applied
+  * uniformly. At 100 TB these would be partitioned Delta/Parquet tables
+  * (partitioned by date(ts) per SURVEY §1.1); here each table is a single
+  * parquet file and Catalyst's Parquet source still gives us row-group
+  * pruning + pushed filters for free.
+  */
+object Tables {
+  def region(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/region.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/nation.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(s"$dir/part.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/orders.parquet")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/lineitem.parquet")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
+    * a long (nanos since epoch) under the legacy flag; the data is
+    * microsecond-exact, so converting to TimestampType loses nothing. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** OHLC candles derived from the `events` stream table — the engine's
+    * stand-in for the reference's per-symbol OHLCV series
+    * (`app/domain/schemas.py:26-81`): `user_id` plays `symbol`, hourly
+    * buckets play granularity, `value` plays price.
+    *
+    * first/last use `min_by`/`max_by` on the in-bucket timestamp —
+    * never bare `first()`, which is order-nondeterministic in Spark
+    * aggregations (SURVEY §7.5). One shuffle on (user_id, bucket);
+    * partial aggregation is automatic, so at 100 TB this is a single
+    * map-side-combined hash aggregate.
+    */
+  def candles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("volume"))
+
+  /** The same derivation as ANSI SQL, reused as a CTE prefix by every
+    * indicator oracle so Spark and DuckDB window over identical frames. */
+  val candlesSql: String =
+    """WITH candles AS (
+      |  SELECT user_id,
+      |         date_trunc('hour', ts) AS bucket,
+      |         arg_min(value, ts)     AS open,
+      |         max(value)             AS high,
+      |         min(value)             AS low,
+      |         arg_max(value, ts)     AS close,
+      |         count(*)               AS volume
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators: scans, filters, aggregations — SURVEY §2.1,
+  * §2.3, §2.6. Each query has a DuckDB oracle keyed by the same name; all
+  * computed doubles are rounded identically on both sides so the driver's
+  * value-hash compare is stable across engines.
+  */
+object Relational {
+
+  /** A1-style global pricing summary (the flagship aggregation).
+    * Partial+final hash aggregate — one shuffle on the two group keys;
+    * at 100 TB map-side combine reduces shuffle volume to
+    * |groups| × |mappers| rows.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4)        AS sum_qty,
+      |  round(sum(l_extendedprice), 4)   AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      |  round(avg(l_quantity), 6)        AS avg_qty,
+      |  round(avg(l_extendedprice), 6)   AS avg_price,
+      |  round(avg(l_discount), 6)        AS avg_disc,
+      |  count(*)                         AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A4 — the reference's `time_bucket` OHLC resample
+    * (`app/database/repository.py:424-504`) over the events stream. */
+  def a4Resample(spark: SparkSession, dir: String): DataFrame =
+    Tables.candles(spark, dir)
+      .select(
+        col("user_id"), col("bucket"),
+        round(col("open"), 6).as("open"),
+        round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"),
+        round(col("close"), 6).as("close"),
+        col("volume"))
+
+  val a4ResampleSql: String =
+    Tables.candlesSql +
+      """
+        |SELECT user_id, bucket,
+        |  round(open, 6) AS open, round(high, 6) AS high,
+        |  round(low, 6)  AS low,  round(close, 6) AS close, volume
+        |FROM candles""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"      -> (q1Agg _),
+    "a4_resample" -> (a4Resample _))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg"      -> q1AggSql,
+    "a4_resample" -> a4ResampleSql)
+}
