@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join operators — SURVEY §2.5. The reference's joins are all equi joins
+  * on small keys; the Spark versions broadcast dimension-sized sides so
+  * the fact scan never shuffles for them (BroadcastHashJoin), which is
+  * the 100 TB-critical choice: lineitem/orders shuffle only for the
+  * fact⋈fact join where it's unavoidable (SortMergeJoin on the key, and
+  * AQE can still convert to broadcast if one side's runtime size allows).
+  */
+object Joins {
+
+  /** J1 — enrichment join chain: revenue per nation
+    * (view `forex.ohlcv_with_indicators`-style LEFT JOIN enrichment,
+    * `02-create-tables.sh`). nation/region are broadcast; the
+    * orders⋈lineitem fact join shuffles on the orderkey. */
+  def j1Enrich(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val j1Sql: String =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey  = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** J2 — anti join (the upsert exists-check, `repository.py:42-47,120-129`):
+    * customers with no orders. BroadcastHashJoin(LeftAnti) when the right
+    * side is small; at scale, a shuffled hash anti join on the key. */
+  def j2Anti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val j2Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)""".stripMargin
+
+  /** J3 — semi join (index-intersection alignment,
+    * `feature_importance.py:125-127`): orders having any high-quantity
+    * line, counted per status. Semi join emits each left row at most once
+    * — no duplicate inflation, cheaper than join+distinct. */
+  def j3Semi(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 4).as("sum_totalprice"))
+  }
+
+  val j3Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 4) AS sum_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /** U1/U3 — set ops (`data_validator.py:297-325`; `feature_engineer.py:284-306`):
+    * union-distinct of two predicate-selected id sets. */
+  def u1Union(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val highValue = ev.filter(col("value") > 180).select(col("event_id"), col("user_id"))
+    val errors    = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"))
+    highValue.unionByName(errors).distinct()
+  }
+
+  val u1Sql: String =
+    """SELECT event_id, user_id FROM events WHERE value > 180
+      |UNION
+      |SELECT event_id, user_id FROM events WHERE event_type = 'error'""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_enrich_join" -> (j1Enrich _),
+    "j2_anti_join"   -> (j2Anti _),
+    "j3_semi_join"   -> (j3Semi _),
+    "u1_union"       -> (u1Union _))
+
+  def oracles: Map[String, String] = Map(
+    "j1_enrich_join" -> j1Sql,
+    "j2_anti_join"   -> j2Sql,
+    "j3_semi_join"   -> j3Sql,
+    "u1_union"       -> u1Sql)
+}

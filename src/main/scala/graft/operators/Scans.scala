@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scan / sort / limit / filter operators — SURVEY §2.1, §2.3, §2.8.
+  *
+  * These are deliberately declarative so Catalyst pushes predicates and
+  * projections into the parquet scan (visible as `PushedFilters` /
+  * `ReadSchema` in `.explain`), and top-N compiles to
+  * `TakeOrderedAndProject` (no global sort at 100 TB).
+  */
+object Scans {
+
+  /** S10 — range scan with predicate + order + limit
+    * (`app/database/repository.py:183-216`). Predicates push to parquet
+    * row groups; with date-partitioned storage this is partition pruning. */
+  def s10RangeScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+              col("ts") <  lit("2024-01-12").cast("timestamp") &&
+              col("event_type") === "purchase")
+      .orderBy(col("ts"), col("event_id"))
+      .limit(500)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  val s10Sql: String =
+    """SELECT event_id, ts, user_id, value FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+      |  AND event_type = 'purchase'
+      |ORDER BY ts, event_id LIMIT 500""".stripMargin
+
+  /** S12 — latest-N scan (`repository.py:218-232`): TakeOrderedAndProject,
+    * which keeps only N rows per partition then merges — no full sort. */
+  def s12LatestN(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(100)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  val s12Sql: String =
+    """SELECT event_id, ts, user_id, event_type, value FROM events
+      |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin
+
+  /** S2 — latest-quote per key (`data_fetcher.py:329-374`) via `max_by`:
+    * one hash aggregate, no window, no sort — scales linearly. */
+  def s2LatestQuote(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+           max_by(col("value"), col("ts")).as("last_value"),
+           max_by(col("event_type"), col("ts")).as("last_event_type"))
+
+  val s2Sql: String =
+    """SELECT user_id, max(ts) AS last_ts, arg_max(value, ts) AS last_value,
+      |       arg_max(event_type, ts) AS last_event_type
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** O2 — LIMIT/OFFSET pagination (`repository.py:213-214`); Spark 3.5+/4.x
+    * has a native `offset()` that plans as GlobalLimit(offset+limit). */
+  def o2Pagination(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .offset(200).limit(100)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+
+  val o2Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |ORDER BY o_orderdate, o_orderkey LIMIT 100 OFFSET 200""".stripMargin
+
+  /** O3 — global top-N by measure (`pattern_detection.py:524-526`). */
+  def o3TopN(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val o3Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** O4 — top-k per group (`feature_importance.py:102-107`) as a ranking
+    * window: partition-parallel, no global sort. */
+  def o4TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rank_in_brand", row_number().over(w))
+      .filter(col("rank_in_brand") <= 3)
+      .select(col("p_brand"), col("rank_in_brand"), col("p_partkey"), col("p_retailprice"))
+  }
+
+  val o4Sql: String =
+    """SELECT p_brand, rank_in_brand, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |         row_number() OVER (PARTITION BY p_brand
+      |                            ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+      |  FROM part) t
+      |WHERE rank_in_brand <= 3""".stripMargin
+
+  /** F7 — trading-hours filter with a midnight-wrapping session
+    * (`market_filters.py:272-331`): Sydney 22–07 UTC wraps, so the
+    * predicate is (h >= 22 OR h < 7). */
+  def f7TradingHours(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("utc_hour", hour(col("ts")))
+      .filter(col("utc_hour") >= 22 || col("utc_hour") < 7)
+      .select(col("event_id"), col("ts"), col("utc_hour"), col("user_id"), col("value"))
+
+  val f7Sql: String =
+    """SELECT event_id, ts, CAST(extract(hour FROM ts) AS INT) AS utc_hour, user_id, value
+      |FROM events
+      |WHERE extract(hour FROM ts) >= 22 OR extract(hour FROM ts) < 7""".stripMargin
+
+  /** F1–F5 composite quality filter (`data_quality.py:170-298`): drop null
+    * keys, non-positive and out-of-band values, clamp negatives — a single
+    * codegen'd filter+project stage, no shuffle. */
+  def fQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .na.drop(Seq("ts", "value"))
+      .filter(col("value") > 0 && col("value") <= 500.0)
+      .withColumn("value_clamped", greatest(col("value"), lit(0.0)))
+      .select(col("event_id"), col("ts"), col("value"), col("value_clamped"))
+
+  val fQualitySql: String =
+    """SELECT event_id, ts, value, greatest(value, 0.0) AS value_clamped
+      |FROM events
+      |WHERE ts IS NOT NULL AND value IS NOT NULL AND value > 0 AND value <= 500.0""".stripMargin
+
+  /** D1 — full-row dedup (`data_quality.py:361-382`). */
+  def d1DedupFull(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+
+  val d1Sql: String = "SELECT DISTINCT user_id, event_type FROM events"
+
+  /** D2 — keep-first-per-key dedup (`data_quality.py:315-339`): pin "first"
+    * deterministically with row_number over (ts, event_id), never relying
+    * on input order like `dropDuplicates` does. */
+  def d2DedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+  }
+
+  val d2Sql: String =
+    """SELECT user_id, event_type, ts, value FROM (
+      |  SELECT user_id, event_type, ts, value,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_range_scan"   -> (s10RangeScan _),
+    "s12_latest_n"     -> (s12LatestN _),
+    "s2_latest_quote"  -> (s2LatestQuote _),
+    "o2_pagination"    -> (o2Pagination _),
+    "o3_topn"          -> (o3TopN _),
+    "o4_topk_group"    -> (o4TopKPerGroup _),
+    "f7_trading_hours" -> (f7TradingHours _),
+    "f_quality_filter" -> (fQualityFilter _),
+    "d1_dedup_full"    -> (d1DedupFull _),
+    "d2_dedup_first"   -> (d2DedupFirst _))
+
+  def oracles: Map[String, String] = Map(
+    "s10_range_scan"   -> s10Sql,
+    "s12_latest_n"     -> s12Sql,
+    "s2_latest_quote"  -> s2Sql,
+    "o2_pagination"    -> o2Sql,
+    "o3_topn"          -> o3Sql,
+    "o4_topk_group"    -> o4Sql,
+    "f7_trading_hours" -> f7Sql,
+    "f_quality_filter" -> fQualitySql,
+    "d1_dedup_full"    -> d1Sql,
+    "d2_dedup_first"   -> d2Sql)
+}
