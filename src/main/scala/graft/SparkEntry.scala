@@ -10,12 +10,14 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Scans.queries ++
       operators.Joins.queries ++
-      operators.Aggregations.queries
+      operators.Aggregations.queries ++
+      operators.Windows.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Scans.oracles ++
       operators.Joins.oracles ++
-      operators.Aggregations.oracles
+      operators.Aggregations.oracles ++
+      operators.Windows.oracles
 }
