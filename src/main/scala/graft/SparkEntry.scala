@@ -11,7 +11,8 @@ object SparkEntry {
       operators.Scans.queries ++
       operators.Joins.queries ++
       operators.Aggregations.queries ++
-      operators.Windows.queries
+      operators.Windows.queries ++
+      operators.WindowsAdvanced.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       operators.Scans.oracles ++
       operators.Joins.oracles ++
       operators.Aggregations.oracles ++
-      operators.Windows.oracles
+      operators.Windows.oracles ++
+      operators.WindowsAdvanced.oracles
 }
