@@ -12,7 +12,8 @@ object SparkEntry {
       operators.Joins.queries ++
       operators.Aggregations.queries ++
       operators.Windows.queries ++
-      operators.WindowsAdvanced.queries
+      operators.WindowsAdvanced.queries ++
+      operators.EmaFamily.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       operators.Joins.oracles ++
       operators.Aggregations.oracles ++
       operators.Windows.oracles ++
-      operators.WindowsAdvanced.oracles
+      operators.WindowsAdvanced.oracles ++
+      operators.EmaFamily.oracles
 }

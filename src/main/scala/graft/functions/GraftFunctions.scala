@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.DoubleType
+
+/** Registration + typed column helpers for graft's custom Catalyst
+  * functions (SURVEY §2.12). Registered per-session (idempotent); also
+  * injectable at session build time via [[graft.plans.GraftExtensions]].
+  */
+object GraftFunctions {
+
+  /** Register custom functions in the session's FunctionRegistry so they
+    * are usable from both the Column API (`call_function`) and SQL text. */
+  /** Builder shared with [[graft.plans.GraftExtensions]]: casts inputs so
+    * SQL-text literals (parsed as DECIMAL) and integer columns work. */
+  def ewmAvgBuilder(exprs: Seq[Expression]): EwmAvg =
+    EwmAvg(Cast(exprs.head, DoubleType), Cast(exprs(1), DoubleType))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ewm_avg", ewmAvgBuilder, "built-in")
+
+  /** pandas `ewm(alpha=α, adjust=True).mean()` as a window aggregate. */
+  def ewmAvg(c: Column, alpha: Double): Column =
+    call_function("ewm_avg", c, lit(alpha))
+
+  /** pandas `ewm(span=s, adjust=True).mean()`: α = 2/(s+1). */
+  def ewmAvgSpan(c: Column, span: Int): Column =
+    ewmAvg(c, 2.0 / (span + 1))
+}

@@ -1,0 +1,23 @@
+package graft.plans
+
+import graft.functions.EwmAvg
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions hook — wire with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  *
+  * Injects graft's custom Catalyst functions at session build time
+  * (SURVEY §4: injectFunction from day 1; no custom rules/strategies are
+  * needed — Catalyst's builtins cover every reference rewrite).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("ewm_avg"),
+      new ExpressionInfo(classOf[EwmAvg].getName, "ewm_avg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.ewmAvgBuilder(exprs)))
+  }
+}
