@@ -13,7 +13,9 @@ object SparkEntry {
       operators.Aggregations.queries ++
       operators.Windows.queries ++
       operators.WindowsAdvanced.queries ++
-      operators.EmaFamily.queries
+      operators.EmaFamily.queries ++
+      operators.QualityOps.queries ++
+      analysis.Stateful.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +25,7 @@ object SparkEntry {
       operators.Aggregations.oracles ++
       operators.Windows.oracles ++
       operators.WindowsAdvanced.oracles ++
-      operators.EmaFamily.oracles
+      operators.EmaFamily.oracles ++
+      operators.QualityOps.oracles ++
+      analysis.Stateful.oracles
 }

@@ -1,0 +1,187 @@
+package graft.analysis
+
+import graft.Tables
+import graft.features.Indicators._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Candle row for typed stateful scans. */
+case class CandleRow(user_id: Long, bucket: java.sql.Timestamp,
+                     open: Double, high: Double, low: Double, close: Double, volume: Long)
+
+case class PsarRow(user_id: Long, bucket: java.sql.Timestamp, psar: Double, is_bull: Boolean)
+
+/** One closed trade from the backtest fold. */
+case class TradeRow(user_id: Long,
+                    entry_time: java.sql.Timestamp, exit_time: java.sql.Timestamp,
+                    entry_price: Double, exit_price: Double,
+                    trade_type: String, size: Double, commission: Double,
+                    pnl: Double, return_pct: Double)
+
+case class SigRow(user_id: Long, bucket: java.sql.Timestamp, close: Double, signal: Int)
+
+/** Sequential state machines — SURVEY §2.7 W19 (Parabolic SAR) and W34
+  * (backtest execution), §7.4: inherently recursive, so not SQL windows.
+  *
+  * Implemented as `groupByKey(user).flatMapSortedGroups(bucket)`: Spark's
+  * secondary sort hands each key's rows in time order to a streaming fold
+  * with O(1) state per key — no per-group materialization, so a key's
+  * series length is unbounded at scale. Parallelism = number of keys
+  * (1500+ at sf0.1; at 100 TB this is the per-symbol/per-entity axis).
+  * These have no SQL oracle (driver records rows-only); correctness is
+  * pinned by specs against direct reference re-implementations.
+  */
+object Stateful {
+
+  def candleDs(spark: SparkSession, dir: String): Dataset[CandleRow] = {
+    import spark.implicits._
+    Tables.candles(spark, dir).as[CandleRow]
+  }
+
+  // ---------------------------------------------------------------- W19
+  /** Parabolic SAR (`advanced_feature_engineer.py:171-208`): trend flips
+    * with accelerating factor; af 0.02 + 0.02 per new extreme, cap 0.2. */
+  def psar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = candleDs(spark, dir)
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[CandleRow]) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val first = rows.next()
+          var bull = true
+          var af = 0.02
+          var ep = first.low // bull=true at init ⇒ ep = low[0]
+          var prev = first.high // psar[0] = high[0]
+          Iterator.single(PsarRow(uid, first.bucket, prev, bull)) ++
+            rows.map { r =>
+              var cur = prev + af * (ep - prev)
+              if (bull) {
+                if (r.low <= cur) {
+                  bull = false; cur = ep; af = 0.02; ep = r.low
+                } else if (r.high > ep) {
+                  ep = r.high; af = math.min(af + 0.02, 0.2)
+                }
+              } else {
+                if (r.high >= cur) {
+                  bull = true; cur = ep; af = 0.02; ep = r.high
+                } else if (r.low < ep) {
+                  ep = r.low; af = math.min(af + 0.02, 0.2)
+                }
+              }
+              prev = cur
+              PsarRow(uid, r.bucket, cur, bull)
+            }
+        }
+      }
+    out.select(col("user_id"), col("bucket"), round(col("psar"), 6).as("psar"), col("is_bull"))
+  }
+
+  // ---------------------------------------------------------------- W33+W34
+  /** SMA(10,20)-cross signals (W33, `backtesting_engine.py:186-202`) then
+    * the sequential backtest fold (W34, `:284-379`): 10% sizing,
+    * commission 1 bp per side, 5% stop-loss, exit on opposite signal,
+    * force-close at series end. max_positions=1 (the engine default path:
+    * one open trade per key). */
+  def backtestTrades(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = W()
+    val sig = Tables.candles(spark, dir)
+      .withColumn("fast", sma(col("close"), 10, w))
+      .withColumn("slow", sma(col("close"), 20, w))
+      .withColumn("prev_fast", lag(col("fast"), 1).over(w))
+      .withColumn("prev_slow", lag(col("slow"), 1).over(w))
+      .withColumn("signal",
+        when(col("fast") > col("slow") && col("prev_fast") <= col("prev_slow"), 1)
+          .when(col("fast") < col("slow") && col("prev_fast") >= col("prev_slow"), -1)
+          .otherwise(0))
+      .select(col("user_id"), col("bucket"), col("close"), col("signal"))
+
+    val initialCapital = 10000.0
+    val commissionRate = 0.0001
+
+    sig.as[SigRow]
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[SigRow]) =>
+        val trades = scala.collection.mutable.ArrayBuffer.empty[TradeRow]
+        var capital = initialCapital
+        // open trade state (max_positions = 1)
+        var openEntryTime: java.sql.Timestamp = null
+        var openEntryPrice = 0.0
+        var openType = ""
+        var openSize = 0.0
+        var openCommission = 0.0
+        var lastBucket: java.sql.Timestamp = null
+        var lastClose = 0.0
+
+        def close(exitTime: java.sql.Timestamp, exitPrice: Double): Unit = {
+          val commission = openCommission + openSize * commissionRate
+          val gross =
+            if (openType == "buy") (exitPrice - openEntryPrice) * openSize
+            else (openEntryPrice - exitPrice) * openSize
+          val pnl = gross - commission
+          val retPct =
+            if (openType == "buy") (exitPrice - openEntryPrice) / openEntryPrice * 100
+            else (openEntryPrice - exitPrice) / openEntryPrice * 100
+          capital += pnl
+          trades += TradeRow(uid, openEntryTime, exitTime, openEntryPrice, exitPrice,
+            openType, openSize, commission, pnl, retPct)
+          openEntryTime = null
+        }
+
+        rows.foreach { r =>
+          lastBucket = r.bucket; lastClose = r.close
+          // entry first (reference order: entry, then exits in same step)
+          if (r.signal != 0 && openEntryTime == null) {
+            val size = capital * 0.1
+            val entryCommission = size * commissionRate
+            openEntryTime = r.bucket; openEntryPrice = r.close
+            openType = if (r.signal > 0) "buy" else "sell"
+            openSize = size; openCommission = entryCommission
+            capital -= entryCommission
+          } else if (openEntryTime != null) {
+            val opposite = (openType == "buy" && r.signal < 0) ||
+              (openType == "sell" && r.signal > 0)
+            val stopLoss = (openType == "buy" && r.close <= openEntryPrice * 0.95) ||
+              (openType == "sell" && r.close >= openEntryPrice * 1.05)
+            if (opposite || stopLoss) close(r.bucket, r.close)
+          }
+        }
+        if (openEntryTime != null && lastBucket != null) close(lastBucket, lastClose)
+        trades.iterator
+      }
+      .toDF()
+      .select(col("user_id"), col("entry_time"), col("exit_time"),
+        round(col("entry_price"), 6).as("entry_price"),
+        round(col("exit_price"), 6).as("exit_price"),
+        col("trade_type"),
+        round(col("size"), 6).as("size"),
+        round(col("commission"), 6).as("commission"),
+        round(col("pnl"), 6).as("pnl"),
+        round(col("return_pct"), 6).as("return_pct"))
+  }
+
+  // ---------------------------------------------------------------- A11
+  /** Backtest metrics (`backtesting_engine.py:79-160,441-467`): win rate,
+    * pnl, profit factor, sharpe — one hash aggregate over the trades. */
+  def backtestMetrics(spark: SparkSession, dir: String): DataFrame =
+    backtestTrades(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(when(col("pnl") > 0, 1).otherwise(0)).as("n_wins"),
+        round(avg(when(col("pnl") > 0, 1.0).otherwise(0.0)), 6).as("win_rate"),
+        round(sum(col("pnl")), 6).as("total_pnl"),
+        round(coalesce(
+          sum(when(col("pnl") > 0, col("pnl"))) / abs(sum(when(col("pnl") < 0, col("pnl")))),
+          lit(null)), 6).as("profit_factor"),
+        round(avg(col("return_pct")) / stddev(col("return_pct")), 6).as("sharpe_like"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w19_psar"         -> (psar _),
+    "w34_backtest"     -> (backtestTrades _),
+    "a11_backtest_metrics" -> (backtestMetrics _))
+
+  /** No SQL oracles: sequential state machines (driver rows-only check). */
+  def oracles: Map[String, String] = Map.empty
+}
