@@ -15,7 +15,11 @@ object SparkEntry {
       operators.WindowsAdvanced.queries ++
       operators.EmaFamily.queries ++
       operators.QualityOps.queries ++
-      analysis.Stateful.queries
+      analysis.Stateful.queries ++
+      scale.Dedup.queries ++
+      scale.Similarity.queries ++
+      scale.TextAnalysis.queries ++
+      scale.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +31,9 @@ object SparkEntry {
       operators.WindowsAdvanced.oracles ++
       operators.EmaFamily.oracles ++
       operators.QualityOps.oracles ++
-      analysis.Stateful.oracles
+      analysis.Stateful.oracles ++
+      scale.Dedup.oracles ++
+      scale.Similarity.oracles ++
+      scale.TextAnalysis.oracles ++
+      scale.Multimodal.oracles
 }

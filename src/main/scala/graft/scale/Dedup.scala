@@ -1,0 +1,280 @@
+package graft.scale
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for large-scale training-data
+  * pipelines: exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+  *
+  * Hashing is md5-based everywhere so every stage is reproducible
+  * bit-for-bit in the DuckDB oracle (no engine-specific hash functions).
+  * At 100 TB each stage is shuffle-bounded by design:
+  *  - exact dedup: one hash aggregate on the content hash;
+  *  - MinHash LSH: signatures are a map stage; candidate generation
+  *    shuffles (band, hash) pairs — rows ≈ docs × bands, NOT docs²;
+  *  - SimHash: banding again keeps the self-join off the full cross
+  *    product;
+  *  - n-gram Jaccard runs only inside (lang, source) blocks.
+  */
+object Dedup {
+
+  /** Lowercased alphanumeric token array. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  val tokensSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Word 3-gram shingles joined with spaces. */
+  def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array())
+
+  /** SQL mirror of [[shingles]], over a column named `ts`. */
+  val shinglesSql: String =
+    """CASE WHEN len(ts) >= 3
+      |     THEN list_transform(generate_series(1, len(ts) - 2),
+      |                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+      |     ELSE [] END""".stripMargin
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup by content hash: keep the lowest doc_id per hash group
+    * (one aggregate; the 100 TB shape — never a pairwise comparison). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("group_size"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS kept_doc_id, count(*) AS group_size
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ---------------------------------------------------------------- minhash
+  /** MinHash signature (k=16) as an array column: sig[k] = min over
+    * shingles of md5(k:shingle). Pure map stage. */
+  private def minhashSigArr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ts", tokens(col("text")))
+      .withColumn("sh", array_distinct(shingles(col("ts"))))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(15)),
+          k => array_min(transform(col("sh"),
+            s => md5(concat(k.cast("string"), lit(":"), s).cast("binary"))))).as("minhash"))
+
+  /** Query surface: signature serialized to one string (array cells
+    * don't compare stably across engines in the driver's hasher). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSigArr(spark, dir)
+      .select(col("doc_id"), concat_ws(",", col("minhash")).as("minhash"))
+
+  val minhashSigCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct($shinglesSql) AS sh FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 15),
+       |      k -> list_aggregate(list_transform(sh, s -> md5(k::VARCHAR || ':' || s)), 'min')) AS minhash
+       |  FROM sh WHERE len(sh) > 0)""".stripMargin
+
+  val minhashSignaturesSql: String =
+    minhashSigCte + "\nSELECT doc_id, array_to_string(minhash, ',') AS minhash FROM sig"
+
+  /** MinHash LSH near-dup pairs: 4 bands × 4 rows → candidates sharing a
+    * band bucket → verified by exact shingle Jaccard ≥ 0.5. The shuffle
+    * is on band hashes (docs × 4 rows), then only candidate pairs pay the
+    * Jaccard verification — the standard web-scale dedup shape. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docsSh = Tables.documents(spark, dir)
+      .withColumn("ts", tokens(col("text")))
+      .withColumn("sh", array_distinct(shingles(col("ts"))))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val sigs = minhashSigArr(spark, dir)
+    val bands = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            md5(concat_ws(",", slice(col("minhash"), b * 4 + 1, lit(4))).cast("binary")).as("bh"))))
+          .as("bandrec"))
+      .select(col("doc_id"), col("bandrec.band").as("band"), col("bandrec.bh").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docsSh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(docsSh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val minhashLshPairsSql: String =
+    minhashSigCte +
+      """,
+        |bands AS (
+        |  SELECT doc_id, b AS band,
+        |         md5(array_to_string(minhash[b*4+1 : b*4+4], ',')) AS bh
+        |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        |             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        |FROM cand
+        |JOIN sh sa ON sa.doc_id = doc_a
+        |JOIN sh sb ON sb.doc_id = doc_b
+        |WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        |      len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- simhash
+  /** 32-bit SimHash over distinct tokens (md5-derived token hashes), with
+    * byte-band LSH pairing at Hamming distance ≤ 3. Vote aggregation is a
+    * (doc × 32 bits) explode + sum — linear, shuffle on doc_id. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val votes = toks
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1)
+        .otherwise(-1)).as("vote"))
+    votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0,
+        pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
+  }
+
+  val simhashCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok FROM documents),
+       |th AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, unnest(generate_series(0, 31)) AS t(bit)
+       |  GROUP BY doc_id, bit),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val simhashSql: String = simhashCte + "\nSELECT doc_id, simhash FROM sh"
+
+  /** SimHash near-dup pairs: byte-band candidates, Hamming ≤ 3. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("shiftright(simhash, band * 8) & 255"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  val simhashPairsSql: String = simhashCte +
+    """,
+      |bands AS (
+      |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
+      |  FROM sh, unnest(generate_series(0, 3)) AS t(band))
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- jaccard
+  /** Blocked n-gram Jaccard: exact token-set Jaccard ≥ 0.5 within
+    * (lang, source) blocks — the block key bounds the self-join. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(tokens(col("text"))).as("ts"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+          size(array_union(col("a.ts"), col("b.ts"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, list_distinct($tokensSql) AS ts FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       |       round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+       |             len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.ts, b.ts)) * 1.0 /
+       |      len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- embedding
+  /** Embedding near-dup pairs: cosine ≥ 0.4 over all pairs (at scale this
+    * runs behind the LSH bucketing in [[Similarity]]; the exact form is
+    * the verification stage). Double-precision dot products via zip_with
+    * + aggregate HOFs. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+          (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+      |             (a.nrm * b.nrm), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+      |      (a.nrm * b.nrm) >= 0.4""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"          -> (dedupExact _),
+    "dedup_minhash_sig"    -> (minhashSignatures _),
+    "dedup_minhash_lsh"    -> (minhashLshPairs _),
+    "dedup_simhash"        -> (simhash _),
+    "dedup_simhash_pairs"  -> (simhashPairs _),
+    "dedup_ngram_jaccard"  -> (ngramJaccardPairs _),
+    "dedup_embedding_cos"  -> (embeddingNearDup _))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact"          -> dedupExactSql,
+    "dedup_minhash_sig"    -> minhashSignaturesSql,
+    "dedup_minhash_lsh"    -> minhashLshPairsSql,
+    "dedup_simhash"        -> simhashSql,
+    "dedup_simhash_pairs"  -> simhashPairsSql,
+    "dedup_ngram_jaccard"  -> ngramJaccardSql,
+    "dedup_embedding_cos"  -> embeddingNearDupSql)
+}

@@ -1,0 +1,166 @@
+package graft.scale
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Two tiers (the 100 TB story):
+  *  - brute-force top-k: broadcast the (small) query set against the
+  *    corpus — one pass, no corpus shuffle, exact answers; the baseline
+  *    and the verification stage for any ANN index;
+  *  - random-hyperplane LSH buckets: corpus is hashed once into 2^8
+  *    sign-pattern buckets (a map stage), queries probe only their own
+  *    bucket — the candidate set shrinks ~256×; hyperplanes are
+  *    md5-derived so the oracle reproduces them exactly.
+  *
+  * All dot products run in double via zip_with/aggregate HOFs (codegen'd;
+  * no UDF). Embeddings are float32 in storage — cast first, so both
+  * engines see identical doubles.
+  */
+object Similarity {
+
+  private def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Corpus with precomputed norms. */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  // ---------------------------------------------------------------- brute force
+  /** Exact top-5 cosine neighbors for the first 10 vectors as queries. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val annBruteForceSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])) / (e.nrm * q.qn) AS cosine
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- LSH
+  /** md5-derived hyperplane component for (plane j, dim d) ∈ [−1, 1):
+    * reproducible in any engine with md5 + hex parsing. */
+  private def hyperComponent(j: Column, d: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit("_"), d.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("double") / lit(2147483648.0) - 1.0
+
+  /** Sign-pattern bucket id over 8 hyperplanes. */
+  private def lshBucket(v: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(7)), j =>
+        when(aggregate(
+          zip_with(v, sequence(lit(0), lit(63)), (x, d) => x * hyperComponent(j, d)),
+          lit(0.0), (acc, x) => acc + x) >= 0,
+          pow(lit(2.0), j).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Corpus bucket assignment (one map pass — the index build). */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("vec_id"), lshBucket(col("v")).as("bucket"))
+
+  val annLshBucketsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planes AS (
+      |  SELECT j, list_transform(generate_series(0, 63),
+      |           d -> ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+      |                  / 2147483648.0 - 1.0) AS h
+      |  FROM unnest(generate_series(0, 7)) AS t(j)),
+      |signs AS (
+      |  SELECT e.vec_id, p.j,
+      |         CASE WHEN list_sum(list_transform(list_zip(e.v, p.h), q -> q[1] * q[2])) >= 0
+      |              THEN CAST(pow(2.0, p.j) AS BIGINT) ELSE 0 END AS bit
+      |  FROM e, planes p)
+      |SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+      |FROM signs GROUP BY vec_id""".stripMargin
+
+  /** LSH-bucketed ANN: queries probe only their own bucket, exact cosine
+    * within it — top-3. Scale path: join on bucket replaces the cross
+    * join; recall < 1 by construction (the trade the operator makes). */
+  def annLshSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+      .withColumn("bucket", lshBucket(col("v")))
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val scored = c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val annLshSearchSql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT j, list_transform(generate_series(0, 63),
+      |           d -> ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+      |                  / 2147483648.0 - 1.0) AS h
+      |  FROM unnest(generate_series(0, 7)) AS t(j)),
+      |signs AS (
+      |  SELECT e0.vec_id, p.j,
+      |         CASE WHEN list_sum(list_transform(list_zip(e0.v, p.h), q -> q[1] * q[2])) >= 0
+      |              THEN CAST(pow(2.0, p.j) AS BIGINT) ELSE 0 END AS bit
+      |  FROM e0, planes p),
+      |b AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM signs GROUP BY vec_id),
+      |e AS (SELECT e0.*, b.bucket FROM e0 JOIN b USING (vec_id)),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+      |      FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])) / (e.nrm * q.qn) AS cosine
+      |  FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_force" -> (annBruteForce _),
+    "ann_lsh_buckets" -> (annLshBuckets _),
+    "ann_lsh_search"  -> (annLshSearch _))
+
+  def oracles: Map[String, String] = Map(
+    "ann_brute_force" -> annBruteForceSql,
+    "ann_lsh_buckets" -> annLshBucketsSql,
+    "ann_lsh_search"  -> annLshSearchSql)
+}

@@ -1,0 +1,196 @@
+package graft.scale
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd map stages — embarrassingly parallel at
+  * any scale), with md5-based fingerprints for oracle parity.
+  */
+object TextAnalysis {
+
+  private def lowerText: Column = lower(col("text"))
+
+  /** chars removed by stripping `pat` — a regex occurrence counter that
+    * costs two length() calls (identical semantics in DuckDB). */
+  private def strippedLen(c: Column, pat: String): Column =
+    length(c) - length(regexp_replace(c, pat, ""))
+
+  // ---------------------------------------------------------------- lang id
+  /** Character-statistics language ID (n-gram heuristic): vowel ratio,
+    * 'th' bigram rate, vowel-final-word rate, average word length →
+    * threshold classifier. Deterministic and engine-portable; accuracy
+    * on this synthetic corpus is incidental (labels are random), the
+    * operator shape is what scales. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val letters = strippedLen(lowerText, "[^a-z]")
+    val vowels = strippedLen(lowerText, "[^aeiou]")
+    val thCount = (length(lowerText) - length(regexp_replace(lowerText, "th", ""))) / 2
+    val toks = Dedup.tokens(col("text"))
+    val vowelEnd = size(filter(toks, t => t.rlike("[aeiou]$")))
+    val avgLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks)
+    Tables.documents(spark, dir)
+      .withColumn("vowel_ratio", round(vowels.cast("double") / letters, 6))
+      .withColumn("th_rate", round(thCount.cast("double") / greatest(size(toks), lit(1)), 6))
+      .withColumn("vowel_end_ratio", round(vowelEnd.cast("double") / size(toks), 6))
+      .withColumn("avg_word_len", round(avgLen, 6))
+      .withColumn("predicted_lang",
+        when(col("th_rate") > 0.2, "en")
+          .when(col("vowel_end_ratio") > 0.45, "es")
+          .when(col("avg_word_len") > 5.0, "de")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("vowel_ratio"), col("th_rate"),
+        col("vowel_end_ratio"), col("avg_word_len"), col("predicted_lang"))
+  }
+
+  val langIdSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(text) AS lt, ${Dedup.tokensSql} AS ts FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    (length(lt) - length(regexp_replace(lt, '[^aeiou]', '', 'g'))) * 1.0 /
+       |      (length(lt) - length(regexp_replace(lt, '[^a-z]', '', 'g'))) AS vowel_ratio,
+       |    ((length(lt) - length(replace(lt, 'th', ''))) / 2) * 1.0 /
+       |      greatest(len(ts), 1) AS th_rate,
+       |    len(list_filter(ts, t -> regexp_matches(t, '[aeiou]$$'))) * 1.0 / len(ts) AS vowel_end_ratio,
+       |    list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts) AS avg_word_len
+       |  FROM t)
+       |SELECT doc_id,
+       |  round(vowel_ratio, 6) AS vowel_ratio, round(th_rate, 6) AS th_rate,
+       |  round(vowel_end_ratio, 6) AS vowel_end_ratio, round(avg_word_len, 6) AS avg_word_len,
+       |  CASE WHEN th_rate > 0.2 THEN 'en'
+       |       WHEN vowel_end_ratio > 0.45 THEN 'es'
+       |       WHEN avg_word_len > 5.0 THEN 'de'
+       |       ELSE 'zh' END AS predicted_lang
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------- quality
+  /** Quality scoring (length / punctuation / digit / stopword ratios →
+    * composite score + keep/flag/drop bucket) — the filter stage of a
+    * pretraining curation pipeline. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+    val toks = Dedup.tokens(col("text"))
+    val nToks = size(toks)
+    val stopRatio = size(filter(toks, t => t.isInCollection(stop))).cast("double") /
+      greatest(nToks, lit(1))
+    val punctRatio = strippedLen(col("text"), "[^!-/:-@\\[-`{-~]").cast("double") /
+      greatest(length(col("text")), lit(1))
+    val digitRatio = strippedLen(col("text"), "[^0-9]").cast("double") /
+      greatest(length(col("text")), lit(1))
+    val lenScore = least(length(col("text")).cast("double") / 400.0, lit(1.0))
+    val score = lenScore * 0.4 +
+      least(stopRatio * 4.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2 +
+      (lit(1.0) - least(digitRatio * 10.0, lit(1.0))) * 0.1
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(score, 6).as("quality_score"),
+      when(score >= 0.7, "keep").when(score >= 0.4, "flag").otherwise("drop")
+        .as("quality_bucket"))
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${Dedup.tokensSql} AS ts FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(ts) AS n_tokens,
+       |    len(list_filter(ts, x -> x IN ('the','a','of','and','in','to','is','on','for','with')))
+       |      * 1.0 / greatest(len(ts), 1) AS stop_ratio,
+       |    (length(text) - length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')))
+       |      * 1.0 / greatest(length(text), 1) AS punct_ratio,
+       |    (length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')))
+       |      * 1.0 / greatest(length(text), 1) AS digit_ratio,
+       |    least(length(text) * 1.0 / 400.0, 1.0) AS len_score
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, n_tokens, stop_ratio, punct_ratio, digit_ratio,
+       |    len_score * 0.4 + least(stop_ratio * 4.0, 1.0) * 0.3 +
+       |    (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 +
+       |    (1.0 - least(digit_ratio * 10.0, 1.0)) * 0.1 AS score
+       |  FROM f)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |  round(stop_ratio, 6) AS stopword_ratio,
+       |  round(punct_ratio, 6) AS punct_ratio,
+       |  round(digit_ratio, 6) AS digit_ratio,
+       |  round(score, 6) AS quality_score,
+       |  CASE WHEN score >= 0.7 THEN 'keep' WHEN score >= 0.4 THEN 'flag'
+       |       ELSE 'drop' END AS quality_bucket
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- tokens
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    * (word pieces + standalone punctuation), plus chars/token. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val wsToks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+    val bpeToks = size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      wsToks.as("ws_tokens"),
+      bpeToks.as("bpe_tokens"),
+      round(length(col("text")).cast("double") / greatest(bpeToks, lit(1)), 6)
+        .as("chars_per_token"))
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens,
+      |  round(length(text) * 1.0 /
+      |        greatest(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')), 1), 6)
+      |    AS chars_per_token
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Document fingerprinting: min/max over 3-gram shingle hashes (a
+    * winnowing-style content signature) + a 4-hash compact sketch. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val sh = array_distinct(Dedup.shingles(toks))
+    val hashes = transform(sh, s => md5(s.cast("binary")))
+    Tables.documents(spark, dir)
+      .withColumn("hs", hashes)
+      .filter(size(col("hs")) > 0)
+      .select(
+        col("doc_id"),
+        array_min(col("hs")).as("fp_min"),
+        array_max(col("hs")).as("fp_max"),
+        concat_ws(",", transform(sequence(lit(0), lit(3)),
+          k => array_min(transform(col("hs"),
+            h => md5(concat(k.cast("string"), h).cast("binary")))))).as("fp_sketch"))
+  }
+
+  val fingerprintSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_transform(list_distinct(${Dedup.shinglesSql}), s -> md5(s)) AS hs
+       |  FROM toks)
+       |SELECT doc_id,
+       |  list_aggregate(hs, 'min') AS fp_min,
+       |  list_aggregate(hs, 'max') AS fp_max,
+       |  array_to_string(list_transform(generate_series(0, 3),
+       |    k -> list_aggregate(list_transform(hs, h -> md5(k::VARCHAR || h)), 'min')), ',')
+       |    AS fp_sketch
+       |FROM sh WHERE len(hs) > 0""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id"     -> (langId _),
+    "text_quality"     -> (qualityScore _),
+    "text_token_count" -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _))
+
+  def oracles: Map[String, String] = Map(
+    "text_lang_id"     -> langIdSql,
+    "text_quality"     -> qualityScoreSql,
+    "text_token_count" -> tokenCountSql,
+    "text_fingerprint" -> fingerprintSql)
+}

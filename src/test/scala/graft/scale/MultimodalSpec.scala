@@ -1,0 +1,37 @@
+package graft.scale
+
+import graft.SparkSpec
+
+/** Pins the mapPartitions fake-decode math (rows-only in the driver
+  * check) to a direct computation over the same utf-8 bytes. */
+class MultimodalSpec extends SparkSpec {
+
+  test("decode features match direct byte-level computation") {
+    val got = Multimodal.decodeFeatures(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == texts.size)
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val (nBytes, meanByte, entropy) = got(id)
+      assert(nBytes == bytes.length)
+      val expMean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
+      assert(math.abs(meanByte - math.rint(expMean * 1e6) / 1e6) < 1e-6)
+      val hist = new Array[Long](16)
+      bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+      val expEntropy = -hist.filter(_ > 0).map { c =>
+        val p = c.toDouble / bytes.length; p * math.log(p)
+      }.sum / math.log(2)
+      assert(math.abs(entropy - expEntropy) < 1e-5, s"doc $id entropy")
+    }
+  }
+
+  test("media schema: binary payload + flat typed metadata") {
+    val schema = Multimodal.mediaTable(spark, sfDir).schema
+    assert(schema("media").dataType.typeName == "binary")
+    assert(schema("width").dataType.typeName == "integer")
+    assert(schema("format").dataType.typeName == "string")
+  }
+}
