@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** One synthetic tick (S9 — `premium_data_provider.py:303-344`). */
+case class Tick(ts: java.sql.Timestamp, symbol: String,
+                bid: Double, ask: Double, mid: Double, spread: Double)
+
+/** ml_features channel row (T3 — `websocket_manager.py:340-400`). */
+case class TickFeatures(symbol: String, ts: java.sql.Timestamp,
+                        n_ticks: Int, sma_5: Double, sma_20: Double,
+                        rsi_14: Double, mid: Double)
+
+/** Ring-buffer state for trailing-N features. */
+case class RingState(prices: Vector[Double])
+
+/** Structured Streaming channels — SURVEY §2.10.
+  *
+  * The reference streams 8 processing-time asyncio channels over
+  * WebSocket; here each channel is a StreamingQuery DAG over a shared
+  * tick source, upgraded to event-time with watermarks (the semantics
+  * the reference lacks — SURVEY §2.10 "to add"). Channel cadences map to
+  * `Trigger.ProcessingTime`; fan-out/subscription management is a sink
+  * concern (Kafka topics per channel at scale), not engine work.
+  *
+  * State sizing at scale: candle aggregation state = |symbols × open
+  * windows| (watermark bounds it); ring-buffer state = 100 doubles per
+  * symbol. Both are keyed by symbol ⇒ partition-parallel.
+  */
+object Channels {
+
+  /** Channel cadences (T1 — `websocket_manager.py:200-209`). */
+  val channelTriggers: Map[String, Trigger] = Map(
+    "raw_ticks"          -> Trigger.ProcessingTime("100 milliseconds"),
+    "order_book"         -> Trigger.ProcessingTime("200 milliseconds"),
+    "trading_signals"    -> Trigger.ProcessingTime("500 milliseconds"),
+    "ml_features"        -> Trigger.ProcessingTime("1 second"),
+    "technical_analysis" -> Trigger.ProcessingTime("1 second"),
+    "pattern_alerts"     -> Trigger.ProcessingTime("2 seconds"),
+    "microstructure"     -> Trigger.ProcessingTime("5 seconds"),
+    "economic_events"    -> Trigger.ProcessingTime("10 seconds"))
+
+  /** S9 — deterministic synthetic tick stream from the rate source:
+    * price walk driven by the rate value, three symbols round-robin. */
+  def tickSource(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+    decorateTicks(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load())
+
+  /** Pure column transform rate→ticks, shared with tests (batch or
+    * stream DataFrames with (timestamp, value)). */
+  def decorateTicks(rate: DataFrame): DataFrame = {
+    val mid = lit(1.08) + sin(col("value") / 7.0) * 0.002 + (col("value") % 17) * 1e-5
+    val spread = lit(0.00008) + (col("value") % 5) * 1e-6
+    rate.select(
+      col("timestamp").as("ts"),
+      concat(lit("PAIR"), (col("value") % 3).cast("int")).as("symbol"),
+      (mid - spread / 2).as("bid"),
+      (mid + spread / 2).as("ask"),
+      mid.as("mid"),
+      spread.as("spread"))
+  }
+
+  /** A4 in streaming mode — 1-minute tumbling candles with a 2-minute
+    * watermark; first/last via min_by/max_by over the in-window tick
+    * time (deterministic, SURVEY §7.5). */
+  def candleStream(ticks: DataFrame): DataFrame =
+    ticks.withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("symbol"))
+      .agg(
+        min_by(col("mid"), col("ts")).as("open"),
+        max(col("mid")).as("high"),
+        min(col("mid")).as("low"),
+        max_by(col("mid"), col("ts")).as("close"),
+        count(lit(1)).as("n_ticks"),
+        avg(col("spread")).as("avg_spread"))
+      .select(col("w.start").as("bucket"), col("symbol"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("avg_spread"))
+
+  /** K1 streaming upsert semantics — dedup within the watermark on the
+    * natural key (`repository.py:28-96` ≙ `dropDuplicatesWithinWatermark`). */
+  def dedupedTicks(ticks: DataFrame): DataFrame =
+    ticks.withWatermark("ts", "2 minutes")
+      .dropDuplicatesWithinWatermark("symbol", "ts")
+
+  /** T3 — trailing-100-tick features per symbol via a ring buffer in
+    * `flatMapGroupsWithState` (the reference's in-memory deque). Ticks
+    * are sorted by event time within each micro-batch; cross-batch order
+    * follows micro-batch arrival (processing-time like the reference). */
+  def featureStream(spark: SparkSession, ticks: DataFrame): Dataset[TickFeatures] = {
+    import spark.implicits._
+    ticks.select(col("ts"), col("symbol"), col("mid")).as[(java.sql.Timestamp, String, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[RingState, TickFeatures](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[(java.sql.Timestamp, String, Double)],
+         state: GroupState[RingState]) =>
+          var buf = state.getOption.map(_.prices).getOrElse(Vector.empty)
+          val out = rows.toSeq.sortBy(_._1.getTime).map { case (ts, _, mid) =>
+            buf = (buf :+ mid).takeRight(100)
+            val n = buf.size
+            def sma(k: Int): Double =
+              if (n >= k) buf.takeRight(k).sum / k else Double.NaN
+            val rsi = if (n >= 15) {
+              val diffs = buf.takeRight(15).sliding(2).map(p => p(1) - p(0)).toSeq
+              val g = diffs.map(d => math.max(d, 0)).sum / 14
+              val l = diffs.map(d => math.max(-d, 0)).sum / 14
+              if (l == 0) 100.0 else 100.0 - 100.0 / (1 + g / l)
+            } else Double.NaN
+            TickFeatures(symbol, ts, n, sma(5), sma(20), rsi, mid)
+          }
+          state.update(RingState(buf))
+          out.iterator
+      }
+  }
+
+  /** T4 — trading signals (`websocket_manager.py:402-448`): RSI bands ×
+    * SMA-20 position, with pip-offset stop-loss/take-profit. */
+  def signalStream(features: DataFrame): DataFrame =
+    features.select(
+      col("symbol"), col("ts"), col("mid"),
+      when(col("rsi_14") < 30 && col("mid") < col("sma_20"), "buy")
+        .when(col("rsi_14") > 70 && col("mid") > col("sma_20"), "sell")
+        .otherwise("hold").as("signal"),
+      when(col("rsi_14") < 30, col("mid") - 0.0010)
+        .when(col("rsi_14") > 70, col("mid") + 0.0010).as("stop_loss"),
+      when(col("rsi_14") < 30, col("mid") + 0.0020)
+        .when(col("rsi_14") > 70, col("mid") - 0.0020).as("take_profit"))
+
+  /** T5 — technical-analysis summary (`websocket_manager.py:476-508`):
+    * trend from the SMA chain, momentum from |RSI−50|. */
+  def taStream(features: DataFrame): DataFrame =
+    features.select(
+      col("symbol"), col("ts"),
+      when(col("sma_5") > col("sma_20"), "uptrend")
+        .when(col("sma_5") < col("sma_20"), "downtrend")
+        .otherwise("sideways").as("trend"),
+      when(abs(col("rsi_14") - 50) > 25, "strong")
+        .when(abs(col("rsi_14") - 50) > 10, "moderate")
+        .otherwise("weak").as("momentum"),
+      (col("mid") - 0.0020).as("support"),
+      (col("mid") + 0.0040).as("resistance"))
+
+  /** T6 — microstructure channel (A12 on a cadence): windowed spread /
+    * tick-frequency stats. */
+  def microstructureStream(ticks: DataFrame): DataFrame =
+    ticks.withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "5 seconds").as("w"), col("symbol"))
+      .agg(
+        avg(col("spread")).as("avg_spread"),
+        stddev(col("spread")).as("std_spread"),
+        count(lit(1)).as("tick_count"),
+        (max(col("mid")) - min(col("mid"))).as("price_range"))
+      .select(col("w.start").as("bucket"), col("symbol"),
+        col("avg_spread"), col("std_spread"), col("tick_count"), col("price_range"))
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming channels driven end-to-end with MemoryStream → memory sink:
+  * candle aggregation vs its batch equivalent, ring-buffer features vs
+  * direct computation, signal derivation. */
+class ChannelsSpec extends SparkSpec {
+
+  private def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+  test("streaming 1-minute candles match the batch aggregation of the same ticks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val ticks = Channels.decorateTicks(
+      mem.toDF().toDF("timestamp", "value"))
+    val q = Channels.candleStream(ticks)
+      .writeStream.format("memory").queryName("candles_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val data = (0L until 300L).map(i => (ts(i), i))
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("candles_t")
+        .orderBy("bucket", "symbol").collect()
+      val batch = Channels.decorateTicks(data.toDF("timestamp", "value"))
+        .groupBy(window(col("ts"), "1 minute").as("w"), col("symbol"))
+        .agg(min_by(col("mid"), col("ts")).as("open"), max(col("mid")).as("high"),
+          min(col("mid")).as("low"), max_by(col("mid"), col("ts")).as("close"),
+          count(lit(1)).as("n_ticks"), avg(col("spread")).as("avg_spread"))
+        .select(col("w.start").as("bucket"), col("symbol"), col("open"), col("high"),
+          col("low"), col("close"), col("n_ticks"), col("avg_spread"))
+        .orderBy("bucket", "symbol").collect()
+      assert(streamed.length == batch.length && streamed.length >= 15) // 5 min × 3 symbols
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getTimestamp(0) == b.getTimestamp(0) && s.getString(1) == b.getString(1))
+        // doubles: streaming partial-agg summation order differs by ulps
+        (2 to 5).foreach(i => assert(math.abs(s.getDouble(i) - b.getDouble(i)) < 1e-12))
+        assert(s.getLong(6) == b.getLong(6))
+        assert(math.abs(s.getDouble(7) - b.getDouble(7)) < 1e-12)
+      }
+    } finally q.stop()
+  }
+
+  test("ring-buffer feature stream computes trailing SMAs per symbol") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val ticks = Channels.decorateTicks(mem.toDF().toDF("timestamp", "value"))
+    val q = Channels.featureStream(spark, ticks)
+      .writeStream.format("memory").queryName("features_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two batches to exercise state carry-over
+      mem.addData((0L until 90L).map(i => (ts(i), i)): _*)
+      q.processAllAvailable()
+      mem.addData((90L until 120L).map(i => (ts(i), i)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("features_t").orderBy("symbol", "ts").collect()
+      assert(rows.length == 120)
+      // recompute per symbol directly
+      val bySym = rows.groupBy(_.getString(0))
+      assert(bySym.keySet == Set("PAIR0", "PAIR1", "PAIR2"))
+      bySym.foreach { case (_, rs) =>
+        val mids = rs.map(_.getDouble(6))
+        rs.zipWithIndex.foreach { case (r, i) =>
+          assert(r.getInt(2) == math.min(i + 1, 100)) // n_ticks in buffer
+          if (i >= 4) {
+            val exp = mids.slice(i - 4, i + 1).sum / 5
+            assert(math.abs(r.getDouble(3) - exp) < 1e-12, s"sma5 at $i")
+          } else assert(r.getDouble(3).isNaN)
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("signal stream derives buy/sell/hold with stop-loss offsets") {
+    import spark.implicits._
+    val feats = Seq(
+      ("PAIR0", ts(0), 25.0, 1.08, 1.10),  // rsi<30, mid<sma20 -> buy
+      ("PAIR0", ts(1), 75.0, 1.12, 1.10),  // rsi>70, mid>sma20 -> sell
+      ("PAIR0", ts(2), 50.0, 1.10, 1.10))  // hold
+      .toDF("symbol", "ts", "rsi_14", "mid", "sma_20")
+    val out = Channels.signalStream(feats).orderBy("ts").collect()
+    assert(out.map(_.getString(3)).toSeq == Seq("buy", "sell", "hold"))
+    assert(math.abs(out(0).getDouble(4) - (1.08 - 0.0010)) < 1e-12)
+    assert(math.abs(out(1).getDouble(5) - (1.12 - 0.0020)) < 1e-12)
+    assert(out(2).isNullAt(4))
+  }
+
+  test("channel registry covers the reference's 8 channels") {
+    assert(Channels.channelTriggers.size == 8)
+    assert(Channels.channelTriggers.contains("raw_ticks"))
+  }
+}
