@@ -19,7 +19,10 @@ object SparkEntry {
       scale.Dedup.queries ++
       scale.Similarity.queries ++
       scale.TextAnalysis.queries ++
-      scale.Multimodal.queries
+      scale.Multimodal.queries ++
+      operators.Sources.queries ++
+      sources.Sinks.queries ++
+      analysis.Importance.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -35,5 +38,8 @@ object SparkEntry {
       scale.Dedup.oracles ++
       scale.Similarity.oracles ++
       scale.TextAnalysis.oracles ++
-      scale.Multimodal.oracles
+      scale.Multimodal.oracles ++
+      operators.Sources.oracles ++
+      sources.Sinks.oracles ++
+      analysis.Importance.oracles
 }
