@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session (codegen compiler, parquet footer cache, JIT)
+    // so the first timed query isn't charged session startup costs.
+    try {
+      SparkEntry.entry(spark).count()
+      graft.Tables.candles(spark, sfDir).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -88,7 +88,7 @@ object Importance {
     * equal-width bins per variable, MI from contingency counts — pure
     * groupBy aggregation, nats. */
   def miImportance(spark: SparkSession, dir: String): DataFrame = {
-    val f = featureFrame(spark, dir).cache()
+    val f = featureFrame(spark, dir)
     val stacked = f.select(
       expr(s"stack(${featureNames.size}, " +
         featureNames.map(n => s"'$n', $n").mkString(", ") + ") AS (feature, x)"),

