@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the 100 TB concerns from the build brief:
+  * filters/projections reach the parquet scan, dimension joins
+  * broadcast, aggregations combine map-side, the whole indicator suite
+  * shares ONE exchange, and hot paths stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("range scan pushes predicates and prunes columns at the parquet scan") {
+    val p = plan(operators.Scans.s10RangeScan(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(event_type)") || p.contains("EqualTo(event_type"), p)
+    // projection pruning: props/user-agnostic columns must not be read
+    assert(!p.contains("props"), "props column should be pruned from ReadSchema")
+  }
+
+  test("enrichment join broadcasts dimensions; fact join is the only big exchange") {
+    val p = plan(operators.Joins.j1Enrich(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q1 aggregation is partial+final hash agg inside whole-stage codegen") {
+    val df = operators.Relational.q1Agg(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), "map-side combine missing: " + p)
+    // AQE hides codegen spans until the plan is finalized — execute THIS
+    // DataFrame (count() would build a different QueryExecution), then
+    // inspect its executed plan for whole-stage markers (*(n) ...)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), executed.take(600))
+  }
+
+  test("the multi-indicator window query adds exactly ONE exchange over the candle agg") {
+    // exchange 1: candle groupBy(user_id, bucket); exchange 2: the single
+    // window exchange on user_id SHARED by every indicator's window spec
+    // (diff, pct_change, sma 5/10/20 — five specs, one shuffle+sort)
+    val p = plan(operators.Windows.w2w3SmaReturns(spark, sfDir))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges (candle agg + one shared window), got $exchanges:\n$p")
+    val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).size
+    assert(sorts == 1, s"expected 1 shared window sort, got $sorts:\n$p")
+  }
+
+  test("normalization fit+apply broadcasts the one-row stats result") {
+    val p = plan(operators.Aggregations.a7Normalize(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("custom ewm_avg window aggregate stays in the window exec, no UDF node") {
+    val p = plan(operators.EmaFamily.w4Ema(spark, sfDir))
+    assert(p.contains("ewm_avg") || p.contains("ewmavg"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("ANN brute force broadcasts the query side, corpus never shuffles") {
+    val p = plan(scale.Similarity.annBruteForce(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), p)
+  }
+}
