@@ -71,14 +71,18 @@ object Importance {
           .orderBy(col("abs_corr").desc, col("feature"))))
   }
 
-  val corrImportanceSql: String = featureFrameSql +
-    """,
-      |scores AS (
+  /** `scores` CTE (per-feature |corr|) — shared by the corr, F-stat and
+    * consensus oracles. */
+  val corrScoresCte: String =
+    """scores AS (
       |  SELECT 'ret_1' AS feature, round(abs(corr(ret_1, target)), 6) AS abs_corr FROM feat
       |  UNION ALL SELECT 'vol_5', round(abs(corr(vol_5, target)), 6) FROM feat
       |  UNION ALL SELECT 'mom_5', round(abs(corr(mom_5, target)), 6) FROM feat
       |  UNION ALL SELECT 'rng_ratio', round(abs(corr(rng_ratio, target)), 6) FROM feat
-      |  UNION ALL SELECT 'body_ratio', round(abs(corr(body_ratio, target)), 6) FROM feat)
+      |  UNION ALL SELECT 'body_ratio', round(abs(corr(body_ratio, target)), 6) FROM feat)""".stripMargin
+
+  val corrImportanceSql: String = featureFrameSql + ",\n" + corrScoresCte +
+    """
       |SELECT feature, abs_corr,
       |       CAST(row_number() OVER (ORDER BY abs_corr DESC, feature) AS INT) AS rank
       |FROM scores""".stripMargin
@@ -111,9 +115,10 @@ object Importance {
         log((col("nxy") * col("n")) / (col("nx") * col("ny")))), 6).as("mutual_info"))
   }
 
-  val miImportanceSql: String = featureFrameSql +
-    """,
-      |stacked AS (
+  /** CTE chain ending in `mi(feature, mutual_info)` — shared by the MI
+    * and consensus oracles. */
+  val miCtes: String =
+    """stacked AS (
       |  SELECT 'ret_1' AS feature, ret_1 AS x, target AS y FROM feat
       |  UNION ALL SELECT 'vol_5', vol_5, target FROM feat
       |  UNION ALL SELECT 'mom_5', mom_5, target FROM feat
@@ -134,10 +139,115 @@ object Importance {
       |    sum(nxy) OVER (PARTITION BY feature) AS n,
       |    sum(nxy) OVER (PARTITION BY feature, bx) AS nx,
       |    sum(nxy) OVER (PARTITION BY feature, by) AS ny
-      |  FROM joint)
-      |SELECT feature,
-      |  round(sum((nxy * 1.0 / n) * ln((nxy * 1.0 * n) / (nx * 1.0 * ny))), 6) AS mutual_info
-      |FROM m GROUP BY feature""".stripMargin
+      |  FROM joint),
+      |mi AS (
+      |  SELECT feature,
+      |    round(sum((nxy * 1.0 / n) * ln((nxy * 1.0 * n) / (nx * 1.0 * ny))), 6) AS mutual_info
+      |  FROM m GROUP BY feature)""".stripMargin
+
+  val miImportanceSql: String = featureFrameSql + ",\n" + miCtes +
+    "\nSELECT feature, mutual_info FROM mi"
+
+  // ---------------------------------------------------------------- F-stat
+  /** Univariate F-statistic ranking (f_regression,
+    * `feature_importance.py:323-381` family): F = r²(n−2)/(1−r²) from one
+    * pass of corr + count — a single global aggregate, no per-feature
+    * rescans. */
+  def fstatImportance(spark: SparkSession, dir: String): DataFrame = {
+    val f = featureFrame(spark, dir)
+    val aggs = count(lit(1)).as("n") +:
+      featureNames.map(nm => corr(col(nm), col("target")).as(nm))
+    val wide = f.agg(aggs.head, aggs.tail: _*)
+    wide.select(col("n"), expr(s"stack(${featureNames.size}, " +
+        featureNames.map(nm => s"'$nm', $nm").mkString(", ") + ") AS (feature, r)"))
+      .select(col("feature"),
+        round(col("r") * col("r") * (col("n") - 2) /
+          (lit(1.0) - col("r") * col("r")), 6).as("f_stat"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("f_stat").desc, col("feature"))))
+  }
+
+  val fstatImportanceSql: String = featureFrameSql +
+    """,
+      |c AS (
+      |  SELECT count(*) AS n, corr(ret_1, target) AS ret_1, corr(vol_5, target) AS vol_5,
+      |         corr(mom_5, target) AS mom_5, corr(rng_ratio, target) AS rng_ratio,
+      |         corr(body_ratio, target) AS body_ratio
+      |  FROM feat),
+      |s AS (
+      |  SELECT 'ret_1' AS feature, ret_1 AS r, n FROM c
+      |  UNION ALL SELECT 'vol_5', vol_5, n FROM c
+      |  UNION ALL SELECT 'mom_5', mom_5, n FROM c
+      |  UNION ALL SELECT 'rng_ratio', rng_ratio, n FROM c
+      |  UNION ALL SELECT 'body_ratio', body_ratio, n FROM c),
+      |fs AS (SELECT feature, round(r * r * (n - 2) / (1.0 - r * r), 6) AS f_stat FROM s)
+      |SELECT feature, f_stat,
+      |       CAST(row_number() OVER (ORDER BY f_stat DESC, feature) AS INT) AS rank
+      |FROM fs""".stripMargin
+
+  // ---------------------------------------------------------------- consensus
+  /** O4 consensus rank merge (`feature_importance.py:538-556`): average
+    * the per-method ranks (corr, MI) and re-rank. Each method is a tiny
+    * aggregate over the same feature frame; at 100 TB the frame would be
+    * cached/materialized once and both fits read it. */
+  def consensusImportance(spark: SparkSession, dir: String): DataFrame = {
+    val byCorr = corrImportance(spark, dir)
+      .select(col("feature"), col("rank").as("rank_corr"))
+    val byMi = miImportance(spark, dir)
+      .withColumn("rank_mi", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mutual_info").desc, col("feature"))))
+      .select(col("feature"), col("rank_mi"))
+    byCorr.join(byMi, "feature")
+      .withColumn("avg_rank", round((col("rank_corr") + col("rank_mi")) / 2.0, 1))
+      .withColumn("consensus_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("avg_rank"), col("feature"))))
+  }
+
+  val consensusImportanceSql: String =
+    featureFrameSql + ",\n" + corrScoresCte + ",\n" + miCtes +
+    """,
+      |cr AS (
+      |  SELECT feature, row_number() OVER (ORDER BY abs_corr DESC, feature) AS rank_corr
+      |  FROM scores),
+      |mr AS (
+      |  SELECT feature, row_number() OVER (ORDER BY mutual_info DESC, feature) AS rank_mi
+      |  FROM mi)
+      |SELECT feature, CAST(rank_corr AS INT) AS rank_corr, CAST(rank_mi AS INT) AS rank_mi,
+      |       round((rank_corr + rank_mi) / 2.0, 1) AS avg_rank,
+      |       CAST(row_number() OVER (ORDER BY round((rank_corr + rank_mi) / 2.0, 1), feature) AS INT)
+      |         AS consensus_rank
+      |FROM cr JOIN mr USING (feature)""".stripMargin
+
+  // ---------------------------------------------------------------- RFE
+  /** Recursive feature elimination (`feature_importance.py:384-448`):
+    * driver loop over MLlib LinearRegression fits — drop the smallest
+    * standardized |coefficient| each round (SURVEY §2.12). rank 1 = the
+    * survivor. Rows-only check (MLlib internals aren't SQL-reproducible). */
+  def rfeImportance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = featureFrame(spark, dir).cache()
+    val remaining = scala.collection.mutable.Buffer(featureNames: _*)
+    val ranks = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    while (remaining.size > 1) {
+      val assembled = new VectorAssembler()
+        .setInputCols(remaining.toArray).setOutputCol("fv")
+        .transform(f).select(col("fv"), col("target").as("label"))
+      val model = new LinearRegression()
+        .setFeaturesCol("fv").setLabelCol("label")
+        .setStandardization(true).setRegParam(0.0)
+        .fit(assembled)
+      val weakest = remaining.zip(model.coefficients.toArray)
+        .minBy { case (_, c) => math.abs(c) }._1
+      ranks += weakest -> remaining.size
+      remaining -= weakest
+    }
+    ranks += remaining.head -> 1
+    f.unpersist()
+    ranks.toSeq.toDF("feature", "rfe_rank").orderBy("rfe_rank")
+  }
 
   // ---------------------------------------------------------------- MLlib
   /** RandomForest feature importances (seeded; rows-only check). */
@@ -176,9 +286,14 @@ object Importance {
     "imp_correlation" -> (corrImportance _),
     "imp_mutual_info" -> (miImportance _),
     "imp_rf"          -> (rfImportance _),
-    "imp_lasso"       -> (lassoImportance _))
+    "imp_lasso"       -> (lassoImportance _),
+    "imp_fstat"       -> (fstatImportance _),
+    "imp_consensus"   -> (consensusImportance _),
+    "imp_rfe"         -> (rfeImportance _))
 
   def oracles: Map[String, String] = Map(
     "imp_correlation" -> corrImportanceSql,
-    "imp_mutual_info" -> miImportanceSql)
+    "imp_mutual_info" -> miImportanceSql,
+    "imp_fstat"       -> fstatImportanceSql,
+    "imp_consensus"   -> consensusImportanceSql)
 }

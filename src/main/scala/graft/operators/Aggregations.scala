@@ -226,6 +226,80 @@ object Aggregations {
       |       count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
+  /** A12 — microstructure metrics (`premium_data_provider.py:202-285`):
+    * per-stream avg/std spread, tick frequency, price impact (mean
+    * absolute mid move per tick), liquidity score. The lag window and the
+    * group-by share the same `user_id` hash partitioning, so Catalyst
+    * reuses one exchange — at 100 TB this is one shuffle, not two. Tie
+    * order on equal timestamps is pinned by `event_id` so both engines
+    * difference the same neighbor. */
+  def a12Microstructure(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("spread", abs(col("value")) * lit(0.0001))
+      .withColumn("dmid", abs(col("value") - lag(col("value"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        round(avg(col("spread")), 6).as("avg_spread"),
+        round(stddev(col("spread")), 6).as("std_spread"),
+        round(count(lit(1)) * lit(3600.0) /
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))), 6)
+          .as("ticks_per_hour"),
+        round(avg(col("dmid")), 6).as("avg_impact"),
+        round((count(lit(1)) * lit(3600.0) /
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))) /
+          (lit(1.0) + lit(10000.0) * avg(col("spread"))), 6).as("liquidity_score"))
+  }
+
+  val a12Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, value, abs(value) * 0.0001 AS spread,
+      |    abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dmid
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_ticks,
+      |  round(avg(spread), 6) AS avg_spread,
+      |  round(stddev_samp(spread), 6) AS std_spread,
+      |  round(count(*) * 3600.0 / date_diff('second', min(ts), max(ts)), 6) AS ticks_per_hour,
+      |  round(avg(dmid), 6) AS avg_impact,
+      |  round((count(*) * 3600.0 / date_diff('second', min(ts), max(ts))) /
+      |        (1.0 + 10000.0 * avg(spread)), 6) AS liquidity_score
+      |FROM t GROUP BY user_id""".stripMargin
+
+  /** A13 — pattern summary (`pattern_detection.py:506-547`): stack the
+    * W32 detection booleans to long form, then counts / avg strength /
+    * most-recent sighting per pattern type. */
+  def a13PatternSummary(spark: SparkSession, dir: String): DataFrame = {
+    val p = WindowsAdvanced.w32CandlePatterns(spark, dir)
+    val names = Seq("doji", "hammer", "shooting_star",
+      "bullish_engulfing", "bearish_engulfing", "morning_star")
+    p.select(
+        col("bucket"), col("pattern_strength"),
+        expr(s"stack(${names.size}, " +
+          names.map(n => s"'$n', is_$n").mkString(", ") + ") AS (pattern, detected)"))
+      .filter(col("detected"))
+      .groupBy(col("pattern"))
+      .agg(
+        count(lit(1)).as("n_detected"),
+        round(avg(col("pattern_strength")), 6).as("avg_strength"),
+        max(col("bucket")).as("last_seen"))
+  }
+
+  val a13Sql: String = WindowsAdvanced.w32Cte +
+    """,
+      |s AS (
+      |  SELECT 'doji' AS pattern, is_doji AS detected, bucket, pattern_strength FROM patterns
+      |  UNION ALL SELECT 'hammer', is_hammer, bucket, pattern_strength FROM patterns
+      |  UNION ALL SELECT 'shooting_star', is_shooting_star, bucket, pattern_strength FROM patterns
+      |  UNION ALL SELECT 'bullish_engulfing', is_bullish_engulfing, bucket, pattern_strength FROM patterns
+      |  UNION ALL SELECT 'bearish_engulfing', is_bearish_engulfing, bucket, pattern_strength FROM patterns
+      |  UNION ALL SELECT 'morning_star', is_morning_star, bucket, pattern_strength FROM patterns)
+      |SELECT pattern, count(*) AS n_detected,
+      |       round(avg(pattern_strength), 6) AS avg_strength,
+      |       max(bucket) AS last_seen
+      |FROM s WHERE detected GROUP BY pattern""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stats"            -> (a1Stats _),
     "a2_group_counts"     -> (a2GroupCounts _),
@@ -236,7 +310,9 @@ object Aggregations {
     "a7_robust_scaler"    -> (a7Robust _),
     "a8_completeness"     -> (a8Completeness _),
     "a9_outliers"         -> (a9Outliers _),
-    "a10_session_summary" -> (a10SessionSummary _))
+    "a10_session_summary" -> (a10SessionSummary _),
+    "a12_microstructure"  -> (a12Microstructure _),
+    "a13_pattern_summary" -> (a13PatternSummary _))
 
   def oracles: Map[String, String] = Map(
     "a1_stats"            -> a1Sql,
@@ -248,5 +324,7 @@ object Aggregations {
     "a7_robust_scaler"    -> a7RobustSql,
     "a8_completeness"     -> a8Sql,
     "a9_outliers"         -> a9Sql,
-    "a10_session_summary" -> a10Sql)
+    "a10_session_summary" -> a10Sql,
+    "a12_microstructure"  -> a12Sql,
+    "a13_pattern_summary" -> a13Sql)
 }

@@ -448,24 +448,30 @@ object WindowsAdvanced {
       round(safeDiv(body, rng), 6).as("pattern_strength"))
   }
 
-  val w32Sql: String = Tables.candlesSql +
+  /** W32 as a reusable CTE chain ending in a `patterns` relation — shared
+    * with the A13 pattern-summary oracle so both engines summarize the
+    * identical detection set. */
+  val w32Cte: String = Tables.candlesSql +
     """, t AS (
       |  SELECT user_id, bucket, open, high, low, close,
       |    lag(open)  OVER w AS o1, lag(close)  OVER w AS c1,
       |    lag(open, 2) OVER w AS o2, lag(close, 2) OVER w AS c2
-      |  FROM candles WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
-      |SELECT user_id, bucket,
-      |  abs(close - open) < 0.1 * (high - low) AS is_doji,
-      |  (least(open, close) - low) > 2.0 * abs(close - open)
-      |    AND (high - greatest(open, close)) < abs(close - open) AS is_hammer,
-      |  (high - greatest(open, close)) > 2.0 * abs(close - open)
-      |    AND (least(open, close) - low) < abs(close - open) AS is_shooting_star,
-      |  close > open AND c1 < o1 AND close > o1 AND open < c1 AS is_bullish_engulfing,
-      |  close < open AND c1 > o1 AND open > c1 AND close < o1 AS is_bearish_engulfing,
-      |  close > open AND c2 < o2 AND abs(c1 - o1) < 0.3 * abs(c2 - o2)
-      |    AND close > (o2 + c2) / 2 AS is_morning_star,
-      |  round(abs(close - open) / nullif(high - low, 0), 6) AS pattern_strength
-      |FROM t""".stripMargin
+      |  FROM candles WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+      |patterns AS (
+      |  SELECT user_id, bucket,
+      |    abs(close - open) < 0.1 * (high - low) AS is_doji,
+      |    (least(open, close) - low) > 2.0 * abs(close - open)
+      |      AND (high - greatest(open, close)) < abs(close - open) AS is_hammer,
+      |    (high - greatest(open, close)) > 2.0 * abs(close - open)
+      |      AND (least(open, close) - low) < abs(close - open) AS is_shooting_star,
+      |    close > open AND c1 < o1 AND close > o1 AND open < c1 AS is_bullish_engulfing,
+      |    close < open AND c1 > o1 AND open > c1 AND close < o1 AS is_bearish_engulfing,
+      |    close > open AND c2 < o2 AND abs(c1 - o1) < 0.3 * abs(c2 - o2)
+      |      AND close > (o2 + c2) / 2 AS is_morning_star,
+      |    round(abs(close - open) / nullif(high - low, 0), 6) AS pattern_strength
+      |  FROM t)""".stripMargin
+
+  val w32Sql: String = w32Cte + "\nSELECT * FROM patterns"
 
   // ---------------------------------------------------------------- W36
   /** W36 — longest win/loss streaks via gaps-and-islands
