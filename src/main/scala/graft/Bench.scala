@@ -15,6 +15,8 @@ object Bench {
     try {
       SparkEntry.entry(spark).count()
       graft.Tables.candles(spark, sfDir).count()
+      graft.Tables.documents(spark, sfDir).count()
+      graft.Tables.embeddings(spark, sfDir).count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

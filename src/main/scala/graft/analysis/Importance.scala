@@ -34,6 +34,10 @@ object Importance {
       .withColumn("target", lead(col("ret_1"), 1).over(w))
       .na.drop(featureNames :+ "target")
       .select(col("user_id") +: col("bucket") +: (featureNames :+ "target").map(col): _*)
+      // cached: 7 narrow columns shared by all eight importance queries
+      // (CacheManager matches the canonicalized plan across calls), so
+      // the candle derivation + window pass runs once per session
+      .cache()
   }
 
   /** Shared SQL mirror of [[featureFrame]]. */
@@ -228,7 +232,7 @@ object Importance {
     * survivor. Rows-only check (MLlib internals aren't SQL-reproducible). */
   def rfeImportance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val f = featureFrame(spark, dir).cache()
+    val f = featureFrame(spark, dir) // already cached — shared across the fits
     val remaining = scala.collection.mutable.Buffer(featureNames: _*)
     val ranks = scala.collection.mutable.ListBuffer.empty[(String, Int)]
     while (remaining.size > 1) {
@@ -245,7 +249,6 @@ object Importance {
       remaining -= weakest
     }
     ranks += remaining.head -> 1
-    f.unpersist()
     ranks.toSeq.toDF("feature", "rfe_rank").orderBy("rfe_rank")
   }
 

@@ -85,22 +85,36 @@ object Dedup {
     * 16 md5 passes — 6× faster at sf0.1, identical formula in the
     * oracle; constants sized so every intermediate fits in a signed 64).
     */
-  private def minhashSigArr(spark: SparkSession, dir: String): DataFrame = {
-    // exact-dedup reps → shingle rows → per-shingle hash → groupBy agg:
-    // md5 and the tokenizer each run exactly once per shingle/doc (see
-    // [[shingleRows]] for why the array-lambda form is pathological)
+  /** Distinct shingle rows of the exact-dedup representatives, cached:
+    * reused by the signature aggregation and by both sides of the LSH
+    * verification join. Rows of short strings columnar-encode cheaply —
+    * unlike per-doc shingle-set arrays, which made cache materialization
+    * cost more than the recomputation it saved. */
+  private def shingleReps(spark: SparkSession, dir: String): DataFrame = {
+    // exact-dedup reps first (the standard pipeline order: a corpus with
+    // heavy exact duplication would otherwise pay shingling per copy and
+    // flood the LSH buckets); md5 and the tokenizer each run exactly once
+    // per shingle/doc (see [[shingleRows]] for why the array-lambda form
+    // is pathological)
     val reps = Tables.documents(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
-    val exploded = shingleRows(reps)
+    shingleRows(reps).cache()
+  }
+
+  private def minhashSigArr(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = shingleReps(spark, dir)
       .withColumn("h", conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
         .cast("long") % 1000000007L)
     val mins = (0 until 16).map(k =>
       min((col("h") + 1) * lit(1000003L + k * 99991L) % 2147483647L).as(s"m$k"))
+    // cached: 16 ints per doc, read by the band self-join and the
+    // signature query
     exploded.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("sh"), mins: _*)
-      .select(col("doc_id"), col("sh"),
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
         array((0 until 16).map(k => col(s"m$k")): _*).as("minhash"))
+      .cache()
   }
 
   /** Query surface: signature serialized to one string (array cells
@@ -132,9 +146,14 @@ object Dedup {
     minhashSigCte + "\nSELECT doc_id, array_to_string(minhash, ',') AS minhash FROM sig"
 
   /** MinHash LSH near-dup pairs: 4 bands × 4 rows → candidates sharing a
-    * band bucket → verified by exact shingle Jaccard ≥ 0.5. The shuffle
-    * is on band hashes (docs × 4 rows), then only candidate pairs pay the
-    * Jaccard verification — the standard web-scale dedup shape. */
+    * band bucket → verified by exact shingle Jaccard ≥ 0.5.
+    *
+    * The shuffle is on band hashes (docs × 4 rows), then only candidate
+    * pairs pay the Jaccard verification — the standard web-scale dedup
+    * shape. Verification joins shingle ROWS (broadcast the candidate
+    * list, count matching shingles per pair), never shipping per-doc
+    * shingle arrays through a shuffle: |A∩B| = matching-row count,
+    * |A∪B| = nA + nB − |A∩B|. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigArr(spark, dir)
     val bands = sigs.select(col("doc_id"),
@@ -151,13 +170,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val docsSh = sigs.select(col("doc_id"), col("sh"))
-    cand
-      .join(docsSh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(docsSh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    val s = shingleReps(spark, dir)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(s.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -197,9 +220,12 @@ object Dedup {
       .groupBy(col("doc_id"), col("bit"))
       .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1)
         .otherwise(-1)).as("vote"))
+    // cached: one long per doc; the pair query's band self-join reads it
+    // twice and the fingerprint query shares the same entry
     votes.groupBy(col("doc_id"))
       .agg(sum(when(col("vote") > 0,
         pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
+      .cache()
   }
 
   val simhashCte: String =
@@ -250,9 +276,11 @@ object Dedup {
   /** Blocked n-gram Jaccard: exact token-set Jaccard ≥ 0.5 within
     * (lang, source) blocks — the block key bounds the self-join. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // cached: tokenization runs once, not once per self-join side
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(tokens(col("text"))).as("ts"))
+      .cache()
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
