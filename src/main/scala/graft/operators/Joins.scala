@@ -89,15 +89,58 @@ object Joins {
       |UNION
       |SELECT event_id, user_id FROM events WHERE event_type = 'error'""".stripMargin
 
+  /** U3 — history ∪ current-row realtime feature calc
+    * (`feature_engineer.py:284-306`): append one synthesized "live"
+    * candle per user (next hour, priced at the last close), recompute the
+    * rolling feature over the union, and emit only the live rows — the
+    * incremental-feature shape. The union is narrow (no shuffle); the
+    * window reuses the same (user_id, bucket) exchange as every other
+    * indicator. */
+  def u3UnionCurrent(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.candles(spark, dir).withColumn("is_current", lit(false))
+    val current = Tables.candles(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("bucket")).as("b"), max_by(col("close"), col("bucket")).as("lc"))
+      .select(col("user_id"), (col("b") + expr("INTERVAL 1 HOUR")).as("bucket"),
+        col("lc").as("open"), col("lc").as("high"), col("lc").as("low"),
+        col("lc").as("close"), lit(0L).as("volume"), lit(true).as("is_current"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("bucket")).rowsBetween(-4, 0)
+    hist.unionByName(current)
+      .withColumn("sma_5",
+        when(count(col("close")).over(w) === 5, round(avg(col("close")).over(w), 6)))
+      .filter(col("is_current"))
+      .select(col("user_id"), col("bucket"), round(col("close"), 6).as("close"), col("sma_5"))
+  }
+
+  val u3Sql: String = Tables.candlesSql +
+    """, cur AS (
+      |  SELECT user_id, max(bucket) + INTERVAL 1 HOUR AS bucket,
+      |         arg_max(close, bucket) AS lc
+      |  FROM candles GROUP BY user_id),
+      |unioned AS (
+      |  SELECT user_id, bucket, close, FALSE AS is_current FROM candles
+      |  UNION ALL
+      |  SELECT user_id, bucket, lc AS close, TRUE AS is_current FROM cur),
+      |f AS (
+      |  SELECT user_id, bucket, close, is_current,
+      |    CASE WHEN count(close) OVER w5 = 5 THEN round(avg(close) OVER w5, 6) END AS sma_5
+      |  FROM unioned
+      |  WINDOW w5 AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, bucket, round(close, 6) AS close, sma_5
+      |FROM f WHERE is_current""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_enrich_join" -> (j1Enrich _),
     "j2_anti_join"   -> (j2Anti _),
     "j3_semi_join"   -> (j3Semi _),
-    "u1_union"       -> (u1Union _))
+    "u1_union"       -> (u1Union _),
+    "u3_union_current" -> (u3UnionCurrent _))
 
   def oracles: Map[String, String] = Map(
     "j1_enrich_join" -> j1Sql,
     "j2_anti_join"   -> j2Sql,
     "j3_semi_join"   -> j3Sql,
-    "u1_union"       -> u1Sql)
+    "u1_union"       -> u1Sql,
+    "u3_union_current" -> u3Sql)
 }
