@@ -13,6 +13,7 @@ object SparkEntry {
       operators.Aggregations.queries ++
       operators.Windows.queries ++
       operators.WindowsAdvanced.queries ++
+      operators.Segmented.queries ++
       operators.EmaFamily.queries ++
       operators.QualityOps.queries ++
       analysis.Stateful.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
       operators.Aggregations.oracles ++
       operators.Windows.oracles ++
       operators.WindowsAdvanced.oracles ++
+      operators.Segmented.oracles ++
       operators.EmaFamily.oracles ++
       operators.QualityOps.oracles ++
       analysis.Stateful.oracles ++
