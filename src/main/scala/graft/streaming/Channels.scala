@@ -16,6 +16,17 @@ case class TickFeatures(symbol: String, ts: java.sql.Timestamp,
 /** Ring-buffer state for trailing-N features. */
 case class RingState(prices: Vector[Double])
 
+/** One OHLC candle flowing through the pattern-alert channel. */
+case class StreamCandle(bucket: java.sql.Timestamp, symbol: String,
+                        open: Double, high: Double, low: Double, close: Double)
+
+/** pattern_alerts channel row (T1 — `pattern_detection.py:49-60`). */
+case class PatternAlert(symbol: String, bucket: java.sql.Timestamp,
+                        pattern: String, confidence: Double, price_level: Double)
+
+/** Last-2-candles state for pattern detection across micro-batches. */
+case class CandleHistory(last: Vector[StreamCandle])
+
 /** Structured Streaming channels — SURVEY §2.10.
   *
   * The reference streams 8 processing-time asyncio channels over
@@ -143,6 +154,80 @@ object Channels {
         .otherwise("weak").as("momentum"),
       (col("mid") - 0.0020).as("support"),
       (col("mid") + 0.0040).as("resistance"))
+
+  /** T6 — order_book channel (S8 streaming, `polygon_client.py:236-296`):
+    * synthesize `depth` levels around each tick's bid/ask with decaying,
+    * side-skewed size; imbalance from the size totals. Stateless map —
+    * trivially partition-parallel at any rate. */
+  def orderBookStream(ticks: DataFrame, depth: Int = 5): DataFrame = {
+    val pip = lit(0.0001)
+    val skew = sin(col("mid") * 10000) * 0.2
+    def sizes(sign: Int) = transform(sequence(lit(0), lit(depth - 1)),
+      i => floor(lit(1000000.0) / (i + 1) * (lit(1.0) + lit(sign) * skew)))
+    ticks.select(
+        col("ts"), col("symbol"), col("bid"), col("ask"),
+        transform(sequence(lit(0), lit(depth - 1)),
+          i => struct((col("bid") - i * pip).as("price"),
+            floor(lit(1000000.0) / (i + 1) * (lit(1.0) + skew)).as("size"))).as("bids"),
+        transform(sequence(lit(0), lit(depth - 1)),
+          i => struct((col("ask") + i * pip).as("price"),
+            floor(lit(1000000.0) / (i + 1) * (lit(1.0) - skew)).as("size"))).as("asks"),
+        aggregate(sizes(1), lit(0.0), _ + _).as("bid_total"),
+        aggregate(sizes(-1), lit(0.0), _ + _).as("ask_total"))
+      .withColumn("imbalance",
+        (col("bid_total") - col("ask_total")) / (col("bid_total") + col("ask_total")))
+  }
+
+  /** T1 pattern_alerts — candle patterns over a candle stream
+    * (`pattern_detection.py:102-286` in streaming form): the batch lag-1
+    * comparisons become a last-2-candles state per symbol in
+    * `flatMapGroupsWithState` (streams admit no lag window). */
+  def patternAlertStream(spark: SparkSession, candles: Dataset[StreamCandle]): Dataset[PatternAlert] = {
+    import spark.implicits._
+    candles.groupByKey(_.symbol)
+      .flatMapGroupsWithState[CandleHistory, PatternAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[StreamCandle], state: GroupState[CandleHistory]) =>
+          var hist = state.getOption.map(_.last).getOrElse(Vector.empty)
+          val out = rows.toSeq.sortBy(_.bucket.getTime).flatMap { c =>
+            val body = math.abs(c.close - c.open)
+            val rng = c.high - c.low
+            val strength = if (rng > 0) body / rng else 0.0
+            val doji = if (rng > 0 && body < 0.1 * rng)
+              Some(PatternAlert(symbol, c.bucket, "doji", 1.0 - strength, c.close)) else None
+            val engulf = hist.lastOption.flatMap { p =>
+              if (c.close > c.open && p.close < p.open && c.close > p.open && c.open < p.close)
+                Some(PatternAlert(symbol, c.bucket, "bullish_engulfing", strength, c.close))
+              else if (c.close < c.open && p.close > p.open && c.open > p.close && c.close < p.open)
+                Some(PatternAlert(symbol, c.bucket, "bearish_engulfing", strength, c.close))
+              else None
+            }
+            hist = (hist :+ c).takeRight(2)
+            doji.toSeq ++ engulf.toSeq
+          }
+          state.update(CandleHistory(hist))
+          out.iterator
+      }
+  }
+
+  /** T6 economic_events — simulated calendar emission
+    * (`websocket_manager.py:539-563`): rate source at the channel cadence
+    * → deterministic event fields. */
+  def economicEventsStream(spark: SparkSession, rowsPerSecond: Int = 1): DataFrame =
+    decorateEconomicEvents(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load())
+
+  /** Pure column transform rate→economic events, shared with tests. */
+  def decorateEconomicEvents(rate: DataFrame): DataFrame =
+    rate.select(
+      col("timestamp").as("ts"),
+      element_at(array(lit("cpi"), lit("nfp"), lit("ecb_rate"), lit("fomc")),
+        (col("value") % 4 + 1).cast("int")).as("event_type"),
+      element_at(array(lit("low"), lit("medium"), lit("high")),
+        (col("value") % 3 + 1).cast("int")).as("impact"),
+      (sin(col("value") / 3.0) * 0.5).as("surprise"),
+      concat(lit("EVT"), col("value")).as("event_id"))
 
   /** T6 — microstructure channel (A12 on a cadence): windowed spread /
     * tick-frequency stats. */

@@ -96,4 +96,62 @@ class ChannelsSpec extends SparkSpec {
     assert(Channels.channelTriggers.size == 8)
     assert(Channels.channelTriggers.contains("raw_ticks"))
   }
+
+  test("order book synthesizes decaying side-skewed depth with bounded imbalance") {
+    import spark.implicits._
+    val ticks = Channels.decorateTicks(
+      (0L until 30L).map(i => (ts(i), i)).toDF("timestamp", "value"))
+    val book = Channels.orderBookStream(ticks, depth = 5).collect()
+    assert(book.length == 30)
+    book.foreach { r =>
+      val bids = r.getSeq[org.apache.spark.sql.Row](4)
+      val asks = r.getSeq[org.apache.spark.sql.Row](5)
+      assert(bids.length == 5 && asks.length == 5)
+      // level 0 pins the inside market; prices decay/ascend by a pip
+      assert(bids.head.getDouble(0) == r.getDouble(2))
+      assert(asks.head.getDouble(0) == r.getDouble(3))
+      assert(bids.map(_.getDouble(0)).sliding(2).forall(p => p(0) > p(1)))
+      assert(asks.map(_.getDouble(0)).sliding(2).forall(p => p(0) < p(1)))
+      // sizes decay with depth on both sides (floor() emits longs)
+      assert(bids.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
+      val imb = r.getDouble(8)
+      assert(imb >= -1.0 && imb <= 1.0 && imb != 0.0)
+    }
+  }
+
+  test("pattern alert stream detects doji and engulfing across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.patternAlertStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("alerts_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a bearish candle, then a (slightly bearish) doji
+      mem.addData(
+        StreamCandle(ts(0), "PAIR0", 1.10, 1.11, 1.08, 1.09),
+        StreamCandle(ts(60), "PAIR0", 1.0905, 1.12, 1.06, 1.090))
+      q.processAllAvailable()
+      // batch 2: bullish engulfing of the doji — state must remember it
+      mem.addData(StreamCandle(ts(120), "PAIR0", 1.085, 1.13, 1.08, 1.12))
+      q.processAllAvailable()
+      val alerts = spark.table("alerts_t").orderBy("bucket").collect()
+      val kinds = alerts.map(r => (r.getString(2), r.getTimestamp(1))).toSeq
+      assert(kinds.contains(("doji", ts(60))))
+      assert(kinds.contains(("bullish_engulfing", ts(120))))
+      alerts.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+    } finally q.stop()
+  }
+
+  test("economic events channel derives deterministic calendar fields") {
+    import spark.implicits._
+    val ev = Channels.decorateEconomicEvents(
+      (0L until 12L).map(i => (ts(i), i)).toDF("timestamp", "value")).collect()
+    assert(ev.length == 12)
+    assert(ev.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("cpi", "ecb_rate", "fomc", "nfp"))
+    assert(ev.map(_.getString(2)).distinct.sorted.toSeq ==
+      Seq("high", "low", "medium"))
+    ev.foreach(r => assert(math.abs(r.getDouble(3)) <= 0.5))
+  }
 }
