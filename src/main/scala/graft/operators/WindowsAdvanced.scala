@@ -473,6 +473,38 @@ object WindowsAdvanced {
 
   val w32Sql: String = w32Cte + "\nSELECT * FROM patterns"
 
+  // ---------------------------------------------------------------- F9
+  /** F9 — ordinal confidence filter on pattern signals
+    * (`pattern_detection.py:484-504`): bucket strength into an ordinal
+    * enum (low<medium<high<very_high), keep rank ≥ medium. The rank
+    * mapping is a chained `when`, the filter an ordinal comparison —
+    * never string comparison on the level names. */
+  def f9ConfidenceFilter(spark: SparkSession, dir: String): DataFrame =
+    w32CandlePatterns(spark, dir)
+      .filter(col("is_doji") || col("is_hammer") || col("is_bullish_engulfing") ||
+        col("is_bearish_engulfing"))
+      .withColumn("confidence_rank",
+        when(col("pattern_strength") >= 0.75, 4)
+          .when(col("pattern_strength") >= 0.5, 3)
+          .when(col("pattern_strength") >= 0.25, 2)
+          .otherwise(1))
+      .filter(col("confidence_rank") >= 2)
+      .select(col("user_id"), col("bucket"), col("pattern_strength"), col("confidence_rank"))
+
+  val f9Sql: String = w32Cte +
+    """
+      |SELECT user_id, bucket, pattern_strength,
+      |       CAST(CASE WHEN pattern_strength >= 0.75 THEN 4
+      |                 WHEN pattern_strength >= 0.5  THEN 3
+      |                 WHEN pattern_strength >= 0.25 THEN 2
+      |                 ELSE 1 END AS INT) AS confidence_rank
+      |FROM patterns
+      |WHERE (is_doji OR is_hammer OR is_bullish_engulfing OR is_bearish_engulfing)
+      |  AND (CASE WHEN pattern_strength >= 0.75 THEN 4
+      |            WHEN pattern_strength >= 0.5  THEN 3
+      |            WHEN pattern_strength >= 0.25 THEN 2
+      |            ELSE 1 END) >= 2""".stripMargin
+
   // ---------------------------------------------------------------- W36
   /** W36 — longest win/loss streaks via gaps-and-islands
     * (`backtesting_engine.py:441-467`): rn − rn_within_sign identifies
@@ -524,6 +556,7 @@ object WindowsAdvanced {
     "w29_support_resistance" -> (w29SupportResistance _),
     "w30_trend_signals"  -> (w30w31w33Signals _),
     "w32_candle_patterns" -> (w32CandlePatterns _),
+    "f9_confidence_filter" -> (f9ConfidenceFilter _),
     "w36_streaks"        -> (w36Streaks _))
 
   def oracles: Map[String, String] = Map(
@@ -537,5 +570,6 @@ object WindowsAdvanced {
     "w29_support_resistance" -> w29Sql,
     "w30_trend_signals"  -> w30Sql,
     "w32_candle_patterns" -> w32Sql,
+    "f9_confidence_filter" -> f9Sql,
     "w36_streaks"        -> w36Sql)
 }

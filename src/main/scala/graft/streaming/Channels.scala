@@ -229,6 +229,40 @@ object Channels {
       (sin(col("value") / 3.0) * 0.5).as("surprise"),
       concat(lit("EVT"), col("value")).as("event_id"))
 
+  /** K6/T2/T9 — broadcast sink with ring-buffer retention
+    * (`websocket_manager.py:565-597`, buffer `:249-252`): `foreachBatch`
+    * envelopes each row (channel, sequence, emit latency) and appends to
+    * a bounded per-channel buffer — the engine-side stand-in for the
+    * WebSocket fan-out (per-client delivery/auth is sink-side, T7/T8; at
+    * scale this is a Kafka topic per channel and the buffer is the
+    * topic's retention). Sequence numbers are per-batch row_number plus a
+    * running offset — the T2 envelope exactly. */
+  final class RingBufferSink(channel: String, capacity: Int = 1000) extends Serializable {
+    private val buf = new scala.collection.mutable.ArrayDeque[String]()
+    private var offset = 0L
+    def append(batch: DataFrame, batchId: Long): Unit = synchronized {
+      // sequence is assigned on the driver at emit time (like the
+      // reference's envelope counter) — partition-derived ids would be
+      // non-contiguous and batch-order-unstable
+      val payloads = batch.select(to_json(struct(col("*"))).as("msg"))
+        .collect().map(_.getString(0))
+      val enveloped = payloads.zipWithIndex.map { case (p, i) =>
+        s"""{"stream_type":"$channel","sequence":${offset + i},"batch_id":$batchId,"payload":$p}"""
+      }
+      offset += enveloped.length
+      buf.appendAll(enveloped)
+      while (buf.size > capacity) buf.removeHead()
+    }
+    def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      df.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(channelTriggers.getOrElse(channel, Trigger.ProcessingTime("1 second")))
+        .foreachBatch((b: DataFrame, id: Long) => append(b, id))
+        .start()
+    def snapshot: Seq[String] = synchronized(buf.toSeq)
+    def totalEmitted: Long = synchronized(offset)
+  }
+
   /** T6 — microstructure channel (A12 on a cadence): windowed spread /
     * tick-frequency stats. */
   def microstructureStream(ticks: DataFrame): DataFrame =

@@ -143,6 +143,28 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("broadcast sink envelopes messages, sequences them, and bounds the ring buffer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val ticks = Channels.decorateTicks(mem.toDF().toDF("timestamp", "value"))
+    val sink = new Channels.RingBufferSink("raw_ticks", capacity = 50)
+    val q = sink.start(ticks)
+    try {
+      mem.addData((0L until 40L).map(i => (ts(i), i)): _*)
+      q.processAllAvailable()
+      mem.addData((40L until 80L).map(i => (ts(i), i)): _*)
+      q.processAllAvailable()
+      assert(sink.totalEmitted == 80)
+      val msgs = sink.snapshot
+      assert(msgs.length == 50) // retention bound, oldest dropped
+      msgs.foreach(m => assert(m.contains("\"stream_type\":\"raw_ticks\"")))
+      // sequence numbers carry across batches (T2 envelope)
+      val seqs = msgs.map(m => "\"sequence\":(\\d+)".r.findFirstMatchIn(m).get.group(1).toLong)
+      assert(seqs.max == 79 && seqs.min == 30)
+    } finally q.stop()
+  }
+
   test("economic events channel derives deterministic calendar fields") {
     import spark.implicits._
     val ev = Channels.decorateEconomicEvents(
