@@ -129,6 +129,43 @@ object Sources {
       |  array_to_string(list(level || ':' || ask_price || ':' || size ORDER BY level), '|') AS asks
       |FROM lv GROUP BY user_id, bucket""".stripMargin
 
+  /** S5 — realtime quote + economic-indicator series
+    * (`alpha_vantage_client.py:148-201`): one latest-quote row per
+    * series with change/percent vs the previous observation, from a
+    * daily indicator rollup. `max_by(struct(...))` keeps the pick
+    * single-pass; the change fields come from a lag on the daily series. */
+  def s5EconIndicator(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(avg(col("value")).as("indicator"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev", lag(col("indicator"), 1).over(w))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day").desc)))
+      .filter(col("rn") === 1 && col("prev").isNotNull)
+      .select(col("event_type"), col("day").as("latest_day"),
+        round(col("indicator"), 6).as("indicator"),
+        round(col("indicator") - col("prev"), 6).as("change"),
+        round((col("indicator") - col("prev")) / col("prev") * 100, 6).as("change_pct"))
+  }
+
+  val s5Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS indicator
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, day, indicator,
+      |         lag(indicator) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+      |  FROM daily)
+      |SELECT event_type, day AS latest_day, round(indicator, 6) AS indicator,
+      |       round(indicator - prev, 6) AS change,
+      |       round((indicator - prev) / prev * 100, 6) AS change_pct
+      |FROM lagged WHERE rn = 1 AND prev IS NOT NULL""".stripMargin
+
   /** §2.11 — cyclical time encodings + categorical time-of-day + string
     * ops (`market_filters.py:104-230`; `persistence.py:468-483`). */
   def fnScalarSurface(spark: SparkSession, dir: String): DataFrame =
@@ -165,6 +202,7 @@ object Sources {
     "s6_vwap"           -> (s6Vwap _),
     "s7_tick_synthesis" -> (s7TickSynthesis _),
     "s8_order_book"     -> (s8OrderBook _),
+    "s5_econ_indicator" -> (s5EconIndicator _),
     "fn_scalar_surface" -> (fnScalarSurface _))
 
   def oracles: Map[String, String] = Map(
@@ -173,5 +211,6 @@ object Sources {
     "s6_vwap"           -> s6Sql,
     "s7_tick_synthesis" -> s7Sql,
     "s8_order_book"     -> s8Sql,
+    "s5_econ_indicator" -> s5Sql,
     "fn_scalar_surface" -> fnScalarSql)
 }
