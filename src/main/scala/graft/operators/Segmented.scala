@@ -30,20 +30,27 @@ import org.apache.spark.sql.functions._
   */
 object Segmented {
 
+  /** Add a `__seg` column splitting the time axis into `nSegments` equal
+    * spans — fit-then-apply (one tiny min/max aggregate broadcast back),
+    * never a global sort. */
+  private def withSegments(df: DataFrame, orderTs: String, nSegments: Int): DataFrame = {
+    val bounds = df.agg(
+      unix_micros(min(col(orderTs))).as("__tmin"),
+      (unix_micros(max(col(orderTs))) - unix_micros(min(col(orderTs))) + 1).as("__span"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__seg", least(
+        floor((unix_micros(col(orderTs)) - col("__tmin")) * nSegments / col("__span")),
+        lit(nSegments - 1)).cast("int"))
+      .drop("__tmin", "__span")
+  }
+
   /** Apply `features` (built on the supplied per-segment WindowSpec) to
     * `df` with `nSegments`-way parallelism over the `orderCols`-sorted
     * series. `lookback` = max frame reach in rows (frame length − 1). */
   def segmented(df: DataFrame, orderTs: String, tieBreak: String,
                 lookback: Int, nSegments: Int)(
                 features: (DataFrame, WindowSpec) => DataFrame): DataFrame = {
-    val bounds = df.agg(
-      unix_micros(min(col(orderTs))).as("__tmin"),
-      (unix_micros(max(col(orderTs))) - unix_micros(min(col(orderTs))) + 1).as("__span"))
-    val base = df.crossJoin(broadcast(bounds))
-      .withColumn("__seg", least(
-        floor((unix_micros(col(orderTs)) - col("__tmin")) * nSegments / col("__span")),
-        lit(nSegments - 1)).cast("int"))
-      .drop("__tmin", "__span")
+    val base = withSegments(df, orderTs, nSegments)
     val wTail = Window.partitionBy(col("__seg"))
       .orderBy(col(orderTs).desc, col(tieBreak).desc)
     val carries = base
@@ -86,8 +93,81 @@ object Segmented {
       |FROM events
       |WINDOW w20 AS (ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Exact N-way-parallel EMA over a single key — the unbounded-history
+    * counterpart of [[segmented]] (overlap carries can't cover an
+    * infinite frame). EMA's adjust=True weighted mean is a pair of linear
+    * recurrences (num_i = x_i + q·num_{i−1}, den likewise, q = 1−α), so
+    * it parallelizes as a prefix scan:
+    *
+    *  1. per segment (parallel): local num/den via the EwmAvg window
+    *     restarted at the segment head; den has the closed form
+    *     (1−q^(i+1))/(1−q), num = local_mean · den;
+    *  2. driver (nSegments rows): fold segment-end sums —
+    *     carry_s = end_s + q^len_s · carry_{s−1};
+    *  3. broadcast the carries back: ema_i = (num_i + q^(i+1)·carry_num)
+    *     / (den_i + q^(i+1)·carry_den).
+    *
+    * Algebraically identical to the serial scan (divergence is ulp-level
+    * summation order); unlike [[segmented]] there is NO density
+    * precondition — any segmentation is exact. DuckDB cannot express the
+    * scale-safe recurrence (its weight form overflows past ~7k rows), so
+    * this query is rows-only checked by the driver and equality-pinned to
+    * the serial EwmAvg in `SegmentedSpec`. */
+  def emaSegmented(df: DataFrame, orderTs: String, tieBreak: String,
+                   valueCol: String, span: Int, nSegments: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val q = 1.0 - 2.0 / (span + 1.0)
+    val wSeg = Window.partitionBy(col("__seg"))
+      .orderBy(col(orderTs), col(tieBreak))
+    val grow = wSeg.rowsBetween(Window.unboundedPreceding, 0)
+    val base = withSegments(df, orderTs, nSegments)
+      .withColumn("__i", row_number().over(wSeg) - 1)
+      .withColumn("__mean_local",
+        graft.functions.GraftFunctions.ewmAvgSpan(col(valueCol), span).over(grow))
+      .withColumn("__den_local",
+        (lit(1.0) - pow(lit(q), col("__i") + 1)) / lit(1.0 - q))
+      .withColumn("__num_local", col("__mean_local") * col("__den_local"))
+      .cache()
+    val ends = base.groupBy(col("__seg"))
+      .agg(count(lit(1)).as("len"),
+        max_by(col("__num_local"), col("__i")).as("num_end"),
+        max_by(col("__den_local"), col("__i")).as("den_end"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    var carryNum = 0.0
+    var carryDen = 0.0
+    val priors = (0 until nSegments).map { s =>
+      val prior = (s, carryNum, carryDen)
+      ends.get(s).foreach { case (len, numEnd, denEnd) =>
+        val f = math.pow(q, len.toDouble)
+        carryNum = numEnd + f * carryNum
+        carryDen = denEnd + f * carryDen
+      }
+      prior
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val carryDf = priors.toDF("__seg", "__prior_num", "__prior_den")
+    val f = pow(lit(q), col("__i") + 1)
+    base.join(broadcast(carryDf), "__seg")
+      .withColumn("__ema",
+        (col("__num_local") + f * col("__prior_num")) /
+          (col("__den_local") + f * col("__prior_den")))
+  }
+
+  /** W4 at single-key scale: EMA-20 of the whole events table as one
+    * series, 8-way parallel. Rows-only driver check (see [[emaSegmented]]
+    * for why no DuckDB oracle); serial-equality pinned in the spec. */
+  def w4EmaSegmented(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+    emaSegmented(series, "ts", "event_id", "value", span = 20, nSegments = 8)
+      .select(col("event_id"), round(col("__ema"), 6).as("ema_20"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w3_sma_segmented" -> (w3SmaSegmented _))
+    "w3_sma_segmented" -> (w3SmaSegmented _),
+    "w4_ema_segmented" -> (w4EmaSegmented _))
 
   def oracles: Map[String, String] = Map(
     "w3_sma_segmented" -> w3SmaSegmentedSql)

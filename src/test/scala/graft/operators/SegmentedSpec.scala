@@ -43,6 +43,24 @@ class SegmentedSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(__seg"), plan.take(2000))
   }
 
+  test("segmented EMA equals the serial EwmAvg scan over the whole series") {
+    graft.functions.GraftFunctions.register(spark)
+    val seg = Segmented.w3SmaSegmented(spark, sfDir) // warm tables
+    val parallel = Segmented.emaSegmented(series, "ts", "event_id", "value", 20, 8)
+      .select(col("event_id"), col("__ema")).orderBy("event_id").collect()
+    val wAll = Window.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val serial = series
+      .withColumn("ema", graft.functions.GraftFunctions.ewmAvgSpan(col("value"), 20).over(wAll))
+      .select(col("event_id"), col("ema")).orderBy("event_id").collect()
+    assert(parallel.length == serial.length && parallel.length >= 1000)
+    parallel.zip(serial).foreach { case (p, s) =>
+      val (pe, se) = (p.getDouble(1), s.getDouble(1))
+      assert(math.abs(pe - se) <= 1e-9 * math.max(1.0, math.abs(se)),
+        s"event ${p.getLong(0)}: $pe vs $se")
+    }
+  }
+
   test("lookback shorter than the frame breaks the invariant (guard works)") {
     // sanity check of the test itself: with lookback 0 the boundary rows
     // lose their history, so results MUST differ from the naive window —
