@@ -21,6 +21,7 @@ object SparkEntry {
       scale.Similarity.queries ++
       scale.TextAnalysis.queries ++
       scale.Multimodal.queries ++
+      scale.Sketches.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
       analysis.Importance.queries
@@ -41,6 +42,7 @@ object SparkEntry {
       scale.Similarity.oracles ++
       scale.TextAnalysis.oracles ++
       scale.Multimodal.oracles ++
+      scale.Sketches.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++
       analysis.Importance.oracles

@@ -1,0 +1,66 @@
+package graft.scale
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate sketch aggregates — the 100 TB substitutes for exact
+  * distinct/percentile (SURVEY §2.6 note + §7.1 scale mandate):
+  * `approx_count_distinct` (HyperLogLog++) and `percentile_approx`
+  * (Greenwald-Khanna) are mergeable, constant-memory, one-pass — an
+  * exact distinct at 100 TB shuffles every distinct value, a sketch
+  * shuffles kilobytes per partition.
+  *
+  * Oracle shape: the estimate itself is engine-specific, so each query
+  * emits the EXACT value (computable in both engines) plus a
+  * within-tolerance boolean derived from the Spark-side sketch; the
+  * DuckDB oracle pins the exact values and expects the boolean TRUE —
+  * an out-of-tolerance sketch hash-mismatches the driver's compare.
+  */
+object Sketches {
+
+  /** HLL++ distinct-count sketch vs exact, per group. rsd 0.02 with a 5%
+    * acceptance band (HLL error is deterministic for a fixed input set —
+    * the sketch is order-insensitive). */
+  def skApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("value")).as("n_exact"),
+        approx_count_distinct(col("value"), 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("within_5pct"))
+
+  val skApproxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT value) AS n_exact, TRUE AS within_5pct
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** GK quantile sketch vs exact interpolated percentile, per group.
+    * accuracy 10000 → rank error ≤ n/10000; acceptance band = 1% of the
+    * group's value range (generous: merge order may jitter the estimate
+    * by ulps, the band must not). */
+  def skApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        expr("percentile_approx(value, 0.5, 10000)").as("p50_sketch"),
+        (max(col("value")) - min(col("value"))).as("rng"))
+      .select(col("event_type"), col("p50_exact"),
+        (abs(col("p50_sketch") - col("p50_exact")) <= col("rng") * 0.01)
+          .as("within_1pct_of_range"))
+
+  val skApproxPercentileSql: String =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+      |       TRUE AS within_1pct_of_range
+      |FROM events GROUP BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_approx_distinct"   -> (skApproxDistinct _),
+    "sk_approx_percentile" -> (skApproxPercentile _))
+
+  def oracles: Map[String, String] = Map(
+    "sk_approx_distinct"   -> skApproxDistinctSql,
+    "sk_approx_percentile" -> skApproxPercentileSql)
+}
