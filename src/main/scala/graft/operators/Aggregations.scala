@@ -226,6 +226,19 @@ object Aggregations {
       |       count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
+  /** A5b — hierarchical rollup (absent in the reference, free in Spark —
+    * SURVEY §2.6 note): per (event_type, day), per event_type, and grand
+    * total in ONE pass; at 100 TB this replaces three separate scans. */
+  def a5Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+
+  val a5RollupSql: String =
+    """SELECT event_type, date_trunc('day', ts) AS day,
+      |       count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY ROLLUP (event_type, date_trunc('day', ts))""".stripMargin
+
   /** A12 — microstructure metrics (`premium_data_provider.py:202-285`):
     * per-stream avg/std spread, tick frequency, price impact (mean
     * absolute mid move per tick), liquidity score. The lag window and the
@@ -312,7 +325,8 @@ object Aggregations {
     "a9_outliers"         -> (a9Outliers _),
     "a10_session_summary" -> (a10SessionSummary _),
     "a12_microstructure"  -> (a12Microstructure _),
-    "a13_pattern_summary" -> (a13PatternSummary _))
+    "a13_pattern_summary" -> (a13PatternSummary _),
+    "a5_rollup"           -> (a5Rollup _))
 
   def oracles: Map[String, String] = Map(
     "a1_stats"            -> a1Sql,
@@ -326,5 +340,6 @@ object Aggregations {
     "a9_outliers"         -> a9Sql,
     "a10_session_summary" -> a10Sql,
     "a12_microstructure"  -> a12Sql,
-    "a13_pattern_summary" -> a13Sql)
+    "a13_pattern_summary" -> a13Sql,
+    "a5_rollup"           -> a5RollupSql)
 }
