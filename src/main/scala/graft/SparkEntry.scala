@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Segmented.queries ++
       operators.EmaFamily.queries ++
       operators.QualityOps.queries ++
+      operators.Pipeline.queries ++
       analysis.Stateful.queries ++
       scale.Dedup.queries ++
       scale.Similarity.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       operators.Segmented.oracles ++
       operators.EmaFamily.oracles ++
       operators.QualityOps.oracles ++
+      operators.Pipeline.oracles ++
       analysis.Stateful.oracles ++
       scale.Dedup.oracles ++
       scale.Similarity.oracles ++

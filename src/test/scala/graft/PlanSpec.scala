@@ -51,6 +51,17 @@ class PlanSpec extends SparkSpec {
     assert(sorts == 1, s"expected 1 shared window sort, got $sorts:\n$p")
   }
 
+  test("the 4-stage pipeline fuses into one plan: shuffles only for candle agg + shared windows, fit broadcast") {
+    val p = plan(operators.Pipeline.pipelineFull(spark, sfDir))
+    // the reference materializes lists between its 4 stages; here every
+    // stage is the same lazy plan — only the candle aggregate and the
+    // (shared) window partitioning shuffle, the normalization fit comes
+    // back as a broadcast
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("normalization fit+apply broadcasts the one-row stats result") {
     val p = plan(operators.Aggregations.a7Normalize(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
