@@ -143,6 +143,31 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late ticks beyond the watermark are dropped in append-mode candles") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val ticks = Channels.decorateTicks(mem.toDF().toDF("timestamp", "value"))
+    val q = Channels.candleStream(ticks)
+      .writeStream.format("memory").queryName("candles_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // minutes 0..9 → after this batch the watermark sits near minute 8
+      mem.addData((0L until 600L).map(i => (ts(i), i)): _*)
+      q.processAllAvailable()
+      // advance: minute 12 → finalizes (emits) windows up to ~minute 10
+      mem.addData((720L until 725L).map(i => (ts(i), i)): _*)
+      q.processAllAvailable()
+      val emitted = spark.table("candles_wm").count()
+      assert(emitted >= 15, s"expected the first ~5 minutes emitted, got $emitted")
+      // a tick at minute 0 is far behind the watermark — must be dropped,
+      // not re-open its (already finalized) window
+      mem.addData((5L, 999L).copy(_1 = ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("candles_wm").count() == emitted)
+    } finally q.stop()
+  }
+
   test("broadcast sink envelopes messages, sequences them, and bounds the ring buffer") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
