@@ -52,8 +52,12 @@ object QualityOps {
     * At 100 TB the per-user `sequence()` is bounded by each key's own
     * time span (not global), so grid explosion stays proportional to the
     * key's data. */
-  def w37GapFill(spark: SparkSession, dir: String): DataFrame = {
-    val candles = Tables.candles(spark, dir)
+  def w37GapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.candles(spark, dir))
+
+  /** The W37 operator over any (user_id, bucket, close, volume) frame —
+    * separated so synthetic gap fixtures can drive it (FIXTURES.md §B). */
+  def gapFill(candles: DataFrame): DataFrame = {
     val grid = candles.groupBy(col("user_id"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col("user_id"),
