@@ -163,13 +163,126 @@ object Similarity {
       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- IVF
+  /** IVF coarse assignment (the second ANN index family — inverted file):
+    * 16 deterministic centroids (`vec_id < 16` — reproducible in the
+    * oracle without k-means), every vector assigned to its nearest by
+    * squared L2 via a rank-1 pick on (dist, cid) — one broadcast join and one
+    * aggregate, the index-build shape (at scale the centroid set comes
+    * from a sampled k-means fit, the assignment plan is identical). */
+  def annIvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = c.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dist = (0 until 64)
+      .map { d =>
+        val diff = element_at(col("v"), d + 1) - element_at(col("cv"), d + 1)
+        diff * diff
+      }.reduce(_ + _)
+    c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("centroid_id"),
+        round(col("dist"), 6).as("dist_sq"))
+  }
+
+  val annIvfAssignSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT e.vec_id, c.cid,
+      |         list_sum(list_transform(list_zip(e.v, c.cv),
+      |                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM e CROSS JOIN cents c)
+      |SELECT vec_id, cid AS centroid_id, round(dist, 6) AS dist_sq
+      |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |      FROM dists)
+      |WHERE rk = 1""".stripMargin
+
+  /** IVF search: each query probes its nprobe=2 nearest centroid lists
+    * and exact-searches only those — the candidate set shrinks ~8×
+    * against 16 lists; recall < 1 when a true neighbor lives in an
+    * unprobed list (the IVF trade). */
+  def annIvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = c.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dist = (0 until 64)
+      .map { d =>
+        val diff = element_at(col("v"), d + 1) - element_at(col("cv"), d + 1)
+        diff * diff
+      }.reduce(_ + _)
+    val assigned = c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+    val lists = assigned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probes = assigned.filter(col("vec_id") < 10)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"))
+    val cand = c.join(broadcast(lists), "vec_id")
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val annIvfSearchSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT e.vec_id, e.v, e.nrm, c.cid,
+      |         list_sum(list_transform(list_zip(e.v, c.cv),
+      |                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM e CROSS JOIN cents c),
+      |lists AS (
+      |  SELECT vec_id, cid
+      |  FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |        FROM dists)
+      |  WHERE rk = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |        FROM dists WHERE vec_id < 10)
+      |  WHERE rk <= 2),
+      |cand AS (
+      |  SELECT p.query_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, p.qv), q -> q[1] * q[2])) / (e.nrm * p.qn) AS cosine
+      |  FROM e JOIN lists l ON e.vec_id = l.vec_id
+      |         JOIN probes p ON l.cid = p.cid
+      |  WHERE e.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh_buckets" -> (annLshBuckets _),
-    "ann_lsh_search"  -> (annLshSearch _))
+    "ann_lsh_search"  -> (annLshSearch _),
+    "ann_ivf_assign"  -> (annIvfAssign _),
+    "ann_ivf_search"  -> (annIvfSearch _))
 
   def oracles: Map[String, String] = Map(
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
-    "ann_lsh_search"  -> annLshSearchSql)
+    "ann_lsh_search"  -> annLshSearchSql,
+    "ann_ivf_assign"  -> annIvfAssignSql,
+    "ann_ivf_search"  -> annIvfSearchSql)
 }
