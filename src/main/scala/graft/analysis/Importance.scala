@@ -242,6 +242,9 @@ object Importance {
       val model = new LinearRegression()
         .setFeaturesCol("fv").setLabelCol("label")
         .setStandardization(true).setRegParam(0.0)
+        // ≤5 features: the closed-form normal-equation solve is exact in
+        // ONE pass — no L-BFGS iterations re-scanning the frame
+        .setSolver("normal")
         .fit(assembled)
       val weakest = remaining.zip(model.coefficients.toArray)
         .minBy { case (_, c) => math.abs(c) }._1
