@@ -1,0 +1,37 @@
+package graft.analysis
+
+import graft.SparkSpec
+
+/** Cross-method consistency of the importance suite (the parts a SQL
+  * oracle can't see: MLlib fits and the RFE driver loop). */
+class ImportanceSpec extends SparkSpec {
+
+  // sf0.001's ~8-candle users leave a feature with zero variance, and
+  // ANSI-mode corr throws on the 0/0 — the suite needs the density the
+  // driver's own correctness gate (sf0.01) provides
+  override def sfDir: String = "/root/testdata/sf0.01"
+
+  test("F-stat ranking is monotone in |corr| (same order, different scale)") {
+    val byCorr = Importance.corrImportance(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    val byF = Importance.fstatImportance(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(byCorr == byF, s"$byCorr vs $byF")
+  }
+
+  test("RFE emits a permutation of the features with ranks 1..n") {
+    val rows = Importance.rfeImportance(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("ret_1", "vol_5", "mom_5", "rng_ratio", "body_ratio"))
+    assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("consensus rank averages the corr and MI ranks") {
+    val rows = Importance.consensusImportance(spark, sfDir).collect()
+    rows.foreach { r =>
+      val expected = (r.getInt(1) + r.getInt(2)) / 2.0
+      assert(math.abs(r.getDouble(3) - expected) <= 0.05, r.toString)
+    }
+    assert(rows.map(_.getInt(4)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+}
