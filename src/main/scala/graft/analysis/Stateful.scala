@@ -96,7 +96,54 @@ object Stateful {
           .when(col("fast") < col("slow") && col("prev_fast") >= col("prev_slow"), -1)
           .otherwise(0))
       .select(col("user_id"), col("bucket"), col("close"), col("signal"))
+    foldTrades(spark, sig)
+  }
 
+  /** W33 RSI-band strategy (`backtesting_engine.py:213-237`, simple
+    * rolling RSI): crossing below 30 → buy, above 70 → sell. */
+  def backtestTradesRsi(spark: SparkSession, dir: String): DataFrame = {
+    val w = W()
+    val base = Tables.candles(spark, dir)
+      .withColumn("d", diff(col("close"), w))
+      .withColumn("g", framed(gains(col("d")), 14, w)(avg(_).over(_)))
+      .withColumn("l", framed(losses(col("d")), 14, w)(avg(_).over(_)))
+      .withColumn("rsi",
+        when(col("l") === 0, 100.0)
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("g") / col("l"))))
+      .withColumn("prev_rsi", lag(col("rsi"), 1).over(w))
+    val sig = base.withColumn("signal",
+        when(col("rsi") < 30 && col("prev_rsi") >= 30, 1)
+          .when(col("rsi") > 70 && col("prev_rsi") <= 70, -1)
+          .otherwise(0))
+      .select(col("user_id"), col("bucket"), col("close"), col("signal"))
+    foldTrades(spark, sig)
+  }
+
+  /** W33 MACD-cross strategy (`backtesting_engine.py:248-274`): macd line
+    * crossing its EMA-9 signal line, on the custom ewm aggregate. */
+  def backtestTradesMacd(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = W()
+    val grow = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def ewm(c: org.apache.spark.sql.Column, span: Int) =
+      graft.functions.GraftFunctions.ewmAvgSpan(c, span).over(grow)
+    val base = Tables.candles(spark, dir)
+      .withColumn("macd", ewm(col("close"), 12) - ewm(col("close"), 26))
+      .withColumn("macd_sig", ewm(col("macd"), 9))
+      .withColumn("prev_macd", lag(col("macd"), 1).over(w))
+      .withColumn("prev_sig", lag(col("macd_sig"), 1).over(w))
+    val sig = base.withColumn("signal",
+        when(col("macd") > col("macd_sig") && col("prev_macd") <= col("prev_sig"), 1)
+          .when(col("macd") < col("macd_sig") && col("prev_macd") >= col("prev_sig"), -1)
+          .otherwise(0))
+      .select(col("user_id"), col("bucket"), col("close"), col("signal"))
+    foldTrades(spark, sig)
+  }
+
+  /** The W34 executor, strategy-agnostic (the reference runs every
+    * strategy's signal series through the same fold). */
+  private def foldTrades(spark: SparkSession, sig: DataFrame): DataFrame = {
+    import spark.implicits._
     val initialCapital = 10000.0
     val commissionRate = 0.0001
 
@@ -131,8 +178,10 @@ object Stateful {
 
         rows.foreach { r =>
           lastBucket = r.bucket; lastClose = r.close
-          // entry first (reference order: entry, then exits in same step)
-          if (r.signal != 0 && openEntryTime == null) {
+          // entry first (reference order: entry, then exits in same step);
+          // solvency guard: a busted account (capital ≤ 0) opens nothing —
+          // without this the 10% sizing goes negative and trades invert
+          if (r.signal != 0 && openEntryTime == null && capital > 0) {
             val size = capital * 0.1
             val entryCommission = size * commissionRate
             openEntryTime = r.bucket; openEntryPrice = r.close
@@ -178,8 +227,10 @@ object Stateful {
         round(avg(col("return_pct")) / stddev(col("return_pct")), 6).as("sharpe_like"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w19_psar"         -> (psar _),
-    "w34_backtest"     -> (backtestTrades _),
+    "w19_psar"          -> (psar _),
+    "w34_backtest"      -> (backtestTrades _),
+    "w34_backtest_rsi"  -> (backtestTradesRsi _),
+    "w34_backtest_macd" -> (backtestTradesMacd _),
     "a11_backtest_metrics" -> (backtestMetrics _))
 
   /** No SQL oracles: sequential state machines (driver rows-only check). */

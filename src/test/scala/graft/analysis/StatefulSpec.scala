@@ -68,4 +68,30 @@ class StatefulSpec extends SparkSpec {
       }
     }
   }
+
+  test("RSI and MACD strategies run through the same executor with the same invariants") {
+    // sf0.01: sf0.001's ~60-candle series never cross the RSI 30/70 bands
+    val dir = "/root/testdata/sf0.01"
+    for (trades <- Seq(Stateful.backtestTradesRsi(spark, dir).collect(),
+                       Stateful.backtestTradesMacd(spark, dir).collect())) {
+      assert(trades.nonEmpty)
+      trades.foreach { r =>
+        assert(!r.getTimestamp(2).before(r.getTimestamp(1)))
+        assert(r.getDouble(6) > 0, s"non-positive size: $r")
+        val gross =
+          if (r.getString(5) == "buy") (r.getDouble(4) - r.getDouble(3)) * r.getDouble(6)
+          else (r.getDouble(3) - r.getDouble(4)) * r.getDouble(6)
+        // tolerance scales with pnl: prices are rounded to 1e-6 and sizes
+        // reach 1e4, so the recomputed gross carries ~|size|·1e-6 noise
+        assert(math.abs(r.getDouble(8) - (gross - r.getDouble(7))) <
+          1e-4 * math.max(1.0, math.abs(r.getDouble(8))), r.toString)
+      }
+      trades.groupBy(_.getLong(0)).values.foreach { ts =>
+        ts.sortBy(_.getTimestamp(1).getTime).sliding(2).foreach {
+          case Array(a, b) => assert(!b.getTimestamp(1).before(a.getTimestamp(2)))
+          case _ =>
+        }
+      }
+    }
+  }
 }
