@@ -213,8 +213,29 @@ object Stateful {
   // ---------------------------------------------------------------- A11
   /** Backtest metrics (`backtesting_engine.py:79-160,441-467`): win rate,
     * pnl, profit factor, sharpe — one hash aggregate over the trades. */
-  def backtestMetrics(spark: SparkSession, dir: String): DataFrame =
-    backtestTrades(spark, dir)
+  def backtestMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("exit_time"), col("entry_time"))
+    val grow = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // equity curve → running peak → drawdown (W35); same-sign islands →
+    // longest win/loss runs (W36 gaps-and-islands)
+    val curve = backtestTrades(spark, dir)
+      .withColumn("equity", lit(10000.0) + sum(col("pnl")).over(grow))
+      .withColumn("peak", max(col("equity")).over(grow))
+      .withColumn("dd", when(col("peak") > 0, (col("peak") - col("equity")) / col("peak")))
+      .withColumn("win", (col("pnl") > 0).cast("int"))
+      .withColumn("island",
+        row_number().over(w) - row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), (col("pnl") > 0).cast("int"))
+            .orderBy(col("exit_time"), col("entry_time"))))
+    val streaks = curve.groupBy(col("user_id"), col("win"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("win") === 1, col("run_len"))).as("max_consec_wins"),
+        max(when(col("win") === 0, col("run_len"))).as("max_consec_losses"))
+    curve
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_trades"),
@@ -224,7 +245,10 @@ object Stateful {
         round(coalesce(
           sum(when(col("pnl") > 0, col("pnl"))) / abs(sum(when(col("pnl") < 0, col("pnl")))),
           lit(null)), 6).as("profit_factor"),
-        round(avg(col("return_pct")) / stddev(col("return_pct")), 6).as("sharpe_like"))
+        round(avg(col("return_pct")) / stddev(col("return_pct")), 6).as("sharpe_like"),
+        round(max(col("dd")), 6).as("max_drawdown"))
+      .join(streaks, Seq("user_id"), "left")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w19_psar"          -> (psar _),
