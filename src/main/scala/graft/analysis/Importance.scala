@@ -2,7 +2,7 @@ package graft.analysis
 
 import graft.Tables
 import graft.features.Indicators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
@@ -63,12 +63,22 @@ object Importance {
       |  WHERE ret_1 IS NOT NULL AND vol_5 IS NOT NULL AND mom_5 IS NOT NULL
       |    AND rng_ratio IS NOT NULL AND body_ratio IS NOT NULL AND target IS NOT NULL)""".stripMargin
 
+  /** Null-safe Pearson corr as an aggregate column: the moments form
+    * (cov_pop / (σ_pop·σ_pop) — the n's cancel, so it equals corr
+    * exactly) with a `nullif` denominator. Spark's builtin `corr` under
+    * ANSI mode throws DIVIDE_BY_ZERO on a zero-variance input, and
+    * constant features are ROUTINE in training-data pipelines — this
+    * degrades to NULL instead, matching DuckDB's corr. */
+  private[analysis] def corrSafe(x: Column, y: Column): Column =
+    (avg(x * y) - avg(x) * avg(y)) /
+      nullif(stddev_pop(x) * stddev_pop(y), lit(0.0))
+
   // ---------------------------------------------------------------- corr
   /** |Pearson corr| ranking (`feature_importance.py:254-257` family). */
   def corrImportance(spark: SparkSession, dir: String): DataFrame = {
     val f = featureFrame(spark, dir)
     val rows = featureNames.map(n =>
-      f.agg(lit(n).as("feature"), round(abs(corr(col(n), col("target"))), 6).as("abs_corr")))
+      f.agg(lit(n).as("feature"), round(abs(corrSafe(col(n), col("target"))), 6).as("abs_corr")))
     rows.reduce(_ unionByName _)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -160,7 +170,7 @@ object Importance {
   def fstatImportance(spark: SparkSession, dir: String): DataFrame = {
     val f = featureFrame(spark, dir)
     val aggs = count(lit(1)).as("n") +:
-      featureNames.map(nm => corr(col(nm), col("target")).as(nm))
+      featureNames.map(nm => corrSafe(col(nm), col("target")).as(nm))
     val wide = f.agg(aggs.head, aggs.tail: _*)
     wide.select(col("n"), expr(s"stack(${featureNames.size}, " +
         featureNames.map(nm => s"'$nm', $nm").mkString(", ") + ") AS (feature, r)"))

@@ -11,6 +11,19 @@ class ImportanceSpec extends SparkSpec {
   // driver's own correctness gate (sf0.01) provides
   override def sfDir: String = "/root/testdata/sf0.01"
 
+  test("zero-variance feature yields NULL corr instead of an ANSI crash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (1.0, 7.0), (1.0, 9.0)).toDF("x", "y")
+    val r = df.agg(Importance.corrSafe(col("x"), col("y")).as("c")).head()
+    assert(r.isNullAt(0))
+    // and a healthy pair matches the builtin corr
+    val df2 = Seq((1.0, 5.0), (2.0, 7.0), (4.0, 9.5)).toDF("x", "y")
+    val safe = df2.agg(Importance.corrSafe(col("x"), col("y"))).head().getDouble(0)
+    val builtin = df2.agg(corr(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(safe - builtin) < 1e-12)
+  }
+
   test("F-stat ranking is monotone in |corr| (same order, different scale)") {
     val byCorr = Importance.corrImportance(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
