@@ -1,0 +1,46 @@
+package graft
+
+/** Driver-contract invariants: the merged query registry must not shadow
+  * keys, every oracle must have a query, and the flagship must smoke. */
+class SparkEntrySpec extends SparkSpec {
+
+  private val modules: Seq[(String, Map[String, _])] = Seq(
+    "Relational"      -> operators.Relational.queries,
+    "Scans"           -> operators.Scans.queries,
+    "Joins"           -> operators.Joins.queries,
+    "Aggregations"    -> operators.Aggregations.queries,
+    "Windows"         -> operators.Windows.queries,
+    "WindowsAdvanced" -> operators.WindowsAdvanced.queries,
+    "Segmented"       -> operators.Segmented.queries,
+    "EmaFamily"       -> operators.EmaFamily.queries,
+    "QualityOps"      -> operators.QualityOps.queries,
+    "Pipeline"        -> operators.Pipeline.queries,
+    "Stateful"        -> analysis.Stateful.queries,
+    "Dedup"           -> scale.Dedup.queries,
+    "Similarity"      -> scale.Similarity.queries,
+    "TextAnalysis"    -> scale.TextAnalysis.queries,
+    "Multimodal"      -> scale.Multimodal.queries,
+    "Sketches"        -> scale.Sketches.queries,
+    "Sources"         -> operators.Sources.queries,
+    "Sinks"           -> sources.Sinks.queries,
+    "Importance"      -> analysis.Importance.queries)
+
+  test("no query key is registered by two modules (merge would shadow one)") {
+    val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate keys: ${dups.map { case (k, ms) => s"$k in ${ms.map(_._2)}" }}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a query; oracles are non-empty SQL") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty && sql.toUpperCase.contains("SELECT"), k)
+    }
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
