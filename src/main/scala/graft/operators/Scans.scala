@@ -32,6 +32,21 @@ object Scans {
       |  AND event_type = 'purchase'
       |ORDER BY ts, event_id LIMIT 500""".stripMargin
 
+  /** S11 — point lookup by the natural key (`repository.py:166-181`
+    * `.first()`): all predicates push to the scan, the ordered limit-1 is
+    * a TakeOrderedAndProject — the row-group-pruned "index lookup". */
+  def s11PointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") === 7 && col("event_type") === "purchase")
+      .orderBy(col("ts"), col("event_id"))
+      .limit(1)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  val s11Sql: String =
+    """SELECT event_id, ts, user_id, event_type, value FROM events
+      |WHERE user_id = 7 AND event_type = 'purchase'
+      |ORDER BY ts, event_id LIMIT 1""".stripMargin
+
   /** S12 — latest-N scan (`repository.py:218-232`): TakeOrderedAndProject,
     * which keeps only N rows per partition then merges — no full sort. */
   def s12LatestN(spark: SparkSession, dir: String): DataFrame =
@@ -158,6 +173,7 @@ object Scans {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_range_scan"   -> (s10RangeScan _),
+    "s11_point_lookup" -> (s11PointLookup _),
     "s12_latest_n"     -> (s12LatestN _),
     "s2_latest_quote"  -> (s2LatestQuote _),
     "o2_pagination"    -> (o2Pagination _),
@@ -170,6 +186,7 @@ object Scans {
 
   def oracles: Map[String, String] = Map(
     "s10_range_scan"   -> s10Sql,
+    "s11_point_lookup" -> s11Sql,
     "s12_latest_n"     -> s12Sql,
     "s2_latest_quote"  -> s2Sql,
     "o2_pagination"    -> o2Sql,
