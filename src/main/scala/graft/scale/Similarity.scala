@@ -272,17 +272,88 @@ object Similarity {
       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- ts search
+  /** Time-series subsequence similarity search (the pattern-matching
+    * query a FOREX engine runs against its own history; cf. EDBT'19
+    * distributed ts-similarity search): z-normalize every 24-candle
+    * close window, take user 0's latest window as the query, rank all
+    * other windows by squared Euclidean distance — top 10.
+    *
+    * The windows come from ONE `collect_list` frame over the shared
+    * (user_id, bucket) exchange; the query window broadcasts. Flat
+    * windows (zero variance) are filtered, not divided by. Ordering is
+    * on the ROUNDED distance with a (user, bucket) tie-break so the
+    * top-k boundary is ulp-stable across engines. */
+  def tsSimilarWindows(spark: SparkSession, dir: String): DataFrame = {
+    val wSpec = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(-23, 0)
+    val n = lit(24.0)
+    def m1(c: Column) = aggregate(c, lit(0.0), _ + _) / n
+    def m2(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x * x) / n
+    val wins = Tables.candles(spark, dir)
+      .withColumn("closes", collect_list(col("close")).over(wSpec))
+      .filter(size(col("closes")) === 24)
+      .withColumn("m", m1(col("closes")))
+      .withColumn("sd", sqrt(m2(col("closes")) - m1(col("closes")) * m1(col("closes"))))
+      .filter(col("sd") > 0)
+      .select(col("user_id"), col("bucket").as("end_bucket"),
+        transform(col("closes"), x => (x - col("m")) / col("sd")).as("z"))
+    val q = wins.filter(col("user_id") === 0)
+      .orderBy(col("end_bucket").desc).limit(1)
+      .select(col("z").as("qz"), col("end_bucket").as("q_end"))
+    wins.crossJoin(broadcast(q))
+      .filter(!(col("user_id") === 0 && col("end_bucket") === col("q_end")))
+      .withColumn("dist", round(aggregate(
+        zip_with(col("z"), col("qz"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _), 6))
+      .orderBy(col("dist"), col("user_id"), col("end_bucket"))
+      .limit(10)
+      .select(col("user_id"), col("end_bucket"), col("dist"))
+  }
+
+  val tsSimilarWindowsSql: String =
+    """WITH candles AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+      |         arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |wins0 AS (
+      |  SELECT user_id, bucket AS end_bucket,
+      |         list(close) OVER (PARTITION BY user_id ORDER BY bucket
+      |                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS closes
+      |  FROM candles),
+      |wins1 AS (SELECT * FROM wins0 WHERE len(closes) = 24),
+      |st AS (
+      |  SELECT user_id, end_bucket, closes,
+      |         list_sum(closes) / 24.0 AS m,
+      |         sqrt(list_sum(list_transform(closes, x -> x * x)) / 24.0 -
+      |              (list_sum(closes) / 24.0) * (list_sum(closes) / 24.0)) AS sd
+      |  FROM wins1),
+      |norm AS (
+      |  SELECT user_id, end_bucket,
+      |         list_transform(closes, x -> (x - m) / sd) AS z
+      |  FROM st WHERE sd > 0),
+      |q AS (SELECT z AS qz, end_bucket AS q_end FROM norm
+      |      WHERE user_id = 0 ORDER BY end_bucket DESC LIMIT 1)
+      |SELECT n.user_id, n.end_bucket,
+      |       round(list_sum(list_transform(list_zip(n.z, q.qz),
+      |                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+      |FROM norm n, q
+      |WHERE NOT (n.user_id = 0 AND n.end_bucket = q.q_end)
+      |ORDER BY dist, user_id, end_bucket LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search"  -> (annLshSearch _),
     "ann_ivf_assign"  -> (annIvfAssign _),
-    "ann_ivf_search"  -> (annIvfSearch _))
+    "ann_ivf_search"  -> (annIvfSearch _),
+    "ts_similar_windows" -> (tsSimilarWindows _))
 
   def oracles: Map[String, String] = Map(
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_search"  -> annLshSearchSql,
     "ann_ivf_assign"  -> annIvfAssignSql,
-    "ann_ivf_search"  -> annIvfSearchSql)
+    "ann_ivf_search"  -> annIvfSearchSql,
+    "ts_similar_windows" -> tsSimilarWindowsSql)
 }
