@@ -115,7 +115,14 @@ object WindowsAdvanced {
   /** W18 — Aroon up/down 25 (`advanced_feature_engineer.py:148-169`):
     * first-occurrence argmax via array_position over the frame's
     * collected values (np.argmax picks the first max), replacing the
-    * reference's Python loop with a builtin-HOF window expression. */
+    * reference's Python loop with a builtin-HOF window expression.
+    *
+    * Deliberate divergence: the reference computes `days_since_high =
+    * i − slice_position` (`:164-165`), mixing an absolute row index with
+    * a 0..period−1 slice offset, so its aroon drifts by −4 points per
+    * row and goes negative past row ~50 — a bug, not a semantic. We
+    * implement the published Aroon `(period − days_since)/period·100`,
+    * which the reference's formula reduces to only at i == period. */
   def w18Aroon(spark: SparkSession, dir: String): DataFrame = {
     val n = 25
     val f = Wn(w, n)
