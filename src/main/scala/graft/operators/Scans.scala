@@ -129,6 +129,78 @@ object Scans {
       |FROM events
       |WHERE extract(hour FROM ts) >= 22 OR extract(hour FROM ts) < 7""".stripMargin
 
+  /** F8 — high-liquidity filter with the reference's full session model
+    * (`market_filters.py:30-42,218-268,333-352`): inclusive session-hour
+    * membership (Sydney wraps midnight), weighted score per active
+    * session + overlap bonus, max-normalized over the dataset (the one
+    * global fit — broadcast back), leveled at 0.3/0.6/0.8, keep
+    * high/very_high. Primary session = the reference's last-assignment
+    * priority chain with the London–NY overlap overriding. */
+  def f8Liquidity(spark: SparkSession, dir: String): DataFrame = {
+    val h = hour(col("ts"))
+    val syd = h >= 22 || h <= 7
+    val tky = h <= 9
+    val ldn = h >= 8 && h <= 17
+    val ny  = h >= 13 && h <= 22
+    val lny = h >= 13 && h <= 17
+    val st  = h <= 7
+    val tl  = h >= 8 && h <= 9
+    def w(c: org.apache.spark.sql.Column, x: Double) = when(c, x).otherwise(0.0)
+    val score = w(syd, 0.2) + w(tky, 0.4) + w(ldn, 0.8) + w(ny, 0.9) +
+      w(lny, 0.5) + w(st, 0.2) + w(tl, 0.3)
+    val base = Tables.events(spark, dir)
+      .withColumn("raw_score", score)
+      .withColumn("primary_session",
+        when(lny, "london_new_york")
+          .when(ny, "new_york").when(ldn, "london")
+          .when(tky, "tokyo").when(syd, "sydney")
+          .otherwise("none"))
+    val fit = base.agg(max(col("raw_score")).as("max_score"))
+    base.crossJoin(broadcast(fit))
+      .withColumn("liquidity_score", round(col("raw_score") / col("max_score"), 6))
+      .withColumn("liquidity_level",
+        when(col("liquidity_score") >= 0.8, "very_high")
+          .when(col("liquidity_score") >= 0.6, "high")
+          .when(col("liquidity_score") >= 0.3, "medium")
+          .otherwise("low"))
+      .filter(col("liquidity_level").isin("high", "very_high"))
+      .select(col("event_id"), col("primary_session"),
+        col("liquidity_score"), col("liquidity_level"))
+  }
+
+  val f8Sql: String =
+    """WITH base AS (
+      |  SELECT event_id, extract(hour FROM ts) AS h,
+      |    (CASE WHEN extract(hour FROM ts) >= 22 OR extract(hour FROM ts) <= 7 THEN 0.2 ELSE 0.0 END) +
+      |    (CASE WHEN extract(hour FROM ts) <= 9 THEN 0.4 ELSE 0.0 END) +
+      |    (CASE WHEN extract(hour FROM ts) BETWEEN 8 AND 17 THEN 0.8 ELSE 0.0 END) +
+      |    (CASE WHEN extract(hour FROM ts) BETWEEN 13 AND 22 THEN 0.9 ELSE 0.0 END) +
+      |    (CASE WHEN extract(hour FROM ts) BETWEEN 13 AND 17 THEN 0.5 ELSE 0.0 END) +
+      |    (CASE WHEN extract(hour FROM ts) <= 7 THEN 0.2 ELSE 0.0 END) +
+      |    (CASE WHEN extract(hour FROM ts) BETWEEN 8 AND 9 THEN 0.3 ELSE 0.0 END) AS raw_score
+      |  FROM events),
+      |scored AS (
+      |  SELECT event_id, h,
+      |    round(raw_score / max(raw_score) OVER (), 6) AS liquidity_score
+      |  FROM base)
+      |SELECT event_id,
+      |  CASE WHEN h BETWEEN 13 AND 17 THEN 'london_new_york'
+      |       WHEN h BETWEEN 13 AND 22 THEN 'new_york'
+      |       WHEN h BETWEEN 8 AND 17 THEN 'london'
+      |       WHEN h <= 9 THEN 'tokyo'
+      |       WHEN h >= 22 OR h <= 7 THEN 'sydney'
+      |       ELSE 'none' END AS primary_session,
+      |  liquidity_score,
+      |  CASE WHEN liquidity_score >= 0.8 THEN 'very_high'
+      |       WHEN liquidity_score >= 0.6 THEN 'high'
+      |       WHEN liquidity_score >= 0.3 THEN 'medium'
+      |       ELSE 'low' END AS liquidity_level
+      |FROM scored
+      |WHERE (CASE WHEN liquidity_score >= 0.8 THEN 'very_high'
+      |            WHEN liquidity_score >= 0.6 THEN 'high'
+      |            WHEN liquidity_score >= 0.3 THEN 'medium'
+      |            ELSE 'low' END) IN ('high', 'very_high')""".stripMargin
+
   /** F1–F5 composite quality filter (`data_quality.py:170-298`): drop null
     * keys, non-positive and out-of-band values, clamp negatives — a single
     * codegen'd filter+project stage, no shuffle. */
@@ -180,6 +252,7 @@ object Scans {
     "o3_topn"          -> (o3TopN _),
     "o4_topk_group"    -> (o4TopKPerGroup _),
     "f7_trading_hours" -> (f7TradingHours _),
+    "f8_liquidity"     -> (f8Liquidity _),
     "f_quality_filter" -> (fQualityFilter _),
     "d1_dedup_full"    -> (d1DedupFull _),
     "d2_dedup_first"   -> (d2DedupFirst _))
@@ -193,6 +266,7 @@ object Scans {
     "o3_topn"          -> o3Sql,
     "o4_topk_group"    -> o4Sql,
     "f7_trading_hours" -> f7Sql,
+    "f8_liquidity"     -> f8Sql,
     "f_quality_filter" -> fQualitySql,
     "d1_dedup_full"    -> d1Sql,
     "d2_dedup_first"   -> d2Sql)

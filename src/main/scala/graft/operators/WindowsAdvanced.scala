@@ -269,11 +269,13 @@ object WindowsAdvanced {
       col("user_id"), col("bucket"),
       round(col("avg_range_20"), 6).as("avg_range_20"),
       round(col("vol_pct"), 6).as("vol_percentile"),
+      // thresholds exactly as the reference assigns them
+      // (`market_filters.py:154-158`): ≤20% low, ≥95% extreme, ≥80% high
       when(col("vol_pct").isNull, lit(null))
-        .when(col("vol_pct") < 0.25, "low")
-        .when(col("vol_pct") < 0.75, "normal")
-        .when(col("vol_pct") < 0.9, "high")
-        .otherwise("extreme").as("vol_regime"))
+        .when(col("vol_pct") <= 0.20, "low")
+        .when(col("vol_pct") >= 0.95, "extreme")
+        .when(col("vol_pct") >= 0.80, "high")
+        .otherwise("normal").as("vol_regime"))
   }
 
   val w27Sql: String = Tables.candlesSql +
@@ -294,10 +296,10 @@ object WindowsAdvanced {
       |  round(ar, 6) AS avg_range_20,
       |  round(vol_pct, 6) AS vol_percentile,
       |  CASE WHEN vol_pct IS NULL THEN NULL
-      |       WHEN vol_pct < 0.25 THEN 'low'
-      |       WHEN vol_pct < 0.75 THEN 'normal'
-      |       WHEN vol_pct < 0.9  THEN 'high'
-      |       ELSE 'extreme' END AS vol_regime
+      |       WHEN vol_pct <= 0.20 THEN 'low'
+      |       WHEN vol_pct >= 0.95 THEN 'extreme'
+      |       WHEN vol_pct >= 0.80 THEN 'high'
+      |       ELSE 'normal' END AS vol_regime
       |FROM t2""".stripMargin
 
   // ---------------------------------------------------------------- W29
