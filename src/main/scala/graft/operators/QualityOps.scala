@@ -134,19 +134,24 @@ object QualityOps {
           .as("outlier_pct"),
         (lit(1.0) - countDistinct(date_trunc("hour", col("ts"))) /
           (floor((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))) / 3600) + 1)
-            .cast("double")).as("gap_pct"))
-    val score = lit(1.0) -
+            .cast("double")).as("gap_pct"),
+        (count(lit(1)) - countDistinct(col("ts"))).as("n_dup_ts"))
+    // deduction weights and level cuts exactly as the reference
+    // (`data_validator.py:49-98`, `enums.py:77-86`): dups −0.05, gaps>10%
+    // −0.15, outliers −0.2/−0.1, insufficient −0.2, floored at 0
+    val score = greatest(lit(0.0), lit(1.0) -
+      when(col("n_dup_ts") > 0, 0.05).otherwise(0.0) -
       when(col("gap_pct") > 0.10, 0.15).otherwise(0.0) -
       when(col("outlier_pct") > 0.05, 0.2)
         .when(col("outlier_pct") > 0.0, 0.1).otherwise(0.0) -
-      when(col("n") < 10, 0.2).otherwise(0.0)
+      when(col("n") < 10, 0.2).otherwise(0.0))
     stats.select(
       col("user_id"), col("n"),
       round(col("outlier_pct"), 6).as("outlier_pct"),
       round(col("gap_pct"), 6).as("gap_pct"),
       round(score, 6).as("quality_score"),
-      when(score >= 0.9, "excellent").when(score >= 0.7, "good")
-        .when(score >= 0.5, "fair").otherwise("poor").as("quality_level"))
+      when(score >= 0.95, "excellent").when(score >= 0.80, "good")
+        .when(score >= 0.60, "fair").otherwise("poor").as("quality_level"))
   }
 
   val qcScoreSql: String =
@@ -155,20 +160,23 @@ object QualityOps {
       |  SELECT user_id, count(*) AS n,
       |    avg(CASE WHEN abs(value - mu) / sigma > 3 THEN 1.0 ELSE 0.0 END) AS outlier_pct,
       |    1.0 - count(DISTINCT date_trunc('hour', ts)) /
-      |      CAST(floor(date_diff('second', min(ts), max(ts)) / 3600) + 1 AS DOUBLE) AS gap_pct
+      |      CAST(floor(date_diff('second', min(ts), max(ts)) / 3600) + 1 AS DOUBLE) AS gap_pct,
+      |    count(*) - count(DISTINCT ts) AS n_dup_ts
       |  FROM events, g GROUP BY user_id),
       |sc AS (
       |  SELECT user_id, n, outlier_pct, gap_pct,
-      |    1.0 - (CASE WHEN gap_pct > 0.10 THEN 0.15 ELSE 0.0 END)
+      |    greatest(0.0,
+      |    1.0 - (CASE WHEN n_dup_ts > 0 THEN 0.05 ELSE 0.0 END)
+      |        - (CASE WHEN gap_pct > 0.10 THEN 0.15 ELSE 0.0 END)
       |        - (CASE WHEN outlier_pct > 0.05 THEN 0.2
       |                WHEN outlier_pct > 0.0 THEN 0.1 ELSE 0.0 END)
-      |        - (CASE WHEN n < 10 THEN 0.2 ELSE 0.0 END) AS score
+      |        - (CASE WHEN n < 10 THEN 0.2 ELSE 0.0 END)) AS score
       |  FROM s)
       |SELECT user_id, n,
       |  round(outlier_pct, 6) AS outlier_pct, round(gap_pct, 6) AS gap_pct,
       |  round(score, 6) AS quality_score,
-      |  CASE WHEN score >= 0.9 THEN 'excellent' WHEN score >= 0.7 THEN 'good'
-      |       WHEN score >= 0.5 THEN 'fair' ELSE 'poor' END AS quality_level
+      |  CASE WHEN score >= 0.95 THEN 'excellent' WHEN score >= 0.80 THEN 'good'
+      |       WHEN score >= 0.60 THEN 'fair' ELSE 'poor' END AS quality_level
       |FROM sc""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
