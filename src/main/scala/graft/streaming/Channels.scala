@@ -8,10 +8,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Tick(ts: java.sql.Timestamp, symbol: String,
                 bid: Double, ask: Double, mid: Double, spread: Double)
 
-/** ml_features channel row (T3 — `websocket_manager.py:340-400`). */
+/** ml_features channel row (T3 — `websocket_manager.py:340-400`):
+  * trailing SMAs, RSI, the derived target/confidence, and the inline
+  * min-max-normalized feature vector the reference ships per message. */
 case class TickFeatures(symbol: String, ts: java.sql.Timestamp,
                         n_ticks: Int, sma_5: Double, sma_20: Double,
-                        rsi_14: Double, mid: Double)
+                        rsi_14: Double, mid: Double,
+                        sma_10: Double, price_dev_sma20: Double, range_5: Double,
+                        target_signal: Int, confidence: Double,
+                        normalized_features: Seq[Double])
 
 /** Ring-buffer state for trailing-N features. */
 case class RingState(prices: Vector[Double])
@@ -115,13 +120,26 @@ object Channels {
             val n = buf.size
             def sma(k: Int): Double =
               if (n >= k) buf.takeRight(k).sum / k else Double.NaN
+            // standard RSI: all-gains ⇒ 100 (the reference's rs=0 branch
+            // at `websocket_manager.py:370-371` inverts this — a bug)
             val rsi = if (n >= 15) {
               val diffs = buf.takeRight(15).sliding(2).map(p => p(1) - p(0)).toSeq
               val g = diffs.map(d => math.max(d, 0)).sum / 14
               val l = diffs.map(d => math.max(-d, 0)).sum / 14
               if (l == 0) 100.0 else 100.0 - 100.0 / (1 + g / l)
             } else Double.NaN
-            TickFeatures(symbol, ts, n, sma(5), sma(20), rsi, mid)
+            val s5 = sma(5); val s10 = sma(10); val s20 = sma(20)
+            val dev = if (s20 > 0) (mid - s20) / s20 else Double.NaN
+            val rng5 = if (n >= 5) buf.takeRight(5).max - buf.takeRight(5).min else Double.NaN
+            val fv = Seq(mid, s5, s10, s20, rsi, dev, rng5)
+            val norm = if (fv.forall(v => !v.isNaN)) {
+              val lo = fv.min; val hi = fv.max
+              if (hi > lo) fv.map(v => (v - lo) / (hi - lo)) else fv.map(_ => 0.0)
+            } else Seq.empty[Double]
+            val target = if (rsi < 30) 2 else if (rsi > 70) 1 else 0 // 2=buy,1=sell,0=hold
+            val conf = if (rsi.isNaN) 0.0 else math.min(math.abs(rsi - 50) / 50, 1.0)
+            TickFeatures(symbol, ts, n, s5, s20, rsi, mid,
+              s10, dev, rng5, target, conf, norm)
           }
           state.update(RingState(buf))
           out.iterator

@@ -73,6 +73,12 @@ class ChannelsSpec extends SparkSpec {
             val exp = mids.slice(i - 4, i + 1).sum / 5
             assert(math.abs(r.getDouble(3) - exp) < 1e-12, s"sma5 at $i")
           } else assert(r.getDouble(3).isNaN)
+          // T3 envelope extras: target from RSI bands, confidence in
+          // [0,1], normalized vector bounded in [0,1] once warm
+          assert(Set(0, 1, 2).contains(r.getInt(10)))
+          assert(r.getDouble(11) >= 0.0 && r.getDouble(11) <= 1.0)
+          val norm = r.getSeq[Double](12)
+          if (i >= 19) assert(norm.nonEmpty && norm.forall(v => v >= 0.0 && v <= 1.0))
         }
       }
     } finally q.stop()
