@@ -373,8 +373,16 @@ object WindowsAdvanced {
       col("user_id"), col("bucket"),
       (col("ma_above") && !col("prev_above")).as("trend_cross_up"),
       (!col("ma_above") && col("prev_above")).as("trend_cross_down"),
-      round(safeDiv(abs(col("sma_10") - col("sma_20")), col("sma_20")) * 100, 6)
-        .as("trend_strength"),
+      // reference strength (`pattern_detection.py:372-376`):
+      // min(1, |close − close₋₂₀| / (σ(close₋₂₀..₋₁) · 20)); the null
+      // guard must wrap the least() — least SKIPS nulls in both engines,
+      // so least(1.0, null) would fabricate 1.0 on warm-up rows
+      {
+        val ratio = when(count(col("close")).over(w.rowsBetween(-20, -1)) === 20,
+          safeDiv(abs(col("close") - lag(col("close"), 20).over(w)),
+            stddev(col("close")).over(w.rowsBetween(-20, -1)) * 20))
+        round(when(ratio.isNotNull, least(lit(1.0), ratio)), 6).as("trend_strength")
+      },
       (col("close") > col("bb_up") && col("prev_close") <= col("prev_bb_up") &&
         col("rng_ratio") > 1.5).as("breakout_up"),
       (col("close") < col("bb_lo") && col("prev_close") >= col("prev_bb_lo") &&
@@ -410,12 +418,17 @@ object WindowsAdvanced {
       |      OVER w AS prev_above,
       |    lag(close) OVER w AS prev_close,
       |    lag(bb_up) OVER w AS prev_bb_up, lag(bb_lo) OVER w AS prev_bb_lo,
-      |    lag(sma_5) OVER w AS prev_sma5, lag(sma_20) OVER w AS prev_sma20
-      |  FROM b0 WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+      |    lag(sma_5) OVER w AS prev_sma5, lag(sma_20) OVER w AS prev_sma20,
+      |    lag(close, 20) OVER w AS close_20,
+      |    CASE WHEN count(close) OVER wp = 20 THEN stddev_samp(close) OVER wp END AS vol_prior
+      |  FROM b0 WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
+      |          wp AS (w ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
       |SELECT user_id, bucket,
       |  ma_above AND NOT prev_above AS trend_cross_up,
       |  NOT ma_above AND prev_above AS trend_cross_down,
-      |  round(abs(sma_10 - sma_20) / nullif(sma_20, 0) * 100, 6) AS trend_strength,
+      |  round(CASE WHEN abs(close - close_20) / nullif(vol_prior * 20, 0) IS NOT NULL
+      |             THEN least(1.0, abs(close - close_20) / nullif(vol_prior * 20, 0))
+      |        END, 6) AS trend_strength,
       |  close > bb_up AND prev_close <= prev_bb_up AND rng_ratio > 1.5 AS breakout_up,
       |  close < bb_lo AND prev_close >= prev_bb_lo AND rng_ratio > 1.5 AS breakout_down,
       |  CASE WHEN sma_5 > sma_20 AND NOT (prev_sma5 > prev_sma20) THEN 'buy'
