@@ -360,8 +360,13 @@ object WindowsAdvanced {
       .withColumn("sma_20", sma(col("close"), 20, w))
       .withColumn("bb_up", sma(col("close"), 20, w) + lit(2.0) * rollStd(col("close"), 20, w))
       .withColumn("bb_lo", sma(col("close"), 20, w) - lit(2.0) * rollStd(col("close"), 20, w))
-      .withColumn("rng_ratio",
-        safeDiv(col("high") - col("low"), sma(col("high") - col("low"), 20, w)))
+      // FOREX volume proxy exactly as the reference builds it
+      // (`pattern_detection.py:414-420`): 5-mean of the range, compared
+      // to its own PRIOR-20 average (current row excluded)
+      .withColumn("vol_proxy", sma(col("high") - col("low"), 5, w))
+      .withColumn("rng_ratio", safeDiv(col("vol_proxy"),
+        when(count(col("vol_proxy")).over(w.rowsBetween(-20, -1)) === 20,
+          avg(col("vol_proxy")).over(w.rowsBetween(-20, -1)))))
     val above = col("sma_10") > col("sma_20")
     val base = base0
       .withColumn("ma_above", when(col("sma_10").isNotNull && col("sma_20").isNotNull, above))
@@ -404,13 +409,18 @@ object WindowsAdvanced {
       |      2.0 * CASE WHEN count(close) OVER w20 = 20 THEN stddev_samp(close) OVER w20 END AS bb_up,
       |    CASE WHEN count(close) OVER w20 = 20 THEN avg(close) OVER w20 END -
       |      2.0 * CASE WHEN count(close) OVER w20 = 20 THEN stddev_samp(close) OVER w20 END AS bb_lo,
-      |    (high - low) / nullif(CASE WHEN count(high - low) OVER w20 = 20
-      |                               THEN avg(high - low) OVER w20 END, 0) AS rng_ratio
+      |    CASE WHEN count(high - low) OVER w5 = 5 THEN avg(high - low) OVER w5 END AS vol_proxy
       |  FROM candles
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |         w5  AS (w ROWS BETWEEN 4  PRECEDING AND CURRENT ROW),
       |         w10 AS (w ROWS BETWEEN 9  PRECEDING AND CURRENT ROW),
       |         w20 AS (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |b1 AS (
+      |  SELECT *, vol_proxy / nullif(CASE WHEN count(vol_proxy) OVER wp = 20
+      |                                    THEN avg(vol_proxy) OVER wp END, 0) AS rng_ratio
+      |  FROM b0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
+      |         wp AS (w ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
       |b AS (
       |  SELECT user_id, bucket, close, sma_5, sma_10, sma_20, bb_up, bb_lo, rng_ratio,
       |    CASE WHEN sma_10 IS NOT NULL AND sma_20 IS NOT NULL THEN sma_10 > sma_20 END AS ma_above,
@@ -421,7 +431,7 @@ object WindowsAdvanced {
       |    lag(sma_5) OVER w AS prev_sma5, lag(sma_20) OVER w AS prev_sma20,
       |    lag(close, 20) OVER w AS close_20,
       |    CASE WHEN count(close) OVER wp = 20 THEN stddev_samp(close) OVER wp END AS vol_prior
-      |  FROM b0 WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
+      |  FROM b1 WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |          wp AS (w ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
       |SELECT user_id, bucket,
       |  ma_above AND NOT prev_above AS trend_cross_up,
