@@ -305,34 +305,50 @@ object WindowsAdvanced {
   // ---------------------------------------------------------------- W29
   /** W29 — support/resistance levels + touch counts
     * (`pattern_detection.py:288-349`): centered extrema frames replace
-    * the reference's O(n·w) Python loops; touch counting compares the
-    * ±2w neighborhood against the current level via an array HOF. */
+    * the reference's O(n·w) Python loops, with its exact geometry —
+    * pandas `rolling(20, center=True)` = rows [i−10, i+9], touch loop
+    * `range(i−40, i+40)` = rows [i−40, i+39], candidates restricted to
+    * `i ∈ [window, n−window)`, min_touches ≥ 2, strength
+    * min(1, touches/5), HIGH confidence at ≥ 4 touches. */
   def w29SupportResistance(spark: SparkSession, dir: String): DataFrame = {
-    val centered = w.rowsBetween(-10, 10)
-    val neigh = w.rowsBetween(-40, 40)
+    val centered = w.rowsBetween(-10, 9)
+    val neigh = w.rowsBetween(-40, 39)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val base = Tables.candles(spark, dir)
-      .withColumn("n_centered", count(col("close")).over(centered))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_rows", count(lit(1)).over(wAll))
+      .withColumn("in_range", col("rn") >= 21 && col("rn") <= col("n_rows") - 20)
       .withColumn("is_support",
-        col("n_centered") === 21 && col("low") === min(col("low")).over(centered))
+        col("in_range") && col("low") === min(col("low")).over(centered))
       .withColumn("is_resistance",
-        col("n_centered") === 21 && col("high") === max(col("high")).over(centered))
+        col("in_range") && col("high") === max(col("high")).over(centered))
       .withColumn("support_touches",
         size(filter(collect_list(col("low")).over(neigh),
           e => abs(e - col("low")) < col("low") * 0.002)))
       .withColumn("resistance_touches",
         size(filter(collect_list(col("high")).over(neigh),
           e => abs(e - col("high")) < col("high") * 0.002)))
-    base.filter(col("is_support") || col("is_resistance"))
+    base.filter((col("is_support") && col("support_touches") >= 2) ||
+        (col("is_resistance") && col("resistance_touches") >= 2))
       .select(col("user_id"), col("bucket"),
         round(col("low"), 6).as("low"), round(col("high"), 6).as("high"),
         col("is_support"), col("is_resistance"),
-        col("support_touches"), col("resistance_touches"))
+        col("support_touches"), col("resistance_touches"),
+        round(when(col("is_support"),
+          least(lit(1.0), col("support_touches") / 5.0)), 6).as("support_strength"),
+        round(when(col("is_resistance"),
+          least(lit(1.0), col("resistance_touches") / 5.0)), 6).as("resistance_strength"),
+        when(col("is_support") && col("support_touches") >= 4, "high")
+          .when(col("is_support"), "medium").as("support_confidence"),
+        when(col("is_resistance") && col("resistance_touches") >= 4, "high")
+          .when(col("is_resistance"), "medium").as("resistance_confidence"))
   }
 
   val w29Sql: String = Tables.candlesSql +
     """, t AS (
       |  SELECT user_id, bucket, low, high,
-      |    count(close) OVER wc AS n_centered,
+      |    row_number() OVER w AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_rows,
       |    min(low) OVER wc AS min_c, max(high) OVER wc AS max_c,
       |    CAST(len(list_filter(list(low)  OVER wn, e -> abs(e - low)  < low  * 0.002)) AS INT)
       |      AS support_touches,
@@ -340,14 +356,26 @@ object WindowsAdvanced {
       |      AS resistance_touches
       |  FROM candles
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
-      |         wc AS (w ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING),
-      |         wn AS (w ROWS BETWEEN 40 PRECEDING AND 40 FOLLOWING))
+      |         wc AS (w ROWS BETWEEN 10 PRECEDING AND 9 FOLLOWING),
+      |         wn AS (w ROWS BETWEEN 40 PRECEDING AND 39 FOLLOWING)),
+      |f AS (
+      |  SELECT *, rn >= 21 AND rn <= n_rows - 20 AS in_range,
+      |    (rn >= 21 AND rn <= n_rows - 20) AND low = min_c  AS is_support,
+      |    (rn >= 21 AND rn <= n_rows - 20) AND high = max_c AS is_resistance
+      |  FROM t)
       |SELECT user_id, bucket, round(low, 6) AS low, round(high, 6) AS high,
-      |  n_centered = 21 AND low = min_c  AS is_support,
-      |  n_centered = 21 AND high = max_c AS is_resistance,
-      |  support_touches, resistance_touches
-      |FROM t
-      |WHERE (n_centered = 21 AND low = min_c) OR (n_centered = 21 AND high = max_c)""".stripMargin
+      |  is_support, is_resistance, support_touches, resistance_touches,
+      |  round(CASE WHEN is_support THEN least(1.0, support_touches / 5.0) END, 6)
+      |    AS support_strength,
+      |  round(CASE WHEN is_resistance THEN least(1.0, resistance_touches / 5.0) END, 6)
+      |    AS resistance_strength,
+      |  CASE WHEN is_support AND support_touches >= 4 THEN 'high'
+      |       WHEN is_support THEN 'medium' END AS support_confidence,
+      |  CASE WHEN is_resistance AND resistance_touches >= 4 THEN 'high'
+      |       WHEN is_resistance THEN 'medium' END AS resistance_confidence
+      |FROM f
+      |WHERE (is_support AND support_touches >= 2)
+      |   OR (is_resistance AND resistance_touches >= 2)""".stripMargin
 
   // ---------------------------------------------------------------- W30/W31/W33
   /** W30+W31+W33 — trend change, breakout, strategy signals
