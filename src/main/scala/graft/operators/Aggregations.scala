@@ -286,7 +286,7 @@ object Aggregations {
   def a13PatternSummary(spark: SparkSession, dir: String): DataFrame = {
     val p = WindowsAdvanced.w32CandlePatterns(spark, dir)
     val names = Seq("doji", "hammer", "shooting_star",
-      "bullish_engulfing", "bearish_engulfing", "morning_star")
+      "bullish_engulfing", "bearish_engulfing", "morning_star", "evening_star")
     p.select(
         col("bucket"), col("pattern_strength"),
         expr(s"stack(${names.size}, " +
@@ -307,7 +307,8 @@ object Aggregations {
       |  UNION ALL SELECT 'shooting_star', is_shooting_star, bucket, pattern_strength FROM patterns
       |  UNION ALL SELECT 'bullish_engulfing', is_bullish_engulfing, bucket, pattern_strength FROM patterns
       |  UNION ALL SELECT 'bearish_engulfing', is_bearish_engulfing, bucket, pattern_strength FROM patterns
-      |  UNION ALL SELECT 'morning_star', is_morning_star, bucket, pattern_strength FROM patterns)
+      |  UNION ALL SELECT 'morning_star', is_morning_star, bucket, pattern_strength FROM patterns
+      |  UNION ALL SELECT 'evening_star', is_evening_star, bucket, pattern_strength FROM patterns)
       |SELECT pattern, count(*) AS n_detected,
       |       round(avg(pattern_strength), 6) AS avg_strength,
       |       max(bucket) AS last_seen

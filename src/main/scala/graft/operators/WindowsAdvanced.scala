@@ -476,7 +476,14 @@ object WindowsAdvanced {
 
   // ---------------------------------------------------------------- W32
   /** W32 — candlestick patterns (`pattern_detection.py:102-286`): one
-    * select of anatomy + lag-1/lag-2 comparisons. */
+    * select of anatomy + lag-1/lag-2 comparisons, thresholds exactly as
+    * the reference's detectors — doji body ≤ 10% of range (`:115`),
+    * hammer 60/30/10 shadow-body-shadow ratios after a bearish candle
+    * (`:150-153`), engulfing requires the larger body (`:189-192`),
+    * morning/evening star = 30% star body + mid-recovery (`:244-276`).
+    * `is_shooting_star` is the hammer mirror — the reference declares the
+    * enum value (`:20`) but never wires a detector, so this is a
+    * documented superset. */
   def w32CandlePatterns(spark: SparkSession, dir: String): DataFrame = {
     val body = abs(col("close") - col("open"))
     val rng = col("high") - col("low")
@@ -494,17 +501,22 @@ object WindowsAdvanced {
     val bull1 = col("c1") > col("o1")
     val body2 = abs(col("c2") - col("o2"))
     val bear2 = col("c2") < col("o2")
+    val bull2 = col("c2") > col("o2")
     base.select(
       col("user_id"), col("bucket"),
-      (body < lit(0.1) * rng).as("is_doji"),
-      (loSh > lit(2.0) * body && upSh < body).as("is_hammer"),
-      (upSh > lit(2.0) * body && loSh < body).as("is_shooting_star"),
-      (bull && bear1 && col("close") > col("o1") && col("open") < col("c1"))
-        .as("is_bullish_engulfing"),
-      (bear && bull1 && col("open") > col("c1") && col("close") < col("o1"))
-        .as("is_bearish_engulfing"),
-      (bull && bear2 && body1 < lit(0.3) * body2 &&
+      (rng > 0 && body <= lit(0.1) * rng).as("is_doji"),
+      (rng > 0 && body > 0 && loSh >= lit(0.6) * rng &&
+        body <= lit(0.3) * rng && upSh <= lit(0.1) * rng && bear1).as("is_hammer"),
+      (rng > 0 && body > 0 && upSh >= lit(0.6) * rng &&
+        body <= lit(0.3) * rng && loSh <= lit(0.1) * rng && bull1).as("is_shooting_star"),
+      (bear1 && bull && col("open") < col("c1") && col("close") > col("o1") &&
+        body > body1).as("is_bullish_engulfing"),
+      (bull1 && bear && col("open") > col("c1") && col("close") < col("o1") &&
+        body > body1).as("is_bearish_engulfing"),
+      (bear2 && body1 < lit(0.3) * body2 && bull &&
         col("close") > (col("o2") + col("c2")) / 2).as("is_morning_star"),
+      (bull2 && body1 < lit(0.3) * body2 && bear &&
+        col("close") < (col("o2") + col("c2")) / 2).as("is_evening_star"),
       round(safeDiv(body, rng), 6).as("pattern_strength"))
   }
 
@@ -519,15 +531,25 @@ object WindowsAdvanced {
       |  FROM candles WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
       |patterns AS (
       |  SELECT user_id, bucket,
-      |    abs(close - open) < 0.1 * (high - low) AS is_doji,
-      |    (least(open, close) - low) > 2.0 * abs(close - open)
-      |      AND (high - greatest(open, close)) < abs(close - open) AS is_hammer,
-      |    (high - greatest(open, close)) > 2.0 * abs(close - open)
-      |      AND (least(open, close) - low) < abs(close - open) AS is_shooting_star,
-      |    close > open AND c1 < o1 AND close > o1 AND open < c1 AS is_bullish_engulfing,
-      |    close < open AND c1 > o1 AND open > c1 AND close < o1 AS is_bearish_engulfing,
-      |    close > open AND c2 < o2 AND abs(c1 - o1) < 0.3 * abs(c2 - o2)
+      |    (high - low) > 0 AND abs(close - open) <= 0.1 * (high - low) AS is_doji,
+      |    (high - low) > 0 AND abs(close - open) > 0
+      |      AND (least(open, close) - low) >= 0.6 * (high - low)
+      |      AND abs(close - open) <= 0.3 * (high - low)
+      |      AND (high - greatest(open, close)) <= 0.1 * (high - low)
+      |      AND c1 < o1 AS is_hammer,
+      |    (high - low) > 0 AND abs(close - open) > 0
+      |      AND (high - greatest(open, close)) >= 0.6 * (high - low)
+      |      AND abs(close - open) <= 0.3 * (high - low)
+      |      AND (least(open, close) - low) <= 0.1 * (high - low)
+      |      AND c1 > o1 AS is_shooting_star,
+      |    c1 < o1 AND close > open AND open < c1 AND close > o1
+      |      AND abs(close - open) > abs(c1 - o1) AS is_bullish_engulfing,
+      |    c1 > o1 AND close < open AND open > c1 AND close < o1
+      |      AND abs(close - open) > abs(c1 - o1) AS is_bearish_engulfing,
+      |    c2 < o2 AND abs(c1 - o1) < 0.3 * abs(c2 - o2) AND close > open
       |      AND close > (o2 + c2) / 2 AS is_morning_star,
+      |    c2 > o2 AND abs(c1 - o1) < 0.3 * abs(c2 - o2) AND close < open
+      |      AND close < (o2 + c2) / 2 AS is_evening_star,
       |    round(abs(close - open) / nullif(high - low, 0), 6) AS pattern_strength
       |  FROM t)""".stripMargin
 

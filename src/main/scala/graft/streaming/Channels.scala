@@ -214,9 +214,12 @@ object Channels {
             val doji = if (rng > 0 && body < 0.1 * rng)
               Some(PatternAlert(symbol, c.bucket, "doji", 1.0 - strength, c.close)) else None
             val engulf = hist.lastOption.flatMap { p =>
-              if (c.close > c.open && p.close < p.open && c.close > p.open && c.open < p.close)
+              val pBody = math.abs(p.close - p.open)
+              if (c.close > c.open && p.close < p.open && c.close > p.open &&
+                  c.open < p.close && body > pBody)
                 Some(PatternAlert(symbol, c.bucket, "bullish_engulfing", strength, c.close))
-              else if (c.close < c.open && p.close > p.open && c.open > p.close && c.close < p.open)
+              else if (c.close < c.open && p.close > p.open && c.open > p.close &&
+                  c.close < p.open && body > pBody)
                 Some(PatternAlert(symbol, c.bucket, "bearish_engulfing", strength, c.close))
               else None
             }
