@@ -298,6 +298,9 @@ object Similarity {
       .filter(col("sd") > 0)
       .select(col("user_id"), col("bucket").as("end_bucket"),
         transform(col("closes"), x => (x - col("m")) / col("sd")).as("z"))
+      // cached: read once as the query side (latest window) and once as
+      // the corpus side — without this the candle+window chain runs twice
+      .cache()
     val q = wins.filter(col("user_id") === 0)
       .orderBy(col("end_bucket").desc).limit(1)
       .select(col("z").as("qz"), col("end_bucket").as("q_end"))
