@@ -358,7 +358,48 @@ object Dedup {
       |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
       |      (a.nrm * b.nrm) >= 0.4""".stripMargin
 
+  // ---------------------------------------------------------------- clusters
+  /** Connected components over the near-dup pair graph — the keep-one
+    * stage every dedup pipeline ends with (pairs alone don't say which
+    * doc to drop when duplicates chain A≈B≈C). Iterative min-label
+    * propagation: each round every node takes the minimum label in its
+    * closed neighborhood; converges in O(component diameter) rounds and
+    * near-dup components are clique-ish, so 2–4 rounds in practice
+    * (capped at 20; at web scale the same loop runs with the
+    * large-star/small-star optimization, identical join shape).
+    * Cluster id = min doc_id of the component. Rows-only check; the
+    * invariants (pairs co-clustered, label = component min) are
+    * spec-pinned. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters"       -> (dedupClusters _),
     "dedup_exact"          -> (dedupExact _),
     "dedup_minhash_sig"    -> (minhashSignatures _),
     "dedup_minhash_lsh"    -> (minhashLshPairs _),

@@ -1,0 +1,54 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup cluster assignment (connected components): correctness on the
+  * real pair graph plus the invariants labels must satisfy. */
+class DedupSpec extends SparkSpec {
+
+  // sf0.01: sf0.001's corpus yields too few near-dup pairs to exercise
+  // chaining; the driver's correctness gate runs at sf0.01 anyway
+  private val dir = "/root/testdata/sf0.01"
+
+  test("every near-dup pair lands in the same cluster, labeled by its component minimum") {
+    val clusters = Dedup.dedupClusters(spark, dir).cache()
+    val pairs = Dedup.minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    assert(pairs.count() > 0)
+    // co-clustering: both endpoints of every pair share a label
+    val split = pairs
+      .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(clusters.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split == 0, s"$split pairs split across clusters")
+    // the label IS a member, and it is the minimum of its cluster
+    val badLabel = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("min_member"))
+      .filter(col("cluster_id") =!= col("min_member")).count()
+    assert(badLabel == 0)
+    // every clustered doc appears exactly once
+    val dup = clusters.groupBy(col("doc_id")).count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
+  test("label propagation resolves a chained component to one cluster") {
+    import spark.implicits._
+    // A≈B, B≈C, D≈E: two components {A,B,C} and {D,E} — the chain forces
+    // at least two propagation rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    (1 to 5).foreach { _ =>
+      val nm = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id")).agg(min(col("label")).as("nlabel"))
+      labels = labels.join(nm, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+  }
+}
