@@ -64,11 +64,40 @@ object Relational {
         |  round(low, 6)  AS low,  round(close, 6) AS close, volume
         |FROM candles""".stripMargin
 
+  /** A4 full endpoint shape (`repository.py:445-466`): per-key daily
+    * buckets with ordered first/last, `bool_or` flags, newest-first
+    * pagination — bucket agg + TakeOrdered + native offset in one plan. */
+  def a4ResamplePaged(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") === 3)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(
+        round(min_by(col("value"), col("ts")), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(max_by(col("value"), col("ts")), 6).as("close"),
+        count(lit(1)).as("volume"),
+        round(avg(col("value")), 6).as("avg_value"),
+        bool_or(col("value") > 190).as("is_outlier"))
+      .orderBy(col("bucket").desc)
+      .offset(2).limit(10)
+
+  val a4PagedSql: String =
+    """SELECT date_trunc('day', ts) AS bucket,
+      |  round(arg_min(value, ts), 6) AS open, round(max(value), 6) AS high,
+      |  round(min(value), 6) AS low,  round(arg_max(value, ts), 6) AS close,
+      |  count(*) AS volume, round(avg(value), 6) AS avg_value,
+      |  bool_or(value > 190) AS is_outlier
+      |FROM events WHERE user_id = 3
+      |GROUP BY 1 ORDER BY bucket DESC LIMIT 10 OFFSET 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"      -> (q1Agg _),
-    "a4_resample" -> (a4Resample _))
+    "a4_resample" -> (a4Resample _),
+    "a4_resample_paged" -> (a4ResamplePaged _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg"      -> q1AggSql,
-    "a4_resample" -> a4ResampleSql)
+    "a4_resample" -> a4ResampleSql,
+    "a4_resample_paged" -> a4PagedSql)
 }
