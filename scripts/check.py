@@ -65,7 +65,20 @@ def main():
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             continue
         if spark_df.equals(duck_df):
-            print(f"ok   {name} ({len(spark_df)} rows)")
+            # equals() treats -0.0 == +0.0, but the driver byte-hashes; check sign bits
+            import numpy as np
+            sign_cols = []
+            for c in spark_df.columns:
+                if pd.api.types.is_float_dtype(spark_df[c]):
+                    a, b = spark_df[c].to_numpy(), duck_df[c].to_numpy()
+                    zero = (a == 0) & (b == 0)
+                    if (np.signbit(a[zero]) != np.signbit(b[zero])).any():
+                        sign_cols.append(c)
+            if sign_cols:
+                failures.append(name)
+                print(f"FAIL {name}: -0.0/+0.0 sign mismatch in cols {sign_cols} (driver hash would fail)")
+            else:
+                print(f"ok   {name} ({len(spark_df)} rows)")
         else:
             # locate first differing cells for debugging
             failures.append(name)

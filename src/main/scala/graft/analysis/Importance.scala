@@ -89,7 +89,7 @@ object Importance {
     * consensus oracles. */
   val corrScoresCte: String =
     """scores AS (
-      |  SELECT 'ret_1' AS feature, round(abs(corr(ret_1, target)), 6) AS abs_corr FROM feat
+      |  SELECT 'ret_1' AS feature, round(abs(corr(ret_1, target)), 6) + 0 AS abs_corr FROM feat
       |  UNION ALL SELECT 'vol_5', round(abs(corr(vol_5, target)), 6) FROM feat
       |  UNION ALL SELECT 'mom_5', round(abs(corr(mom_5, target)), 6) FROM feat
       |  UNION ALL SELECT 'rng_ratio', round(abs(corr(rng_ratio, target)), 6) FROM feat
@@ -156,7 +156,7 @@ object Importance {
       |  FROM joint),
       |mi AS (
       |  SELECT feature,
-      |    round(sum((nxy * 1.0 / n) * ln((nxy * 1.0 * n) / (nx * 1.0 * ny))), 6) AS mutual_info
+      |    round(sum((nxy * 1.0 / n) * ln((nxy * 1.0 * n) / (nx * 1.0 * ny))), 6) + 0 AS mutual_info
       |  FROM m GROUP BY feature)""".stripMargin
 
   val miImportanceSql: String = featureFrameSql + ",\n" + miCtes +
@@ -195,7 +195,7 @@ object Importance {
       |  UNION ALL SELECT 'mom_5', mom_5, n FROM c
       |  UNION ALL SELECT 'rng_ratio', rng_ratio, n FROM c
       |  UNION ALL SELECT 'body_ratio', body_ratio, n FROM c),
-      |fs AS (SELECT feature, round(r * r * (n - 2) / (1.0 - r * r), 6) AS f_stat FROM s)
+      |fs AS (SELECT feature, round(r * r * (n - 2) / (1.0 - r * r), 6) + 0 AS f_stat FROM s)
       |SELECT feature, f_stat,
       |       CAST(row_number() OVER (ORDER BY f_stat DESC, feature) AS INT) AS rank
       |FROM fs""".stripMargin
@@ -230,7 +230,7 @@ object Importance {
       |  SELECT feature, row_number() OVER (ORDER BY mutual_info DESC, feature) AS rank_mi
       |  FROM mi)
       |SELECT feature, CAST(rank_corr AS INT) AS rank_corr, CAST(rank_mi AS INT) AS rank_mi,
-      |       round((rank_corr + rank_mi) / 2.0, 1) AS avg_rank,
+      |       round((rank_corr + rank_mi) / 2.0, 1) + 0 AS avg_rank,
       |       CAST(row_number() OVER (ORDER BY round((rank_corr + rank_mi) / 2.0, 1), feature) AS INT)
       |         AS consensus_rank
       |FROM cr JOIN mr USING (feature)""".stripMargin

@@ -27,8 +27,8 @@ object Aggregations {
 
   val a1Sql: String =
     """SELECT count(*) AS n,
-      |  round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
-      |  round(avg(value), 6) AS avg_value, round(stddev_samp(value), 6) AS std_value,
+      |  round(min(value), 6) + 0 AS min_value, round(max(value), 6) + 0 AS max_value,
+      |  round(avg(value), 6) + 0 AS avg_value, round(stddev_samp(value), 6) + 0 AS std_value,
       |  CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
       |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events WHERE ts >= TIMESTAMP '2024-01-03'""".stripMargin
@@ -41,7 +41,7 @@ object Aggregations {
            round(avg(col("value")), 6).as("avg_value"))
 
   val a2Sql: String =
-    """SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+    """SELECT event_type, count(*) AS n, round(avg(value), 6) + 0 AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** A3 — two-key distribution over the documents corpus. */
@@ -54,7 +54,7 @@ object Aggregations {
 
   val a3Sql: String =
     """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-      |       round(avg(n_chars), 6) AS avg_chars
+      |       round(avg(n_chars), 6) + 0 AS avg_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 
   /** A5 — daily stats rollup with FILTERed counts
@@ -74,9 +74,9 @@ object Aggregations {
 
   val a5Sql: String =
     """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
-      |  round(arg_min(value, ts), 6) AS first_value,
-      |  round(arg_max(value, ts), 6) AS last_value,
-      |  round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+      |  round(arg_min(value, ts), 6) + 0 AS first_value,
+      |  round(arg_max(value, ts), 6) + 0 AS last_value,
+      |  round(min(value), 6) + 0 AS min_value, round(max(value), 6) + 0 AS max_value,
       |  CAST(count(*) FILTER (WHERE value > 190) AS BIGINT) AS n_outlier
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -95,10 +95,10 @@ object Aggregations {
 
   val a6Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 6) AS pct_high,
-      |  round(avg(CASE WHEN value <= 0 THEN 1.0 ELSE 0.0 END), 6) AS pct_nonpositive,
-      |  round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
-      |  round(avg(value), 6) AS mean_value
+      |  round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 6) + 0 AS pct_high,
+      |  round(avg(CASE WHEN value <= 0 THEN 1.0 ELSE 0.0 END), 6) + 0 AS pct_nonpositive,
+      |  round(min(value), 6) + 0 AS min_value, round(max(value), 6) + 0 AS max_value,
+      |  round(avg(value), 6) + 0 AS mean_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** A7 — normalization fit+apply (`normalizer.py:138-174`): fit minmax +
@@ -120,8 +120,8 @@ object Aggregations {
 
   val a7Sql: String =
     """SELECT event_id,
-      |  round((value - min(value) OVER ()) / (max(value) OVER () - min(value) OVER ()), 6) AS minmax,
-      |  round((value - avg(value) OVER ()) / stddev_samp(value) OVER (), 6) AS zscore
+      |  round((value - min(value) OVER ()) / (max(value) OVER () - min(value) OVER ()), 6) + 0 AS minmax,
+      |  round((value - avg(value) OVER ()) / stddev_samp(value) OVER (), 6) + 0 AS zscore
       |FROM events""".stripMargin
 
   /** A7b — robust scaler fit (`normalizer.py:165-171`): median/q25/q75 via
@@ -138,10 +138,10 @@ object Aggregations {
 
   val a7RobustSql: String =
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.25), 6) AS q25,
-      |  round(quantile_cont(value, 0.50), 6) AS median,
-      |  round(quantile_cont(value, 0.75), 6) AS q75,
-      |  round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+      |  round(quantile_cont(value, 0.25), 6) + 0 AS q25,
+      |  round(quantile_cont(value, 0.50), 6) + 0 AS median,
+      |  round(quantile_cont(value, 0.75), 6) + 0 AS q75,
+      |  round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) + 0 AS iqr
       |FROM events GROUP BY event_type""".stripMargin
 
   /** A8 — completeness / gap percentage (`data_validator.py:251-290`):
@@ -161,7 +161,7 @@ object Aggregations {
       |  CAST(floor(date_diff('second', min(ts), max(ts)) / 3600) + 1 AS BIGINT) AS expected_hours,
       |  count(DISTINCT date_trunc('hour', ts)) AS observed_hours,
       |  round(count(DISTINCT date_trunc('hour', ts)) * 100.0 /
-      |        (floor(date_diff('second', min(ts), max(ts)) / 3600) + 1), 6) AS completeness_pct
+      |        (floor(date_diff('second', min(ts), max(ts)) / 3600) + 1), 6) + 0 AS completeness_pct
       |FROM events GROUP BY user_id""".stripMargin
 
   /** A9 — outlier detection, z-score ∪ IQR (`data_validator.py:292-331`):
@@ -221,8 +221,8 @@ object Aggregations {
       |         WHEN extract(hour FROM ts) < 9  THEN 'tokyo'
       |         WHEN extract(hour FROM ts) < 16 THEN 'london'
       |         ELSE 'new_york' END AS session,
-      |       count(*) AS n, round(avg(value), 6) AS avg_value,
-      |       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+      |       count(*) AS n, round(avg(value), 6) + 0 AS avg_value,
+      |       round(min(value), 6) + 0 AS min_value, round(max(value), 6) + 0 AS max_value,
       |       count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
@@ -236,7 +236,7 @@ object Aggregations {
 
   val a5RollupSql: String =
     """SELECT event_type, date_trunc('day', ts) AS day,
-      |       count(*) AS n, round(avg(value), 6) AS avg_value
+      |       count(*) AS n, round(avg(value), 6) + 0 AS avg_value
       |FROM events GROUP BY ROLLUP (event_type, date_trunc('day', ts))""".stripMargin
 
   /** A12 — microstructure metrics (`premium_data_provider.py:202-285`):
@@ -272,12 +272,12 @@ object Aggregations {
       |    abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dmid
       |  FROM events)
       |SELECT user_id, count(*) AS n_ticks,
-      |  round(avg(spread), 6) AS avg_spread,
-      |  round(stddev_samp(spread), 6) AS std_spread,
-      |  round(count(*) * 3600.0 / date_diff('second', min(ts), max(ts)), 6) AS ticks_per_hour,
-      |  round(avg(dmid), 6) AS avg_impact,
+      |  round(avg(spread), 6) + 0 AS avg_spread,
+      |  round(stddev_samp(spread), 6) + 0 AS std_spread,
+      |  round(count(*) * 3600.0 / date_diff('second', min(ts), max(ts)), 6) + 0 AS ticks_per_hour,
+      |  round(avg(dmid), 6) + 0 AS avg_impact,
       |  round((count(*) * 3600.0 / date_diff('second', min(ts), max(ts))) /
-      |        (1.0 + 10000.0 * avg(spread)), 6) AS liquidity_score
+      |        (1.0 + 10000.0 * avg(spread)), 6) + 0 AS liquidity_score
       |FROM t GROUP BY user_id""".stripMargin
 
   /** A13 — pattern summary (`pattern_detection.py:506-547`): stack the
@@ -310,7 +310,7 @@ object Aggregations {
       |  UNION ALL SELECT 'morning_star', is_morning_star, bucket, pattern_strength FROM patterns
       |  UNION ALL SELECT 'evening_star', is_evening_star, bucket, pattern_strength FROM patterns)
       |SELECT pattern, count(*) AS n_detected,
-      |       round(avg(pattern_strength), 6) AS avg_strength,
+      |       round(avg(pattern_strength), 6) + 0 AS avg_strength,
       |       max(bucket) AS last_seen
       |FROM s WHERE detected GROUP BY pattern""".stripMargin
 

@@ -48,8 +48,8 @@ object EmaFamily {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
        |         wg AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT user_id, bucket,
-       |  round(sum(close * u12) OVER wg / sum(u12) OVER wg, 6) AS ema_12,
-       |  round(sum(close * u26) OVER wg / sum(u26) OVER wg, 6) AS ema_26
+       |  round(sum(close * u12) OVER wg / sum(u12) OVER wg, 6) + 0 AS ema_12,
+       |  round(sum(close * u26) OVER wg / sum(u26) OVER wg, 6) + 0 AS ema_26
        |FROM u
        |WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
        |       wg AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
@@ -91,9 +91,9 @@ object EmaFamily {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
        |         wg AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT user_id, bucket,
-       |  round(macd, 6) AS macd,
-       |  round(sum(macd * u9) OVER wg / sum(u9) OVER wg, 6) AS macd_signal,
-       |  round(macd - sum(macd * u9) OVER wg / sum(u9) OVER wg, 6) AS macd_histogram
+       |  round(macd, 6) + 0 AS macd,
+       |  round(sum(macd * u9) OVER wg / sum(u9) OVER wg, 6) + 0 AS macd_signal,
+       |  round(macd - sum(macd * u9) OVER wg / sum(u9) OVER wg, 6) + 0 AS macd_histogram
        |FROM s
        |WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
        |       wg AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
@@ -148,7 +148,7 @@ object EmaFamily {
        |  round(CASE WHEN g IS NULL OR l IS NULL THEN NULL
        |             WHEN l = 0 AND g = 0 THEN NULL
        |             WHEN l = 0 THEN 100.0
-       |             ELSE 100.0 - 100.0 / (1.0 + g / l) END, 6) AS rsi_ewm_14
+       |             ELSE 100.0 - 100.0 / (1.0 + g / l) END, 6) + 0 AS rsi_ewm_14
        |FROM e""".stripMargin
 
   // ---------------------------------------------------------------- W8 (ewm)
@@ -182,7 +182,7 @@ object EmaFamily {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
        |         wg AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT user_id, bucket,
-       |  round(sum(tr * ut) OVER wg / sum(ut) OVER wg, 6) AS atr_ewm_14
+       |  round(sum(tr * ut) OVER wg / sum(ut) OVER wg, 6) + 0 AS atr_ewm_14
        |FROM u
        |WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
        |       wg AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin

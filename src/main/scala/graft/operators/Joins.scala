@@ -32,7 +32,7 @@ object Joins {
 
   val j1Sql: String =
     """SELECT n_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) + 0 AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -69,7 +69,7 @@ object Joins {
 
   val j3Sql: String =
     """SELECT o_orderstatus, count(*) AS n_orders,
-      |       round(sum(o_totalprice), 4) AS sum_totalprice
+      |       round(sum(o_totalprice), 4) + 0 AS sum_totalprice
       |FROM orders
       |WHERE EXISTS (SELECT 1 FROM lineitem
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
@@ -127,7 +127,7 @@ object Joins {
       |    CASE WHEN count(close) OVER w5 = 5 THEN round(avg(close) OVER w5, 6) END AS sma_5
       |  FROM unioned
       |  WINDOW w5 AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
-      |SELECT user_id, bucket, round(close, 6) AS close, sma_5
+      |SELECT user_id, bucket, round(close, 6) + 0 AS close, sma_5
       |FROM f WHERE is_current""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

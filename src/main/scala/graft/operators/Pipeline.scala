@@ -99,14 +99,14 @@ object Pipeline {
       |         w20 AS (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
       |fit AS (SELECT avg(close) AS c_mean, stddev_samp(close) AS c_std FROM f)
       |SELECT user_id, bucket, session,
-      |  round(close, 6) AS close,
-      |  round(high_fixed, 6) AS high_fixed,
-      |  round(low_fixed, 6) AS low_fixed,
-      |  round(ret_1, 6) AS ret_1,
-      |  round(sma_20, 6) AS sma_20,
-      |  round(sma_20 + 2 * bb_std, 6) AS bb_up,
-      |  round(sma_20 - 2 * bb_std, 6) AS bb_lo,
-      |  round((close - c_mean) / c_std, 6) AS close_z
+      |  round(close, 6) + 0 AS close,
+      |  round(high_fixed, 6) + 0 AS high_fixed,
+      |  round(low_fixed, 6) + 0 AS low_fixed,
+      |  round(ret_1, 6) + 0 AS ret_1,
+      |  round(sma_20, 6) + 0 AS sma_20,
+      |  round(sma_20 + 2 * bb_std, 6) + 0 AS bb_up,
+      |  round(sma_20 - 2 * bb_std, 6) + 0 AS bb_lo,
+      |  round((close - c_mean) / c_std, 6) + 0 AS close_z
       |FROM f, fit""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -36,8 +36,8 @@ object QualityOps {
       |    CASE WHEN user_id % 7 = 0 THEN high ELSE low  END AS low_b
       |  FROM candles)
       |SELECT user_id, bucket,
-      |  round(greatest(high_b, open, close), 6) AS high_fixed,
-      |  round(least(low_b, open, close), 6) AS low_fixed,
+      |  round(greatest(high_b, open, close), 6) + 0 AS high_fixed,
+      |  round(least(low_b, open, close), 6) + 0 AS low_fixed,
       |  high_b < greatest(open, close) OR low_b > least(open, close) AS was_repaired
       |FROM b""".stripMargin
 
@@ -115,7 +115,7 @@ object QualityOps {
       |               prev_close + (next_close - prev_close) *
       |                 (CAST(date_diff('second', prev_ts, bucket) AS DOUBLE) /
       |                  CAST(date_diff('second', prev_ts, next_ts) AS DOUBLE))
-      |        END, 6) AS close_filled,
+      |        END, 6) + 0 AS close_filled,
       |  CAST(coalesce(volume, 0) AS BIGINT) AS volume_filled,
       |  close IS NULL AND gap_hours BETWEEN 1 AND 5 AS is_gap_fill
       |FROM y""".stripMargin
@@ -173,8 +173,8 @@ object QualityOps {
       |        - (CASE WHEN n < 10 THEN 0.2 ELSE 0.0 END)) AS score
       |  FROM s)
       |SELECT user_id, n,
-      |  round(outlier_pct, 6) AS outlier_pct, round(gap_pct, 6) AS gap_pct,
-      |  round(score, 6) AS quality_score,
+      |  round(outlier_pct, 6) + 0 AS outlier_pct, round(gap_pct, 6) + 0 AS gap_pct,
+      |  round(score, 6) + 0 AS quality_score,
       |  CASE WHEN score >= 0.95 THEN 'excellent' WHEN score >= 0.80 THEN 'good'
       |       WHEN score >= 0.60 THEN 'fair' ELSE 'poor' END AS quality_level
       |FROM sc""".stripMargin

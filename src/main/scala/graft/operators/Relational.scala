@@ -32,13 +32,13 @@ object Relational {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4)        AS sum_qty,
-      |  round(sum(l_extendedprice), 4)   AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-      |  round(avg(l_quantity), 6)        AS avg_qty,
-      |  round(avg(l_extendedprice), 6)   AS avg_price,
-      |  round(avg(l_discount), 6)        AS avg_disc,
+      |  round(sum(l_quantity), 4) + 0        AS sum_qty,
+      |  round(sum(l_extendedprice), 4) + 0   AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) + 0 AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) + 0 AS sum_charge,
+      |  round(avg(l_quantity), 6) + 0        AS avg_qty,
+      |  round(avg(l_extendedprice), 6) + 0   AS avg_price,
+      |  round(avg(l_discount), 6) + 0        AS avg_disc,
       |  count(*)                         AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -60,8 +60,8 @@ object Relational {
     Tables.candlesSql +
       """
         |SELECT user_id, bucket,
-        |  round(open, 6) AS open, round(high, 6) AS high,
-        |  round(low, 6)  AS low,  round(close, 6) AS close, volume
+        |  round(open, 6) + 0 AS open, round(high, 6) + 0 AS high,
+        |  round(low, 6) + 0  AS low,  round(close, 6) + 0 AS close, volume
         |FROM candles""".stripMargin
 
   /** A4 full endpoint shape (`repository.py:445-466`): per-key daily
@@ -84,9 +84,9 @@ object Relational {
 
   val a4PagedSql: String =
     """SELECT date_trunc('day', ts) AS bucket,
-      |  round(arg_min(value, ts), 6) AS open, round(max(value), 6) AS high,
-      |  round(min(value), 6) AS low,  round(arg_max(value, ts), 6) AS close,
-      |  count(*) AS volume, round(avg(value), 6) AS avg_value,
+      |  round(arg_min(value, ts), 6) + 0 AS open, round(max(value), 6) + 0 AS high,
+      |  round(min(value), 6) + 0 AS low,  round(arg_max(value, ts), 6) + 0 AS close,
+      |  count(*) AS volume, round(avg(value), 6) + 0 AS avg_value,
       |  bool_or(value > 190) AS is_outlier
       |FROM events WHERE user_id = 3
       |GROUP BY 1 ORDER BY bucket DESC LIMIT 10 OFFSET 2""".stripMargin

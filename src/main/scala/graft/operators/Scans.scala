@@ -181,7 +181,7 @@ object Scans {
       |  FROM events),
       |scored AS (
       |  SELECT event_id, h,
-      |    round(raw_score / max(raw_score) OVER (), 6) AS liquidity_score
+      |    round(raw_score / max(raw_score) OVER (), 6) + 0 AS liquidity_score
       |  FROM base)
       |SELECT event_id,
       |  CASE WHEN h BETWEEN 13 AND 17 THEN 'london_new_york'

@@ -88,8 +88,8 @@ object Segmented {
 
   val w3SmaSegmentedSql: String =
     """SELECT event_id,
-      |  round(CASE WHEN count(value) OVER w20 = 20 THEN avg(value) OVER w20 END, 6) AS sma_20,
-      |  round(CASE WHEN count(value) OVER w20 = 20 THEN max(value) OVER w20 END, 6) AS max_20
+      |  round(CASE WHEN count(value) OVER w20 = 20 THEN avg(value) OVER w20 END, 6) + 0 AS sma_20,
+      |  round(CASE WHEN count(value) OVER w20 = 20 THEN max(value) OVER w20 END, 6) + 0 AS max_20
       |FROM events
       |WINDOW w20 AS (ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin
 

@@ -30,7 +30,7 @@ object Sources {
 
   val s3Sql: String =
     """SELECT event_id, ts, user_id, lower(trim(event_type)) AS event_type,
-      |       round(greatest(value, 0.0), 6) AS value
+      |       round(greatest(value, 0.0), 6) + 0 AS value
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
       |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t
       |WHERE rn = 1""".stripMargin
@@ -65,7 +65,7 @@ object Sources {
 
   val s6Sql: String =
     """SELECT date_trunc('day', ts) AS day, event_type,
-      |  round(sum(value * abs(value)) / sum(abs(value)), 6) AS vwap,
+      |  round(sum(value * abs(value)) / sum(abs(value)), 6) + 0 AS vwap,
       |  count(*) AS transactions
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -88,7 +88,7 @@ object Sources {
       |SELECT user_id,
       |       bucket + to_minutes(CAST(i * 6 AS BIGINT)) AS tick_ts,
       |       CAST(i AS INT) AS i,
-      |       round(open + (close - open) * (i / 9.0), 6) AS mid
+      |       round(open + (close - open) * (i / 9.0), 6) + 0 AS mid
       |FROM candles, unnest(generate_series(0, 9)) AS t(i)
       |WHERE user_id < 10""".stripMargin
 
@@ -119,9 +119,9 @@ object Sources {
   val s8Sql: String = Tables.candlesSql +
     """, lv AS (
       |  SELECT user_id, bucket, level,
-      |    round(close * (1.0 - (level + 1) * 0.0001), 6) AS bid_price,
-      |    round(close * (1.0 + (level + 1) * 0.0001), 6) AS ask_price,
-      |    round(100.0 * pow(0.8, level), 6) AS size
+      |    round(close * (1.0 - (level + 1) * 0.0001), 6) + 0 AS bid_price,
+      |    round(close * (1.0 + (level + 1) * 0.0001), 6) + 0 AS ask_price,
+      |    round(100.0 * pow(0.8, level), 6) + 0 AS size
       |  FROM candles, unnest(generate_series(0, 4)) AS t(level)
       |  WHERE user_id < 5)
       |SELECT user_id, bucket,
@@ -161,9 +161,9 @@ object Sources {
       |         lag(indicator) OVER (PARTITION BY event_type ORDER BY day) AS prev,
       |         row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
       |  FROM daily)
-      |SELECT event_type, day AS latest_day, round(indicator, 6) AS indicator,
-      |       round(indicator - prev, 6) AS change,
-      |       round((indicator - prev) / prev * 100, 6) AS change_pct
+      |SELECT event_type, day AS latest_day, round(indicator, 6) + 0 AS indicator,
+      |       round(indicator - prev, 6) + 0 AS change,
+      |       round((indicator - prev) / prev * 100, 6) + 0 AS change_pct
       |FROM lagged WHERE rn = 1 AND prev IS NOT NULL""".stripMargin
 
   /** §2.11 — cyclical time encodings + categorical time-of-day + string
@@ -184,8 +184,8 @@ object Sources {
 
   val fnScalarSql: String =
     """SELECT event_id,
-      |  round(sin(extract(hour FROM ts) * (2 * pi() / 24)), 6) AS hour_sin,
-      |  round(cos(extract(hour FROM ts) * (2 * pi() / 24)), 6) AS hour_cos,
+      |  round(sin(extract(hour FROM ts) * (2 * pi() / 24)), 6) + 0 AS hour_sin,
+      |  round(cos(extract(hour FROM ts) * (2 * pi() / 24)), 6) + 0 AS hour_cos,
       |  dayofweek(ts) = 5 AS is_friday,
       |  dayofweek(ts) IN (0, 6) AS is_weekend,
       |  CAST(quarter(ts) AS INT) AS q,

@@ -64,11 +64,11 @@ object Windows {
   val w2w3Sql: String = Tables.candlesSql +
     """
       |SELECT user_id, bucket,
-      |  round(close - lag(close) OVER w, 6) AS close_diff,
-      |  round((close - lag(close) OVER w) / nullif(lag(close) OVER w, 0), 6) AS close_ret,
-      |  round(CASE WHEN count(close) OVER w5  = 5  THEN avg(close) OVER w5  END, 6) AS sma_5,
-      |  round(CASE WHEN count(close) OVER w10 = 10 THEN avg(close) OVER w10 END, 6) AS sma_10,
-      |  round(CASE WHEN count(close) OVER w20 = 20 THEN avg(close) OVER w20 END, 6) AS sma_20
+      |  round(close - lag(close) OVER w, 6) + 0 AS close_diff,
+      |  round((close - lag(close) OVER w) / nullif(lag(close) OVER w, 0), 6) + 0 AS close_ret,
+      |  round(CASE WHEN count(close) OVER w5  = 5  THEN avg(close) OVER w5  END, 6) + 0 AS sma_5,
+      |  round(CASE WHEN count(close) OVER w10 = 10 THEN avg(close) OVER w10 END, 6) + 0 AS sma_10,
+      |  round(CASE WHEN count(close) OVER w20 = 20 THEN avg(close) OVER w20 END, 6) + 0 AS sma_20
       |FROM candles
       |""".stripMargin + windowClause(5, 10, 20)
 
@@ -103,7 +103,7 @@ object Windows {
       |  round(CASE WHEN g IS NULL OR l IS NULL THEN NULL
       |             WHEN l = 0 AND g = 0 THEN NULL
       |             WHEN l = 0 THEN 100.0
-      |             ELSE 100.0 - 100.0 / (1.0 + g / l) END, 6) AS rsi_14
+      |             ELSE 100.0 - 100.0 / (1.0 + g / l) END, 6) + 0 AS rsi_14
       |FROM d3""".stripMargin
 
   // ---------------------------------------------------------------- W7
@@ -128,11 +128,11 @@ object Windows {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |         w20 AS (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
       |SELECT user_id, bucket,
-      |  round(mid, 6) AS bb_middle,
-      |  round(mid + 2 * sd, 6) AS bb_upper,
-      |  round(mid - 2 * sd, 6) AS bb_lower,
-      |  round((mid + 2 * sd - (mid - 2 * sd)) / nullif(mid, 0), 6) AS bb_width,
-      |  round((close - (mid - 2 * sd)) / nullif(mid + 2 * sd - (mid - 2 * sd), 0), 6) AS bb_pct_b
+      |  round(mid, 6) + 0 AS bb_middle,
+      |  round(mid + 2 * sd, 6) + 0 AS bb_upper,
+      |  round(mid - 2 * sd, 6) + 0 AS bb_lower,
+      |  round((mid + 2 * sd - (mid - 2 * sd)) / nullif(mid, 0), 6) + 0 AS bb_width,
+      |  round((close - (mid - 2 * sd)) / nullif(mid + 2 * sd - (mid - 2 * sd), 0), 6) + 0 AS bb_pct_b
       |FROM b""".stripMargin
 
   // ---------------------------------------------------------------- W8
@@ -157,8 +157,8 @@ object Windows {
       |    CASE WHEN pc IS NOT NULL
       |         THEN greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
       |  FROM t1)
-      |SELECT user_id, bucket, round(tr, 6) AS true_range,
-      |  round(CASE WHEN count(tr) OVER w14 = 14 THEN avg(tr) OVER w14 END, 6) AS atr_14
+      |SELECT user_id, bucket, round(tr, 6) + 0 AS true_range,
+      |  round(CASE WHEN count(tr) OVER w14 = 14 THEN avg(tr) OVER w14 END, 6) + 0 AS atr_14
       |FROM t2
       |WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |       w14 AS (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
@@ -184,10 +184,10 @@ object Windows {
       |    lag(close, 5) OVER w AS c5, lag(close, 10) OVER w AS c10
       |  FROM candles WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
       |SELECT user_id, bucket,
-      |  round(CASE WHEN count(ret) OVER w10 = 10 THEN stddev_samp(ret) OVER w10 END * 100, 6) AS volatility_10,
-      |  round(CASE WHEN count(ret) OVER w30 = 30 THEN stddev_samp(ret) OVER w30 END * 100, 6) AS volatility_30,
-      |  round(close / nullif(c5, 0) - 1, 6) AS momentum_5,
-      |  round(close / nullif(c10, 0) - 1, 6) AS momentum_10
+      |  round(CASE WHEN count(ret) OVER w10 = 10 THEN stddev_samp(ret) OVER w10 END * 100, 6) + 0 AS volatility_10,
+      |  round(CASE WHEN count(ret) OVER w30 = 30 THEN stddev_samp(ret) OVER w30 END * 100, 6) + 0 AS volatility_30,
+      |  round(close / nullif(c5, 0) - 1, 6) + 0 AS momentum_5,
+      |  round(close / nullif(c10, 0) - 1, 6) + 0 AS momentum_10
       |FROM r
       |""".stripMargin + windowClause(10, 30)
 
@@ -214,10 +214,10 @@ object Windows {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |         w20 AS (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
       |SELECT user_id, bucket,
-      |  round(hh, 6) AS resistance_20, round(ll, 6) AS support_20,
-      |  round((close - ll) / nullif(hh - ll, 0), 6) AS price_position,
-      |  round((close - ll) / nullif(close, 0), 6) AS dist_to_support,
-      |  round((hh - close) / nullif(close, 0), 6) AS dist_to_resistance
+      |  round(hh, 6) + 0 AS resistance_20, round(ll, 6) + 0 AS support_20,
+      |  round((close - ll) / nullif(hh - ll, 0), 6) + 0 AS price_position,
+      |  round((close - ll) / nullif(close, 0), 6) + 0 AS dist_to_support,
+      |  round((hh - close) / nullif(close, 0), 6) + 0 AS dist_to_resistance
       |FROM b""".stripMargin
 
   // ---------------------------------------------------------------- W13
@@ -235,10 +235,10 @@ object Windows {
   val w13Sql: String = Tables.candlesSql +
     """
       |SELECT user_id, bucket,
-      |  round(abs(close - open), 6) AS body,
-      |  round(high - low, 6) AS candle_range,
-      |  round(high - greatest(open, close), 6) AS upper_shadow,
-      |  round(least(open, close) - low, 6) AS lower_shadow,
+      |  round(abs(close - open), 6) + 0 AS body,
+      |  round(high - low, 6) + 0 AS candle_range,
+      |  round(high - greatest(open, close), 6) + 0 AS upper_shadow,
+      |  round(least(open, close) - low, 6) + 0 AS lower_shadow,
       |  abs(close - open) < 0.1 * (high - low) AS is_doji
       |FROM candles""".stripMargin
 
@@ -269,9 +269,9 @@ object Windows {
       |        WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |               w14 AS (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) t)
       |SELECT user_id, bucket,
-      |  round(williams_r, 6) AS williams_r,
-      |  round(stoch_k, 6) AS stoch_k,
-      |  round(CASE WHEN count(stoch_k) OVER w3 = 3 THEN avg(stoch_k) OVER w3 END, 6) AS stoch_d
+      |  round(williams_r, 6) + 0 AS williams_r,
+      |  round(stoch_k, 6) + 0 AS stoch_k,
+      |  round(CASE WHEN count(stoch_k) OVER w3 = 3 THEN avg(stoch_k) OVER w3 END, 6) + 0 AS stoch_d
       |FROM b
       |""".stripMargin + windowClause(3)
 
@@ -315,11 +315,11 @@ object Windows {
       |         w20 AS (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
       |         w14 AS (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
       |SELECT user_id, bucket,
-      |  round(ma_tp, 6) AS kc_middle,
-      |  round(ma_tp + 2.0 * atr, 6) AS kc_upper,
-      |  round(ma_tp - 2.0 * atr, 6) AS kc_lower,
-      |  round(dc_u, 6) AS dc_upper, round(dc_l, 6) AS dc_lower,
-      |  round((dc_u + dc_l) / 2, 6) AS dc_middle
+      |  round(ma_tp, 6) + 0 AS kc_middle,
+      |  round(ma_tp + 2.0 * atr, 6) + 0 AS kc_upper,
+      |  round(ma_tp - 2.0 * atr, 6) + 0 AS kc_lower,
+      |  round(dc_u, 6) + 0 AS dc_upper, round(dc_l, 6) + 0 AS dc_lower,
+      |  round((dc_u + dc_l) / 2, 6) + 0 AS dc_middle
       |FROM t3""".stripMargin
 
   // ---------------------------------------------------------------- W22/W35
@@ -339,9 +339,9 @@ object Windows {
       |  FROM candles)
       |SELECT user_id, bucket,
       |  round(sum(CASE WHEN dc > 0 THEN high - low
-      |                 WHEN dc < 0 THEN -(high - low) ELSE 0.0 END) OVER wc, 6) AS obv,
-      |  round(max(close) OVER wc, 6) AS running_peak,
-      |  round((max(close) OVER wc - close) / nullif(max(close) OVER wc, 0), 6) AS drawdown
+      |                 WHEN dc < 0 THEN -(high - low) ELSE 0.0 END) OVER wc, 6) + 0 AS obv,
+      |  round(max(close) OVER wc, 6) + 0 AS running_peak,
+      |  round((max(close) OVER wc - close) / nullif(max(close) OVER wc, 0), 6) + 0 AS drawdown
       |FROM d
       |WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |       wc AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
@@ -386,7 +386,7 @@ object Windows {
       |         w14 AS (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
       |         w28 AS (w ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
       |SELECT user_id, bucket,
-      |  round(100.0 * (4.0 * a7 + 2.0 * a14 + a28) / 7.0, 6) AS ultimate_osc
+      |  round(100.0 * (4.0 * a7 + 2.0 * a14 + a28) / 7.0, 6) + 0 AS ultimate_osc
       |FROM t3""".stripMargin
 
   // ---------------------------------------------------------------- W28
@@ -409,7 +409,7 @@ object Windows {
       |         lag(close) OVER (PARTITION BY user_id ORDER BY bucket) AS pc
       |  FROM candles)
       |SELECT user_id, bucket,
-      |  round((open - pc) / nullif(pc, 0) * 100, 6) AS gap_pct,
+      |  round((open - pc) / nullif(pc, 0) * 100, 6) + 0 AS gap_pct,
       |  CASE WHEN pc IS NULL THEN NULL
       |       WHEN open > pc THEN 'up'
       |       WHEN open < pc THEN 'down' ELSE 'flat' END AS gap_direction,

@@ -47,7 +47,7 @@ object WindowsAdvanced {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |         w20 AS (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
       |SELECT user_id, bucket,
-      |  round((tp - ma_tp) / nullif(0.015 * mad, 0), 6) AS cci_20
+      |  round((tp - ma_tp) / nullif(0.015 * mad, 0), 6) + 0 AS cci_20
       |FROM t3""".stripMargin
 
   // ---------------------------------------------------------------- W17
@@ -105,8 +105,8 @@ object WindowsAdvanced {
       |    100.0 * (abs(di_plus - di_minus) / nullif(di_plus + di_minus, 0)) AS dx
       |  FROM t3)
       |SELECT user_id, bucket,
-      |  round(di_plus, 6) AS di_plus, round(di_minus, 6) AS di_minus,
-      |  round(CASE WHEN count(dx) OVER w14 = 14 THEN avg(dx) OVER w14 END, 6) AS adx_14
+      |  round(di_plus, 6) + 0 AS di_plus, round(di_minus, 6) + 0 AS di_minus,
+      |  round(CASE WHEN count(dx) OVER w14 = 14 THEN avg(dx) OVER w14 END, 6) + 0 AS adx_14
       |FROM t4
       |WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |       w14 AS (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
@@ -146,9 +146,9 @@ object WindowsAdvanced {
       |         w25 AS (w ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
       |SELECT user_id, bucket,
       |  round(CASE WHEN nh = 25
-      |             THEN list_position(lh, list_aggregate(lh, 'max')) * 100.0 / 25 END, 6) AS aroon_up,
+      |             THEN list_position(lh, list_aggregate(lh, 'max')) * 100.0 / 25 END, 6) + 0 AS aroon_up,
       |  round(CASE WHEN nh = 25
-      |             THEN list_position(ll, list_aggregate(ll, 'min')) * 100.0 / 25 END, 6) AS aroon_down
+      |             THEN list_position(ll, list_aggregate(ll, 'min')) * 100.0 / 25 END, 6) + 0 AS aroon_down
       |FROM t""".stripMargin
 
   // ---------------------------------------------------------------- W24
@@ -190,18 +190,18 @@ object WindowsAdvanced {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |         w10 AS (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
       |SELECT user_id, bucket,
-      |  round(CASE WHEN n = 10 THEN m1 END, 6) AS ret_mean_10,
-      |  round(CASE WHEN n = 10 THEN sd END, 6) AS ret_std_10,
+      |  round(CASE WHEN n = 10 THEN m1 END, 6) + 0 AS ret_mean_10,
+      |  round(CASE WHEN n = 10 THEN sd END, 6) + 0 AS ret_std_10,
       |  round(CASE WHEN n = 10 THEN
       |    ((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) /
-      |     nullif(pow(m2 - m1 * m1, 1.5), 0)) * sqrt(10.0 * 9) / 8.0 END, 6) AS ret_skew_10,
+      |     nullif(pow(m2 - m1 * m1, 1.5), 0)) * sqrt(10.0 * 9) / 8.0 END, 6) + 0 AS ret_skew_10,
       |  round(CASE WHEN n = 10 THEN
       |    ((((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1) /
       |       nullif((m2 - m1 * m1) * (m2 - m1 * m1), 0)) - 3.0) * 11.0 + 6.0) * 9.0 / (8.0 * 7.0)
-      |    END, 6) AS ret_kurt_10,
-      |  round(CASE WHEN nc = 10 THEN q25 END, 6) AS close_q25_10,
-      |  round(CASE WHEN nc = 10 THEN q50 END, 6) AS close_median_10,
-      |  round(CASE WHEN nc = 10 THEN q75 END, 6) AS close_q75_10
+      |    END, 6) + 0 AS ret_kurt_10,
+      |  round(CASE WHEN nc = 10 THEN q25 END, 6) + 0 AS close_q25_10,
+      |  round(CASE WHEN nc = 10 THEN q50 END, 6) + 0 AS close_median_10,
+      |  round(CASE WHEN nc = 10 THEN q75 END, 6) + 0 AS close_q75_10
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- W25
@@ -253,7 +253,7 @@ object WindowsAdvanced {
       |  CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
       |  round(coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
       |          OVER (PARTITION BY user_id ORDER BY ts
-      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS ffilled
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) + 0 AS ffilled
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------- W27
@@ -293,8 +293,8 @@ object WindowsAdvanced {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
       |         w50 AS (w ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
       |SELECT user_id, bucket,
-      |  round(ar, 6) AS avg_range_20,
-      |  round(vol_pct, 6) AS vol_percentile,
+      |  round(ar, 6) + 0 AS avg_range_20,
+      |  round(vol_pct, 6) + 0 AS vol_percentile,
       |  CASE WHEN vol_pct IS NULL THEN NULL
       |       WHEN vol_pct <= 0.20 THEN 'low'
       |       WHEN vol_pct >= 0.95 THEN 'extreme'
@@ -363,7 +363,7 @@ object WindowsAdvanced {
       |    (rn >= 21 AND rn <= n_rows - 20) AND low = min_c  AS is_support,
       |    (rn >= 21 AND rn <= n_rows - 20) AND high = max_c AS is_resistance
       |  FROM t)
-      |SELECT user_id, bucket, round(low, 6) AS low, round(high, 6) AS high,
+      |SELECT user_id, bucket, round(low, 6) + 0 AS low, round(high, 6) + 0 AS high,
       |  is_support, is_resistance, support_touches, resistance_touches,
       |  round(CASE WHEN is_support THEN least(1.0, support_touches / 5.0) END, 6)
       |    AS support_strength,
@@ -466,7 +466,7 @@ object WindowsAdvanced {
       |  NOT ma_above AND prev_above AS trend_cross_down,
       |  round(CASE WHEN abs(close - close_20) / nullif(vol_prior * 20, 0) IS NOT NULL
       |             THEN least(1.0, abs(close - close_20) / nullif(vol_prior * 20, 0))
-      |        END, 6) AS trend_strength,
+      |        END, 6) + 0 AS trend_strength,
       |  close > bb_up AND prev_close <= prev_bb_up AND rng_ratio > 1.5 AS breakout_up,
       |  close < bb_lo AND prev_close >= prev_bb_lo AND rng_ratio > 1.5 AS breakout_down,
       |  CASE WHEN sma_5 > sma_20 AND NOT (prev_sma5 > prev_sma20) THEN 'buy'
@@ -550,7 +550,7 @@ object WindowsAdvanced {
       |      AND close > (o2 + c2) / 2 AS is_morning_star,
       |    c2 > o2 AND abs(c1 - o1) < 0.3 * abs(c2 - o2) AND close < open
       |      AND close < (o2 + c2) / 2 AS is_evening_star,
-      |    round(abs(close - open) / nullif(high - low, 0), 6) AS pattern_strength
+      |    round(abs(close - open) / nullif(high - low, 0), 6) + 0 AS pattern_strength
       |  FROM t)""".stripMargin
 
   val w32Sql: String = w32Cte + "\nSELECT * FROM patterns"

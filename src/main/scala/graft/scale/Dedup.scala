@@ -199,7 +199,7 @@ object Dedup {
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
         |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-        |             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        |             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) + 0 AS jaccard
         |FROM cand
         |JOIN sig sa ON sa.doc_id = doc_a
         |JOIN sig sb ON sb.doc_id = doc_b
@@ -297,7 +297,7 @@ object Dedup {
        |  SELECT doc_id, lang, source, list_distinct($tokensSql) AS ts FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
        |       round(len(list_intersect(a.ts, b.ts)) * 1.0 /
-       |             len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+       |             len(list_distinct(list_concat(a.ts, b.ts))), 6) + 0 AS jaccard
        |FROM d a JOIN d b
        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
        |WHERE len(list_intersect(a.ts, b.ts)) * 1.0 /
@@ -353,7 +353,7 @@ object Dedup {
       |  FROM embeddings)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
-      |             (a.nrm * b.nrm), 6) AS cosine
+      |             (a.nrm * b.nrm), 6) + 0 AS cosine
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
       |      (a.nrm * b.nrm) >= 0.4""".stripMargin

@@ -80,7 +80,7 @@ object Similarity {
       |  SELECT query_id, vec_id, cosine,
       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       |  FROM scored)
-      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
       |FROM ranked WHERE rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------- LSH
@@ -160,7 +160,7 @@ object Similarity {
       |  SELECT query_id, vec_id, cosine,
       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       |  FROM scored)
-      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin
 
   // ---------------------------------------------------------------- IVF
@@ -196,7 +196,7 @@ object Similarity {
       |         list_sum(list_transform(list_zip(e.v, c.cv),
       |                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
       |  FROM e CROSS JOIN cents c)
-      |SELECT vec_id, cid AS centroid_id, round(dist, 6) AS dist_sq
+      |SELECT vec_id, cid AS centroid_id, round(dist, 6) + 0 AS dist_sq
       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
       |      FROM dists)
       |WHERE rk = 1""".stripMargin
@@ -269,7 +269,7 @@ object Similarity {
       |  SELECT query_id, vec_id, cosine,
       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       |  FROM cand)
-      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin
 
   // ---------------------------------------------------------------- ts search
@@ -339,7 +339,7 @@ object Similarity {
       |      WHERE user_id = 0 ORDER BY end_bucket DESC LIMIT 1)
       |SELECT n.user_id, n.end_bucket,
       |       round(list_sum(list_transform(list_zip(n.z, q.qz),
-      |                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+      |                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) + 0 AS dist
       |FROM norm n, q
       |WHERE NOT (n.user_id = 0 AND n.end_bucket = q.q_end)
       |ORDER BY dist, user_id, end_bucket LIMIT 10""".stripMargin

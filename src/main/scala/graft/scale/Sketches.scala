@@ -52,7 +52,7 @@ object Sketches {
           .as("within_1pct_of_range"))
 
   val skApproxPercentileSql: String =
-    """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+    """SELECT event_type, round(quantile_cont(value, 0.5), 6) + 0 AS p50_exact,
       |       TRUE AS within_1pct_of_range
       |FROM events GROUP BY event_type""".stripMargin
 

@@ -59,8 +59,8 @@ object TextAnalysis {
        |    list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts) AS avg_word_len
        |  FROM t)
        |SELECT doc_id,
-       |  round(vowel_ratio, 6) AS vowel_ratio, round(th_rate, 6) AS th_rate,
-       |  round(vowel_end_ratio, 6) AS vowel_end_ratio, round(avg_word_len, 6) AS avg_word_len,
+       |  round(vowel_ratio, 6) + 0 AS vowel_ratio, round(th_rate, 6) + 0 AS th_rate,
+       |  round(vowel_end_ratio, 6) + 0 AS vowel_end_ratio, round(avg_word_len, 6) + 0 AS avg_word_len,
        |  CASE WHEN th_rate > 0.2 THEN 'en'
        |       WHEN vowel_end_ratio > 0.45 THEN 'es'
        |       WHEN avg_word_len > 5.0 THEN 'de'
@@ -117,10 +117,10 @@ object TextAnalysis {
        |    (1.0 - least(digit_ratio * 10.0, 1.0)) * 0.1 AS score
        |  FROM f)
        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-       |  round(stop_ratio, 6) AS stopword_ratio,
-       |  round(punct_ratio, 6) AS punct_ratio,
-       |  round(digit_ratio, 6) AS digit_ratio,
-       |  round(score, 6) AS quality_score,
+       |  round(stop_ratio, 6) + 0 AS stopword_ratio,
+       |  round(punct_ratio, 6) + 0 AS punct_ratio,
+       |  round(digit_ratio, 6) + 0 AS digit_ratio,
+       |  round(score, 6) + 0 AS quality_score,
        |  CASE WHEN score >= 0.7 THEN 'keep' WHEN score >= 0.4 THEN 'flag'
        |       ELSE 'drop' END AS quality_bucket
        |FROM s""".stripMargin

@@ -45,15 +45,15 @@ object Sinks {
       |incoming AS (
       |  SELECT user_id,
       |         CASE WHEN event_id % 10 = 0 THEN ts ELSE ts + INTERVAL 30 SECOND END AS ts,
-      |         round(value * 2, 6) AS value, 'incoming' AS origin
+      |         round(value * 2, 6) + 0 AS value, 'incoming' AS origin
       |  FROM events WHERE event_id % 5 = 0),
       |new_rows AS (
       |  SELECT i.* FROM incoming i
       |  WHERE NOT EXISTS (SELECT 1 FROM existing e
       |                    WHERE e.user_id = i.user_id AND e.ts = i.ts))
-      |SELECT user_id, ts, round(value, 6) AS value, origin FROM existing
+      |SELECT user_id, ts, round(value, 6) + 0 AS value, origin FROM existing
       |UNION ALL
-      |SELECT user_id, ts, round(value, 6) AS value, origin FROM new_rows""".stripMargin
+      |SELECT user_id, ts, round(value, 6) + 0 AS value, origin FROM new_rows""".stripMargin
 
   /** K5 — retention view: drop rows older than a cutoff. At scale the
     * cutoff predicate hits the date partition column ⇒ partition drop. */
