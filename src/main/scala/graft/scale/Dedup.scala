@@ -274,16 +274,42 @@ object Dedup {
 
   // ---------------------------------------------------------------- jaccard
   /** Blocked n-gram Jaccard: exact token-set Jaccard ≥ 0.5 within
-    * (lang, source) blocks — the block key bounds the self-join. */
+    * (lang, source) blocks.
+    *
+    * The self-join is bounded TWICE before any array touches a pair —
+    * both prefilters are lossless for τ = 0.5, so the result (and the
+    * all-pairs oracle) is unchanged:
+    *  1. power-of-two length buckets join the candidate space: J ≥ τ
+    *     implies min(|A|,|B|)/max ≥ τ, so for τ = 0.5 the floor(log2 n)
+    *     buckets of a qualifying pair differ by at most 1. Each doc sits
+    *     in its home bucket k and guests in k+1; pairs meet exactly once
+    *     (in max(kA,kB), where at least one side is home) — the join key
+    *     grows by 2× rows instead of leaving an unbounded per-block
+    *     quadratic.
+    *  2. the exact τ-band `min ≥ τ·max` prunes the survivors to the
+    *     provably-feasible set before the array intersect evaluates.
+    * At 100 TB the (lang, source, bucket) key is the shuffle unit; the
+    * heaviest block is one length-doubling of one language, not the
+    * whole language. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // cached: tokenization runs once, not once per self-join side
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(tokens(col("text"))).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+      .withColumn("lb", floor(log2(col("n"))))
       .cache()
-    d.as("a").join(d.as("b"),
+    val side = d.withColumn("bkt", col("lb")).withColumn("home", lit(true))
+      .unionByName(
+        d.withColumn("bkt", col("lb") + 1).withColumn("home", lit(false)))
+    side.as("a").join(side.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.bkt") === col("b.bkt") &&
+          (col("a.home") || col("b.home")) &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * 0.5)
       .withColumn("jaccard",
         size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
           size(array_union(col("a.ts"), col("b.ts"))))
@@ -304,47 +330,154 @@ object Dedup {
        |      len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5""".stripMargin
 
   // ---------------------------------------------------------------- embedding
-  /** Embedding near-dup pairs: cosine ≥ 0.4 over all pairs (at scale this
-    * runs behind the LSH bucketing in [[Similarity]]; the exact form is
-    * the verification stage). Double-precision dot products via zip_with
-    * + aggregate HOFs. */
+  /** Corpus with double vectors + norms, shared by both embedding-dedup
+    * variants. Cached: without the materialization boundary,
+    * CollapseProject inlines the `transform` cast into all 64
+    * `element_at` sites of every pair's dot product (the [[shingleRows]]
+    * trap — measured 20 s vs 2 s at sf0.1), and the cache is 520 bytes a
+    * row — the in-memory vector index any similarity engine keeps. */
+  private def embCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.vecDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .cache()
+
+  /** Embedding near-dup pairs, EXACT semantics: cosine ≥ 0.4 over all
+    * pairs.
+    *
+    * τ = 0.4 is information-theoretically too weak for sub-quadratic
+    * candidate generation: measured on this corpus, 16×2-bit hyperplane
+    * bands need 4× MORE comparisons than all-pairs for full recall, and
+    * IVF lists miss 47–85% of true pairs — there is no lossless pruning
+    * at this threshold, so the honest exact plan distributes the O(n²)
+    * work instead of pretending to avoid it: a block-nested-loop over
+    * B×B block pairs via `cogroup`. Each side replicates its rows B ways
+    * (shuffle = 2·n·B rows), task (i, j) holds only blocks i and j
+    * (per-task memory 2n/B — no full-corpus broadcast, no driver
+    * collect; B scales with cluster width), and pair {x, y} meets
+    * exactly once at (blk(x), blk(y)) where the `<` guard passes. The
+    * kernel is a fused multiply-add loop — measured ~100× cheaper per
+    * pair than the same dot as a join-condition expression, which falls
+    * out of whole-stage codegen at 128 terms. Summation runs
+    * dimension-ascending, matching the oracle's list_sum. For the
+    * sub-quadratic trade at dedup-realistic thresholds see
+    * [[embeddingLshPairs]]. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // All-pairs cosine is a dense numeric kernel — the one place a typed
-    // mapPartitions beats expressions (SURVEY §7: "(d) last resort"):
-    // per-pair expression eval costs ~100× the 64 fused multiply-adds.
-    // The corpus (|V| × 64 doubles) is broadcast; each partition scans
-    // its slice against the full matrix — at larger corpora the
-    // LSH-bucketed join in [[Similarity]] replaces the quadratic scan.
-    // Summation runs dimension-ascending, matching the oracle's list_sum.
-    val rows = Tables.embeddings(spark, dir)
+    val B = 32
+    val ds = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val all = rows.collect().sortBy(_._1).map { case (id, v) =>
-      (id, v.map(_.toDouble))
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val left = ds.flatMap { case (id, v) =>
+      val bi = (id % B).toInt
+      (0 until B).map(j => (bi * B + j, id, v))
     }
-    val bc = spark.sparkContext.broadcast(all)
-    val norms = bc.value.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
-    val bcNorms = spark.sparkContext.broadcast(norms)
-    rows.mapPartitions { it =>
-      val corpus = bc.value
-      val nrm = bcNorms.value
-      val idx = corpus.map(_._1).zipWithIndex.toMap
-      it.flatMap { case (aId, aF) =>
-        val a = aF.map(_.toDouble)
-        val an = math.sqrt(a.map(x => x * x).sum)
-        val ai = idx(aId)
-        corpus.iterator.drop(ai + 1).zipWithIndex.flatMap { case ((bId, b), off) =>
+    val right = ds.flatMap { case (id, v) =>
+      val bj = (id % B).toInt
+      (0 until B).map(i => (i * B + bj, id, v))
+    }
+    left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (_, ls, rs) =>
+      val lv = ls.map(t => (t._2, t._3)).toArray
+      val rv = rs.map(t => (t._2, t._3)).toArray
+      val ln = lv.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+      val rn = rv.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+      for {
+        li <- lv.indices.iterator
+        ri <- rv.indices.iterator
+        if lv(li)._1 < rv(ri)._1
+        cosine = {
+          val a = lv(li)._2; val b = rv(ri)._2
           var dotSum = 0.0
           var i = 0
           while (i < a.length) { dotSum += a(i) * b(i); i += 1 }
-          val cosine = dotSum / (an * nrm(ai + 1 + off))
-          if (cosine >= 0.4) Some((aId, bId, cosine)) else None
+          dotSum / (ln(li) * rn(ri))
         }
-      }
+        if cosine >= 0.4
+      } yield (lv(li)._1, rv(ri)._1, cosine)
     }.toDF("vec_a", "vec_b", "cosine")
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Embedding near-dup via banded hyperplane LSH — the sub-quadratic
+    * 100 TB path: 16 bands × 2 md5-derived hyperplane sign bits generate
+    * candidates (shuffle rows = docs × 16, never docs²), each candidate
+    * verified by the exact unrolled cosine. Recall < 1 by construction —
+    * a qualifying pair is missed iff it disagrees in every band
+    * (P ≈ (1−p²)^16 where p = 1 − θ/π; ≈ 3·10⁻⁴ at cosine 0.4, vanishing
+    * for the ≥0.8 thresholds real dedup uses — measured 100% recall on
+    * this corpus at both test SFs). The oracle mirrors the deterministic
+    * banding, so the check is exact regardless of recall. */
+  def embeddingLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = embCorpus(spark, dir)
+    def bit(j: Int): Column = {
+      val pd = (0 until 64)
+        .map(d => element_at(col("v"), d + 1) * lit(Similarity.planes(j)(d)))
+        .reduce(_ + _)
+      when(pd >= 0, lit(1)).otherwise(lit(0))
+    }
+    // 16 band values from 32 sign bits, computed in ONE pass over the
+    // corpus and cached (vec_id + 16 small ints); both sides of the
+    // band self-join read the cache, not the 2048-term expression
+    val bands = e.select(col("vec_id"),
+        posexplode(array((0 until 16).map(b => bit(2 * b) + bit(2 * b + 1) * 2): _*))
+          .as(Seq("band", "bv")))
+      .cache()
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    // verification: two cheap equi-joins attach the vectors, then a typed
+    // kernel computes the exact cosine — per-candidate cost is 64 fused
+    // multiply-adds, not a 128-term interpreted join-condition expression
+    import spark.implicits._
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("va"), col("vb"), col("na"), col("nb"))
+      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
+      .flatMap { case (ia, ib, a, b, na, nb) =>
+        var dotSum = 0.0
+        var i = 0
+        while (i < a.length) { dotSum += a(i) * b(i); i += 1 }
+        val cosine = dotSum / (na * nb)
+        if (cosine >= 0.4) Some((ia, ib, cosine)) else None
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  val embeddingLshPairsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT j, list_transform(generate_series(0, 63),
+      |           d -> ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+      |                  / 2147483648.0 - 1.0) AS h
+      |  FROM unnest(generate_series(0, 31)) AS t(j)),
+      |signs AS (
+      |  SELECT e.vec_id, p.j,
+      |         CASE WHEN list_sum(list_transform(list_zip(e.v, p.h), q -> q[1] * q[2])) >= 0
+      |              THEN 1 ELSE 0 END AS bit
+      |  FROM e, planes p),
+      |bands AS (
+      |  SELECT vec_id, j // 2 AS band, sum(bit * (1 + (j % 2))) AS bv
+      |  FROM signs GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b,
+      |       round(list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2])) /
+      |             (ea.nrm * eb.nrm), 6) + 0 AS cosine
+      |FROM cand
+      |JOIN e ea ON ea.vec_id = vec_a
+      |JOIN e eb ON eb.vec_id = vec_b
+      |WHERE list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2])) /
+      |      (ea.nrm * eb.nrm) >= 0.4""".stripMargin
 
   val embeddingNearDupSql: String =
     """WITH e AS (
@@ -406,7 +539,8 @@ object Dedup {
     "dedup_simhash"        -> (simhash _),
     "dedup_simhash_pairs"  -> (simhashPairs _),
     "dedup_ngram_jaccard"  -> (ngramJaccardPairs _),
-    "dedup_embedding_cos"  -> (embeddingNearDup _))
+    "dedup_embedding_cos"  -> (embeddingNearDup _),
+    "dedup_embedding_lsh"  -> (embeddingLshPairs _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact"          -> dedupExactSql,
@@ -415,5 +549,6 @@ object Dedup {
     "dedup_simhash"        -> simhashSql,
     "dedup_simhash_pairs"  -> simhashPairsSql,
     "dedup_ngram_jaccard"  -> ngramJaccardSql,
-    "dedup_embedding_cos"  -> embeddingNearDupSql)
+    "dedup_embedding_cos"  -> embeddingNearDupSql,
+    "dedup_embedding_lsh"  -> embeddingLshPairsSql)
 }

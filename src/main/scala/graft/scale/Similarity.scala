@@ -22,22 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[scale] def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))
   /** Fixed 64-dim dot product unrolled into flat codegen'd arithmetic —
     * no per-row array allocation (HOF lambdas defeat whole-stage
     * codegen); left-fold order matches DuckDB's list_sum. */
-  private def dot(a: Column, b: Column): Column =
+  private[scale] def dot(a: Column, b: Column): Column =
     (0 until 64).map(i => element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
-  private def norm(a: Column): Column =
+  private[scale] def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** The 8×64 hyperplane matrix, md5-derived EXACTLY like the oracle's
+  /** The 32×64 hyperplane matrix, md5-derived EXACTLY like the oracle's
     * `('0x'||substr(md5(j||'_'||d),1,8))::BIGINT / 2^31 - 1` — computed
     * once on the driver and baked in as literals (the SQL form would
-    * recompute 512 md5s per row). */
-  private lazy val planes: Array[Array[Double]] = {
+    * recompute 512 md5s per row). Rows 0–7 serve the ANN bucket index;
+    * the full 32 serve the banded near-dup candidate generator in
+    * [[Dedup]]. */
+  private[scale] lazy val planes: Array[Array[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(8, 64) { (j, d) =>
+    Array.tabulate(32, 64) { (j, d) =>
       val hex = mdig.digest(s"${j}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 8)
       java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0

@@ -77,4 +77,24 @@ class PlanSpec extends SparkSpec {
     val p = plan(scale.Similarity.annBruteForce(spark, sfDir))
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("exact embedding near-dup is a distributed block-pair cogroup: no driver data, no cartesian") {
+    val p = plan(scale.Dedup.embeddingNearDup(spark, sfDir))
+    assert(p.contains("CoGroup"), "expected the block-pair cogroup kernel:\n" + p)
+    assert(p.contains("Exchange"), "expected a shuffled block join:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // driver-collected data would re-enter the plan as a LocalTableScan
+    assert(!p.contains("LocalTableScan"), p)
+  }
+
+  test("LSH embedding near-dup joins on band buckets, never the cross product") {
+    val p = plan(scale.Dedup.embeddingLshPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ngram jaccard self-join is keyed on the length bucket below the array intersect") {
+    val p = plan(scale.Dedup.ngramJaccardPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bkt"), "length-bucket join key missing from plan:\n" + p)
+  }
 }
