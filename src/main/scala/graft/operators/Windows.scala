@@ -416,7 +416,34 @@ object Windows {
       |  abs((open - pc) / nullif(pc, 0) * 100) > 0.1 AS is_significant_gap
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- W9
+  /** W9 — volume SMA 10/20/50 + volume ratio
+    * (`feature_engineer.py:206-219`): pandas `rolling(n).mean()` has
+    * warmup nulls (min_periods = window), the ratio is
+    * `volume / volume_sma_20` with `fillna(1.0)` — warmup rows read 1.0;
+    * sma_20 can never be 0 (candle volume = count ≥ 1), so the fill is
+    * the only null source. */
+  def w9VolumeSma(spark: SparkSession, dir: String): DataFrame =
+    candleBase(spark, dir).select(
+      col("user_id"), col("bucket"),
+      round(sma(col("volume"), 10, w), 6).as("volume_sma_10"),
+      round(sma(col("volume"), 20, w), 6).as("volume_sma_20"),
+      round(sma(col("volume"), 50, w), 6).as("volume_sma_50"),
+      round(coalesce(col("volume") / sma(col("volume"), 20, w), lit(1.0)), 6)
+        .as("volume_ratio"))
+
+  val w9Sql: String = Tables.candlesSql +
+    """
+      |SELECT user_id, bucket,
+      |  round(CASE WHEN count(volume) OVER w10 = 10 THEN avg(volume) OVER w10 END, 6) + 0 AS volume_sma_10,
+      |  round(CASE WHEN count(volume) OVER w20 = 20 THEN avg(volume) OVER w20 END, 6) + 0 AS volume_sma_20,
+      |  round(CASE WHEN count(volume) OVER w50 = 50 THEN avg(volume) OVER w50 END, 6) + 0 AS volume_sma_50,
+      |  round(coalesce(volume / (CASE WHEN count(volume) OVER w20 = 20 THEN avg(volume) OVER w20 END), 1.0), 6) + 0 AS volume_ratio
+      |FROM candles
+      |""".stripMargin + windowClause(10, 20, 50)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_volume_sma"     -> (w9VolumeSma _),
     "w1_gaps"           -> (w1Gaps _),
     "w2_w3_sma_returns" -> (w2w3SmaReturns _),
     "w5_rsi"            -> (w5Rsi _),
@@ -432,6 +459,7 @@ object Windows {
     "w28_open_gap"      -> (w28OpenGap _))
 
   def oracles: Map[String, String] = Map(
+    "w9_volume_sma"     -> w9Sql,
     "w1_gaps"           -> w1Sql,
     "w2_w3_sma_returns" -> w2w3Sql,
     "w5_rsi"            -> w5Sql,

@@ -68,6 +68,97 @@ object Sinks {
       |FROM events WHERE ts >= TIMESTAMP '2024-01-10'
       |GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------------------- K2
+  /** K2 — the wide MLReady row (`repository.py:98-164`,
+    * `save_single_ohlcv`): OHLCV + quality defaults (95.0 / good / api)
+    * as flat columns, plus the reference's three JSONB feature dicts —
+    * `technical_indicators`, `normalized_features`, `market_features` —
+    * as native `MapType` columns. This is the frame [[writeMlReady]]
+    * persists; [[k2FeatureSave]] is its oracle-checked query surface. */
+  def mlReadyFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def framedAvg(n: Int) =
+      when(count(col("close")).over(w.rowsBetween(-(n - 1), 0)) === n,
+        avg(col("close")).over(w.rowsBetween(-(n - 1), 0)))
+    val prev = lag(col("close"), 1).over(w)
+    val mn = min(col("close")).over(wAll)
+    val mx = max(col("close")).over(wAll)
+    val mu = avg(col("close")).over(wAll)
+    val sd = stddev_samp(col("close")).over(wAll)
+    val hr = hour(col("bucket")).cast("double")
+    Tables.candles(spark, dir)
+      .withColumn("technical_indicators", map(
+        lit("sma_5"), round(framedAvg(5), 6),
+        lit("sma_20"), round(framedAvg(20), 6),
+        lit("close_ret"), round(when(prev =!= 0, (col("close") - prev) / prev), 6)))
+      .withColumn("normalized_features", map(
+        lit("close_minmax"), round((col("close") - mn) / nullif(mx - mn, lit(0)), 6),
+        lit("close_z"), round((col("close") - mu) / nullif(sd, lit(0)), 6)))
+      .withColumn("market_features", map(
+        lit("hour_sin"), round(sin(hr * math.Pi * 2 / 24), 6),
+        lit("hour_cos"), round(cos(hr * math.Pi * 2 / 24), 6)))
+      .withColumn("quality_score", lit(95.0))
+      .withColumn("quality_level", lit("good"))
+      .withColumn("data_source", lit("api"))
+      .withColumn("is_gap_fill", lit(false))
+  }
+
+  /** K2 query surface: the MLReady row with its feature maps exploded to
+    * (feature_key, feature_value) rows — MapType cells don't compare
+    * stably across engines in the driver's hasher, rows do. 7 features
+    * per candle; the dotted prefix is the dict the reference stores the
+    * key in. */
+  def k2FeatureSave(spark: SparkSession, dir: String): DataFrame = {
+    val prefixed = map_concat(
+      transform_keys(col("technical_indicators"), (k, _) => concat(lit("tech."), k)),
+      transform_keys(col("normalized_features"), (k, _) => concat(lit("norm."), k)),
+      transform_keys(col("market_features"), (k, _) => concat(lit("mkt."), k)))
+    mlReadyFrame(spark, dir)
+      .select(col("user_id"), col("bucket"), round(col("close"), 6).as("close"),
+        col("quality_score"), col("quality_level"), col("data_source"),
+        explode(prefixed).as(Seq("feature_key", "feature_value")))
+  }
+
+  val k2FeatureSaveSql: String = Tables.candlesSql +
+    """, f AS (
+      |  SELECT user_id, bucket, close,
+      |    CASE WHEN count(close) OVER w5 = 5 THEN avg(close) OVER w5 END AS sma_5,
+      |    CASE WHEN count(close) OVER w20 = 20 THEN avg(close) OVER w20 END AS sma_20,
+      |    (close - lag(close) OVER w) / nullif(lag(close) OVER w, 0) AS close_ret,
+      |    (close - min(close) OVER wa) / nullif(max(close) OVER wa - min(close) OVER wa, 0) AS close_minmax,
+      |    (close - avg(close) OVER wa) / nullif(stddev_samp(close) OVER wa, 0) AS close_z,
+      |    sin(CAST(extract(hour FROM bucket) AS DOUBLE) * pi() * 2 / 24) AS hour_sin,
+      |    cos(CAST(extract(hour FROM bucket) AS DOUBLE) * pi() * 2 / 24) AS hour_cos
+      |  FROM candles
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
+      |         w5 AS (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |         w20 AS (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |         wa AS (PARTITION BY user_id)),
+      |wide AS (
+      |  SELECT user_id, bucket, round(close, 6) + 0 AS close,
+      |         95.0 AS quality_score, 'good' AS quality_level, 'api' AS data_source,
+      |         round(sma_5, 6) + 0 AS "tech.sma_5", round(sma_20, 6) + 0 AS "tech.sma_20",
+      |         round(close_ret, 6) + 0 AS "tech.close_ret",
+      |         round(close_minmax, 6) + 0 AS "norm.close_minmax", round(close_z, 6) + 0 AS "norm.close_z",
+      |         round(hour_sin, 6) + 0 AS "mkt.hour_sin", round(hour_cos, 6) + 0 AS "mkt.hour_cos"
+      |  FROM f)
+      |SELECT user_id, bucket, close, quality_score, quality_level, data_source,
+      |       feature_key, feature_value
+      |FROM wide
+      |UNPIVOT INCLUDE NULLS (feature_value FOR feature_key IN (
+      |  "tech.sma_5", "tech.sma_20", "tech.close_ret",
+      |  "norm.close_minmax", "norm.close_z", "mkt.hour_sin", "mkt.hour_cos"))""".stripMargin
+
+  /** K2 physical write: the MLReady frame, MapType columns and all, as
+    * ZSTD Parquet (Parquet maps ≙ the reference's JSONB columns). */
+  def writeMlReady(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+
   // -------------------------------------------------------------- writers
   /** K1/K2 physical write: date-partitioned ZSTD Parquet append — the
     * storage layout §1.1 prescribes (partition pruning ≙ chunk
@@ -98,9 +189,11 @@ object Sinks {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_upsert_merge"    -> (upsertMerged _),
+    "k2_feature_save"    -> (k2FeatureSave _),
     "k5_retention"       -> (retentionFilter _))
 
   def oracles: Map[String, String] = Map(
     "k1_upsert_merge"    -> upsertMergedSql,
+    "k2_feature_save"    -> k2FeatureSaveSql,
     "k5_retention"       -> retentionFilterSql)
 }

@@ -34,6 +34,28 @@ class SinksSpec extends SparkSpec {
     assert(after.count() == expectedKept)
   }
 
+  test("MLReady frame persists MapType feature columns; to_json/from_json round-trips them") {
+    val dir = Files.createTempDirectory("graft_mlready").toString + "/mlready"
+    val src = Sinks.mlReadyFrame(spark, sfDir)
+    Sinks.writeMlReady(src, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == src.count())
+    // the three reference JSONB dicts come back as real MapType columns
+    import org.apache.spark.sql.types.{MapType, StringType, DoubleType}
+    Seq("technical_indicators", "normalized_features", "market_features").foreach { c =>
+      assert(back.schema(c).dataType == MapType(StringType, DoubleType, valueContainsNull = true),
+        s"$c should be map<string,double>, got ${back.schema(c).dataType}")
+    }
+    // JSON round-trip: serialize a map column, parse it back, values survive
+    // maps aren't orderable — compare their sorted entry arrays
+    val rt = back.select(
+        array_sort(map_entries(col("technical_indicators"))).as("orig"),
+        array_sort(map_entries(from_json(to_json(col("technical_indicators")),
+          MapType(StringType, DoubleType)))).as("rt"))
+      .filter(!(col("orig") <=> col("rt")))
+    assert(rt.isEmpty, "to_json/from_json round trip lost map entries")
+  }
+
   test("exportJson writes a single readable JSON part") {
     val dir = Files.createTempDirectory("graft_json").toString + "/report"
     val df = Tables.events(spark, sfDir)
