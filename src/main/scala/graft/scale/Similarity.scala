@@ -46,11 +46,16 @@ object Similarity {
     }
   }
 
-  /** Corpus with precomputed norms. */
+  /** Corpus with precomputed norms. Cached (520 B/row — the in-memory
+    * vector index): every ANN query reads it at least twice, and the
+    * materialization boundary stops CollapseProject from inlining the
+    * cast-`transform` into each of the 64 `element_at` sites of every
+    * unrolled dot product. */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .cache()
 
   // ---------------------------------------------------------------- brute force
   /** Exact top-5 cosine neighbors for the first 10 vectors as queries. */
@@ -119,8 +124,12 @@ object Similarity {
     * within it — top-3. Scale path: join on bucket replaces the cross
     * join; recall < 1 by construction (the trade the operator makes). */
   def annLshSearch(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the 512-term bucket expression would otherwise evaluate on
+    // BOTH sides of the query-probe join (corpus + queries derive from
+    // the same scan)
     val c = corpus(spark, dir)
       .withColumn("bucket", lshBucket(col("v")))
+      .cache()
     val q = c.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
