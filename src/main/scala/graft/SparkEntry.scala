@@ -25,6 +25,7 @@ object SparkEntry {
       scale.Sketches.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
+      streaming.Subscriptions.queries ++
       analysis.Importance.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       scale.Sketches.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++
+      streaming.Subscriptions.oracles ++
       analysis.Importance.oracles
 }

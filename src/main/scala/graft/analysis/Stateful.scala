@@ -211,15 +211,19 @@ object Stateful {
   }
 
   // ---------------------------------------------------------------- A11
-  /** Backtest metrics (`backtesting_engine.py:79-160,441-467`): win rate,
-    * pnl, profit factor, sharpe — one hash aggregate over the trades. */
-  def backtestMetrics(spark: SparkSession, dir: String): DataFrame = {
+  /** The A11 metric layer (`backtesting_engine.py:79-160,441-467`) over
+    * ANY trades frame with (user_id, entry_time, exit_time, pnl,
+    * return_pct): equity curve → running peak → drawdown (W35);
+    * same-sign islands → longest win/loss runs (W36 gaps-and-islands);
+    * win rate / profit factor / sharpe as one hash aggregate. Reused by
+    * [[backtestMetrics]] (fold-produced trades, rows-only) and
+    * [[a11MetricsFixture]] (SQL-derivable trades — the oracle-checked
+    * pin of this layer). */
+  def metricsLayer(trades: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("exit_time"), col("entry_time"))
     val grow = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // equity curve → running peak → drawdown (W35); same-sign islands →
-    // longest win/loss runs (W36 gaps-and-islands)
-    val curve = backtestTrades(spark, dir)
+    val curve = trades
       .withColumn("equity", lit(10000.0) + sum(col("pnl")).over(grow))
       .withColumn("peak", max(col("equity")).over(grow))
       .withColumn("dd", when(col("peak") > 0, (col("peak") - col("equity")) / col("peak")))
@@ -250,13 +254,93 @@ object Stateful {
       .join(streaks, Seq("user_id"), "left")
   }
 
+  /** A11 over the fold-produced trades (rows-only; the metric layer
+    * itself is oracle-pinned via [[a11MetricsFixture]]). */
+  def backtestMetrics(spark: SparkSession, dir: String): DataFrame =
+    metricsLayer(backtestTrades(spark, dir))
+
+  /** A11 metric layer under the DuckDB oracle: trades are derived
+    * deterministically in pure SQL — every 10th candle per user closes a
+    * "trade" against the close 10 candles earlier — so both engines feed
+    * the SAME trades through the SAME windowed metric chain; what the
+    * oracle then checks is the drawdown/streak/sharpe algebra that the
+    * fold-produced A11 shares via [[metricsLayer]]. */
+  def a11MetricsFixture(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("bucket"))
+    val trades = Tables.candles(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("entry_time", lag(col("bucket"), 10).over(w))
+      .withColumn("entry_close", lag(col("close"), 10).over(w))
+      .filter(col("rn") % 10 === 0 && col("entry_close").isNotNull)
+      .select(col("user_id"), col("entry_time"), col("bucket").as("exit_time"),
+        round(col("close") - col("entry_close"), 6).as("pnl"),
+        round((col("close") - col("entry_close")) / col("entry_close"), 6).as("return_pct"))
+    metricsLayer(trades)
+  }
+
+  val a11MetricsFixtureSql: String = Tables.candlesSql +
+    """, numbered AS (
+      |  SELECT user_id, bucket, close,
+      |         row_number() OVER w AS rn,
+      |         lag(bucket, 10) OVER w AS entry_time,
+      |         lag(close, 10) OVER w AS entry_close
+      |  FROM candles
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+      |trades AS (
+      |  SELECT user_id, entry_time, bucket AS exit_time,
+      |         round(close - entry_close, 6) + 0 AS pnl,
+      |         round((close - entry_close) / entry_close, 6) + 0 AS return_pct
+      |  FROM numbered
+      |  WHERE rn % 10 = 0 AND entry_close IS NOT NULL),
+      |curve0 AS (
+      |  SELECT user_id, exit_time, entry_time, pnl, return_pct,
+      |         10000.0 + sum(pnl) OVER wg AS equity,
+      |         CASE WHEN pnl > 0 THEN 1 ELSE 0 END AS win,
+      |         row_number() OVER w -
+      |           row_number() OVER (PARTITION BY user_id, CASE WHEN pnl > 0 THEN 1 ELSE 0 END
+      |                              ORDER BY exit_time, entry_time) AS island
+      |  FROM trades
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY exit_time, entry_time),
+      |         wg AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |curve1 AS (
+      |  SELECT *, max(equity) OVER (PARTITION BY user_id ORDER BY exit_time, entry_time
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM curve0),
+      |curve2 AS (
+      |  SELECT *, CASE WHEN peak > 0 THEN (peak - equity) / peak END AS dd FROM curve1),
+      |streaks AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN win = 1 THEN run_len END) AS max_consec_wins,
+      |         max(CASE WHEN win = 0 THEN run_len END) AS max_consec_losses
+      |  FROM (SELECT user_id, win, island, count(*) AS run_len
+      |        FROM curve2 GROUP BY 1, 2, 3)
+      |  GROUP BY user_id),
+      |agg AS (
+      |  SELECT user_id,
+      |         count(*) AS n_trades,
+      |         CAST(sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+      |         round(avg(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END), 6) + 0 AS win_rate,
+      |         round(sum(pnl), 6) + 0 AS total_pnl,
+      |         round(sum(CASE WHEN pnl > 0 THEN pnl END) /
+      |               abs(sum(CASE WHEN pnl < 0 THEN pnl END)), 6) + 0 AS profit_factor,
+      |         round(avg(return_pct) / stddev_samp(return_pct), 6) + 0 AS sharpe_like,
+      |         round(max(dd), 6) + 0 AS max_drawdown
+      |  FROM curve2 GROUP BY user_id)
+      |SELECT a.*, s.max_consec_wins, s.max_consec_losses
+      |FROM agg a LEFT JOIN streaks s USING (user_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w19_psar"          -> (psar _),
     "w34_backtest"      -> (backtestTrades _),
     "w34_backtest_rsi"  -> (backtestTradesRsi _),
     "w34_backtest_macd" -> (backtestTradesMacd _),
-    "a11_backtest_metrics" -> (backtestMetrics _))
+    "a11_backtest_metrics" -> (backtestMetrics _),
+    "a11_metrics_fixture"  -> (a11MetricsFixture _))
 
-  /** No SQL oracles: sequential state machines (driver rows-only check). */
-  def oracles: Map[String, String] = Map.empty
+  /** The fold queries are sequential state machines with no SQL oracle
+    * (driver rows-only check); the shared A11 metric layer is pinned by
+    * the fixture oracle. */
+  def oracles: Map[String, String] = Map(
+    "a11_metrics_fixture"  -> a11MetricsFixtureSql)
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming SLA measurement vs BASELINE.md's only quantified numbers
+  * (`tests/test_websocket_business_scenarios.py:55-180`): per-message
+  * send latency < 1 ms and throughput ≥ 1000 msg/s per client.
+  *
+  * Each channel runs alone for a fixed wall window against the rate
+  * source at `SPARK_GRAFT_STREAM_RATE` ticks/s (default 2000), on its
+  * own reference cadence (`Channels.channelTriggers`). Numbers come
+  * from `StreamingQueryProgress` over non-empty batches:
+  *   - `msg_per_sec`  — input rows / measured wall seconds;
+  *   - `ms_per_msg`   — Σ triggerExecution / Σ rows (amortized
+  *     per-message engine latency, the analog of the reference's
+  *     per-send assertion);
+  *   - `avg_batch_ms` / `max_batch_ms` — micro-batch execution span.
+  * `raw_ticks` runs through the real [[Channels.RingBufferSink]] (JSON
+  * envelope + sequence + retention), so its figures include the
+  * fan-out-side serialization the reference's test mocks away.
+  *
+  * Emits one JSON line: {"metric":"streaming", "channels":{...}}.
+  */
+object StreamBench {
+  private case class ChannelStats(rows: Long, execMs: Long, batches: Int,
+                                  maxBatchMs: Long, wallSec: Double)
+
+  private def measure(q: StreamingQuery, seconds: Int): ChannelStats = {
+    val t0 = System.nanoTime()
+    Thread.sleep(seconds * 1000L)
+    q.stop(); q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val ps = q.recentProgress.filter(_.numInputRows > 0)
+    val exec = ps.map(p => p.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+    ChannelStats(ps.map(_.numInputRows).sum, exec.sum, ps.length,
+      if (exec.isEmpty) 0L else exec.max, wall)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "2000").toInt
+    val seconds = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECONDS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.metricsEnabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def ticks: DataFrame = Channels.tickSource(spark, rate)
+    // tick-shaped candles: 1:1 mapping so the stateful pattern engine is
+    // measured at tick rate (real 1-min candle windows would emit ~3
+    // rows per minute — no load)
+    def tickCandles = ticks.select(col("ts").as("bucket"), col("symbol"),
+        col("bid").as("open"), col("ask").as("high"), col("bid").as("low"),
+        col("mid").as("close")).as[StreamCandle]
+
+    def counting(name: String, df: DataFrame): StreamingQuery =
+      df.writeStream.outputMode(OutputMode.Append())
+        .trigger(Channels.channelTriggers.getOrElse(name, Trigger.ProcessingTime("1 second")))
+        .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+        .queryName(name).start()
+
+    val sink = new Channels.RingBufferSink("raw_ticks", capacity = 10000)
+    val runs: Seq[(String, () => StreamingQuery)] = Seq(
+      "raw_ticks"          -> (() => sink.start(ticks)),
+      "order_book"         -> (() => counting("order_book", Channels.orderBookStream(ticks))),
+      "ml_features"        -> (() => counting("ml_features", Channels.featureStream(spark, ticks).toDF())),
+      "trading_signals"    -> (() => counting("trading_signals",
+        Channels.signalStream(Channels.featureStream(spark, ticks).toDF()))),
+      "technical_analysis" -> (() => counting("technical_analysis",
+        Channels.taStream(Channels.featureStream(spark, ticks).toDF()))),
+      "pattern_alerts"     -> (() => counting("pattern_alerts",
+        Channels.patternAlertStream(spark, tickCandles).toDF())),
+      "microstructure"     -> (() => counting("microstructure", Channels.microstructureStream(ticks))),
+      "economic_events"    -> (() => counting("economic_events",
+        Channels.economicEventsStream(spark, rate))))
+
+    val stats = runs.map { case (name, start) =>
+      val s = measure(start(), seconds)
+      System.err.println(s"[streambench] $name: ${s.rows} rows, ${s.batches} batches, " +
+        f"${s.rows / s.wallSec}%.0f msg/s, ${if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0}%.4f ms/msg")
+      name -> s
+    }
+    val js = stats.map { case (n, s) =>
+      val msgSec = s.rows / s.wallSec
+      val msPerMsg = if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0
+      val avgBatch = if (s.batches > 0) s.execMs.toDouble / s.batches else 0.0
+      f"""\"$n\":{"rows":${s.rows},"batches":${s.batches},"msg_per_sec":$msgSec%.1f,"ms_per_msg":$msPerMsg%.4f,"avg_batch_ms":$avgBatch%.1f,"max_batch_ms":${s.maxBatchMs}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"streaming","rate_per_sec":$rate,"window_sec":$seconds,"channels":$js}""")
+    spark.stop()
+  }
+}

@@ -23,6 +23,7 @@ class SparkEntrySpec extends SparkSpec {
     "Sketches"        -> scale.Sketches.queries,
     "Sources"         -> operators.Sources.queries,
     "Sinks"           -> sources.Sinks.queries,
+    "Subscriptions"   -> streaming.Subscriptions.queries,
     "Importance"      -> analysis.Importance.queries)
 
   test("no query key is registered by two modules (merge would shadow one)") {

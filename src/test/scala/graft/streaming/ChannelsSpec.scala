@@ -98,6 +98,38 @@ class ChannelsSpec extends SparkSpec {
     assert(out(2).isNullAt(4))
   }
 
+  test("T7/T8 per-client fan-out: stream-static join delivers only to subscribed clients") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val subs = Subscriptions.subscriptionTable(spark, sfDir)
+      .filter(col("channel") === "raw_ticks")
+      .cache()
+    val nSubs = subs.count()
+    assert(nSubs > 0, "fixture should subscribe some clients to raw_ticks")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val ticks = Channels.decorateTicks(mem.toDF().toDF("timestamp", "value"))
+      .withColumn("channel", lit("raw_ticks"))
+    val q = ticks.join(subs, Seq("channel")) // stream-static join = the fan-out
+      .select(col("client_id"), col("tier"), col("rate_limit_msg_s"), col("symbol"), col("mid"))
+      .writeStream.format("memory").queryName("fanout_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val data = (0L until 30L).map(i => (ts(i), i))
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val delivered = spark.table("fanout_t")
+      assert(delivered.count() == 30L * nSubs, "every subscriber gets every message")
+      val badClients = delivered.select("client_id").distinct()
+        .join(subs.select("client_id").distinct(), Seq("client_id"), "left_anti").count()
+      assert(badClients == 0, "no deliveries to unsubscribed clients")
+      // tier budgets rank premium > professional > retail
+      val budgets = delivered.select("tier", "rate_limit_msg_s").distinct()
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      budgets.get("premium").foreach(b => assert(b == 1000))
+      budgets.get("retail").foreach(b => assert(b == 10))
+    } finally q.stop()
+  }
+
   test("channel registry covers the reference's 8 channels") {
     assert(Channels.channelTriggers.size == 8)
     assert(Channels.channelTriggers.contains("raw_ticks"))
