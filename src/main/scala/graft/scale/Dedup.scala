@@ -504,30 +504,42 @@ object Dedup {
     * invariants (pairs co-clustered, label = component min) are
     * spec-pinned. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // the pair graph is orders of magnitude smaller than the corpus
+    // (only near-dups appear) — coalesce the loop state so each
+    // iteration is a handful of tasks, not 32 shuffle partitions of a
+    // few rows; at web scale the partition count follows |edges|
     val pairs = minhashLshPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b")).cache()
+      .select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
+      .coalesce(4).cache()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
-    var changed = 1L
+      .withColumn("label", col("doc_id")).coalesce(4).cache()
+    // labels only ever DECREASE (min over the closed neighborhood), so
+    // the label sum strictly decreases iff any label changed — one
+    // aggregate per iteration replaces a join+filter+count change scan;
+    // Long.MinValue seeds the first comparison (a nonempty graph always
+    // changes in round 1), saving the init-sum job
+    var prevSum = Long.MinValue
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val neighborMin = edges
+    while (changed && iter < 20) {
+      // closed-neighborhood min as union + one aggregate: two shuffles
+      // per round (join on doc_b, groupBy doc_id) instead of three
+      val updated = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
+        .select(col("doc_a").as("doc_id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .coalesce(4).cache()
+      val s = updated.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      changed = s != prevSum
+      prevSum = s
       labels = updated
       iter += 1
     }
+    System.err.println(s"[dedup_clusters] converged after $iter rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
