@@ -23,6 +23,7 @@ object SparkEntry {
       scale.TextAnalysis.queries ++
       scale.Multimodal.queries ++
       scale.Sketches.queries ++
+      scale.Sampling.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
       streaming.Subscriptions.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       scale.TextAnalysis.oracles ++
       scale.Multimodal.oracles ++
       scale.Sketches.oracles ++
+      scale.Sampling.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++
       streaming.Subscriptions.oracles ++

@@ -130,7 +130,37 @@ object Joins {
       |SELECT user_id, bucket, round(close, 6) + 0 AS close, sma_5
       |FROM f WHERE is_current""".stripMargin
 
+  /** J5 — salt-replicated skew join, the 100 TB pattern for a hot key
+    * (one currency pair / one user dominating the fact table; AQE's
+    * skew-join split handles moderate skew, salting is the explicit
+    * form for the pathological case). The skewed FACT side tags each
+    * row with a deterministic salt in 0..R-1; the smaller (but not
+    * broadcastable) side replicates ×R via explode; the join key grows
+    * to (key, salt) so one hot key spreads over R reducers. `merge`
+    * hint forces the shuffle-join shape the technique exists for —
+    * result is identical to the unsalted join (the oracle is the plain
+    * join). Aggregated per status so the surface is stable. */
+  def j5SkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val R = 8
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(R)))
+    val o = Tables.orders(spark, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+    li.hint("merge")
+      .join(o, li("salt") === o("salt") && li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+  }
+
+  val j5Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      |       round(sum(l_extendedprice), 4) + 0 AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j5_skew_salted" -> (j5SkewSalted _),
     "j1_enrich_join" -> (j1Enrich _),
     "j2_anti_join"   -> (j2Anti _),
     "j3_semi_join"   -> (j3Semi _),
@@ -138,6 +168,7 @@ object Joins {
     "u3_union_current" -> (u3UnionCurrent _))
 
   def oracles: Map[String, String] = Map(
+    "j5_skew_salted" -> j5Sql,
     "j1_enrich_join" -> j1Sql,
     "j2_anti_join"   -> j2Sql,
     "j3_semi_join"   -> j3Sql,

@@ -1,0 +1,98 @@
+package graft.scale
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling/splitting — the operations a training
+  * run needs BEFORE any learning starts, at 100 TB shapes:
+  *
+  *  - train/val/test split must be a pure function of the document key
+  *    (re-runs, backfills, and multi-team reads all agree; no RNG state,
+  *    no shuffle at all — the split is a map-stage column);
+  *  - stratified sampling keeps per-stratum proportions under the same
+  *    determinism (hash-threshold per stratum, not reservoir state).
+  *
+  * Hashing is md5 (like [[Dedup]]) so DuckDB reproduces every assignment
+  * bit-for-bit.
+  */
+object Sampling {
+
+  /** 0–99 bucket from the md5 of the document key — the split axis. */
+  private def hashBucket(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  private val hashBucketSql =
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+
+  /** Deterministic 90/5/5 train/val/test split over documents: the
+    * assignment is a map-stage expression on the key — zero shuffle,
+    * stable across re-runs and engines. */
+  def splitTrainVal(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+
+  val splitTrainValSql: String =
+    s"""SELECT doc_id, lang, source,
+       |       CASE WHEN $hashBucketSql < 90 THEN 'train'
+       |            WHEN $hashBucketSql < 95 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  /** Stratified 20% sample per (lang) stratum: hash-threshold inside the
+    * stratum (deterministic, proportions hold per stratum without any
+    * per-stratum state or sort). Output is the per-stratum census —
+    * kept vs total — so the oracle checks both membership and rates. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("kept", (hashBucket(col("doc_id")) < 20).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_sampled"),
+        round(avg(col("kept")), 6).as("sample_rate"))
+
+  val sampleStratifiedSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN $hashBucketSql < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |       round(avg(CASE WHEN $hashBucketSql < 20 THEN 1.0 ELSE 0.0 END), 6) + 0 AS sample_rate
+       |FROM documents GROUP BY lang""".stripMargin
+
+  /** Corpus heavy hitters — the boilerplate detector every web-scale
+    * pipeline runs (headers/footers/licenses repeat across documents):
+    * top 20 word-3-gram shingles by DISTINCT-document frequency. One
+    * hash aggregate with map-side combine over shingle ROWS (the
+    * [[Dedup.shingleRows]] shape); the top-k is a single reduction, not
+    * a global sort. At 100 TB the same query runs with a count-min /
+    * space-saving sketch in the combine stage — the exact form here IS
+    * the verification oracle for that sketch. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleRows(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("s"))
+      .limit(20)
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql})) AS s FROM toks)
+       |SELECT s, count(*) AS n_docs
+       |FROM shs GROUP BY s
+       |ORDER BY n_docs DESC, s LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_train_val"   -> (splitTrainVal _),
+    "sample_stratified" -> (sampleStratified _),
+    "text_heavy_hitters" -> (heavyHitters _))
+
+  def oracles: Map[String, String] = Map(
+    "split_train_val"   -> splitTrainValSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "text_heavy_hitters" -> heavyHittersSql)
+}

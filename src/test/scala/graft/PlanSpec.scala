@@ -92,6 +92,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("salted skew join: salt in the join keys, replication explode below the join, no broadcast of the fact") {
+    val p = plan(operators.Joins.j5SkewSalted(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), "merge hint should force the shuffle-join shape:\n" + p)
+    assert(p.contains("salt"), "salt must appear in the join keys:\n" + p)
+    assert(p.contains("Generate") || p.contains("explode"), "replication explode missing:\n" + p)
+  }
+
+  test("train/val split is a pure map stage: no exchange anywhere in the plan") {
+    val p = plan(scale.Sampling.splitTrainVal(spark, sfDir))
+    assert(!p.contains("Exchange"), "split must not shuffle:\n" + p)
+  }
+
   test("ngram jaccard self-join is keyed on the length bucket below the array intersect") {
     val p = plan(scale.Dedup.ngramJaccardPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

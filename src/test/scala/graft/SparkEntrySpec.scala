@@ -21,6 +21,7 @@ class SparkEntrySpec extends SparkSpec {
     "TextAnalysis"    -> scale.TextAnalysis.queries,
     "Multimodal"      -> scale.Multimodal.queries,
     "Sketches"        -> scale.Sketches.queries,
+    "Sampling"        -> scale.Sampling.queries,
     "Sources"         -> operators.Sources.queries,
     "Sinks"           -> sources.Sinks.queries,
     "Subscriptions"   -> streaming.Subscriptions.queries,
