@@ -86,13 +86,54 @@ object Sampling {
        |FROM shs GROUP BY s
        |ORDER BY n_docs DESC, s LIMIT 20""".stripMargin
 
+  /** Sequence packing — the pretraining batcher: documents are laid out
+    * in a deterministic order (per-lang, by doc_id) and cut into
+    * fixed-budget packs of 4096 tokens; a document belongs to the pack
+    * where it STARTS (packed samples cross document boundaries, as in
+    * GPT-style pretraining). pack_id = floor(preceding-cumsum / budget)
+    * — one running-sum window per lang, no stateful fold needed. Output
+    * is the per-pack census (docs, tokens, fill rate vs budget). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4096
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0)))
+      .withColumn("pack_id", floor(col("start_offset") / budget))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_tokens")) / lit(budget.toDouble), 6).as("fill_ratio"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, len($tokensListSql) AS n_tokens FROM documents),
+       |offs AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM toks)
+       |SELECT lang, CAST(floor(start_offset / 4096) AS BIGINT) AS pack_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       round(sum(n_tokens) / 4096.0, 6) + 0 AS fill_ratio
+       |FROM offs GROUP BY 1, 2""".stripMargin
+
+  private def tokens(c: Column): Column = Dedup.tokens(c)
+  private def tokensListSql: String = Dedup.tokensSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_train_val"   -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
+    "pack_sequences"    -> (packSequences _),
     "text_heavy_hitters" -> (heavyHitters _))
 
   def oracles: Map[String, String] = Map(
     "split_train_val"   -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "pack_sequences"    -> packSequencesSql,
     "text_heavy_hitters" -> heavyHittersSql)
 }
