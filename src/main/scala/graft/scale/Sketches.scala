@@ -56,11 +56,46 @@ object Sketches {
       |       TRUE AS within_1pct_of_range
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Count-Min sketch vs the exact heavy-hitter counts: the sketch the
+    * 100 TB boilerplate detector actually ships (mergeable, fixed
+    * memory, one pass over shingle rows); the exact top-20
+    * ([[Sampling.heavyHitters]]) is its verification oracle. CMS
+    * one-sided guarantee: exact ≤ estimate ≤ exact + ε·N (w.p. 1−δ);
+    * with a fixed seed the estimate is deterministic, so the band
+    * check is hash-stable. The sketch aggregates distributed; only the
+    * 20 verified items touch the driver. */
+  def skHeavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingleRows(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val eps = 0.001
+    val cms = sh.stat.countMinSketch(col("s"), eps = eps, confidence = 0.99, seed = 42)
+    val n = sh.count()
+    val slack = math.ceil(eps * n).toLong
+    val top = Sampling.heavyHitters(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.map { case (s, exact) =>
+      val est = cms.estimateCount(s)
+      (s, exact, est >= exact && est <= exact + slack)
+    }.toSeq.toDF("s", "n_docs", "within_eps_band")
+  }
+
+  val skHeavyHittersCmsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql})) AS s FROM toks)
+       |SELECT s, count(*) AS n_docs, TRUE AS within_eps_band
+       |FROM shs GROUP BY s
+       |ORDER BY n_docs DESC, s LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_approx_distinct"   -> (skApproxDistinct _),
-    "sk_approx_percentile" -> (skApproxPercentile _))
+    "sk_approx_percentile" -> (skApproxPercentile _),
+    "sk_heavy_hitters_cms" -> (skHeavyHittersCms _))
 
   def oracles: Map[String, String] = Map(
     "sk_approx_distinct"   -> skApproxDistinctSql,
-    "sk_approx_percentile" -> skApproxPercentileSql)
+    "sk_approx_percentile" -> skApproxPercentileSql,
+    "sk_heavy_hitters_cms" -> skHeavyHittersCmsSql)
 }
