@@ -41,6 +41,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("the multi-indicator window query adds exactly ONE exchange over the candle agg") {
+    // a cache another suite materialized would substitute InMemoryRelation
+    // (whose printed child plan inflates the exchange count) — plan fresh
+    spark.catalog.clearCache()
     // exchange 1: candle groupBy(user_id, bucket); exchange 2: the single
     // window exchange on user_id SHARED by every indicator's window spec
     // (diff, pct_change, sma 5/10/20 — five specs, one shuffle+sort)
@@ -52,6 +55,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("the 4-stage pipeline fuses into one plan: shuffles only for candle agg + shared windows, fit broadcast") {
+    spark.catalog.clearCache() // see above: plan without cache substitution
     val p = plan(operators.Pipeline.pipelineFull(spark, sfDir))
     // the reference materializes lists between its 4 stages; here every
     // stage is the same lazy plan — only the candle aggregate and the
