@@ -1,0 +1,58 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the deterministic sampling/packing operators — the
+  * properties a training pipeline relies on, beyond the oracle's
+  * value-equality. */
+class SamplingSpec extends SparkSpec {
+
+  test("split is exhaustive, deterministic, and near the 90/5/5 target") {
+    val s = Sampling.splitTrainVal(spark, sfDir).cache()
+    val n = s.count()
+    assert(s.filter(!col("split").isin("train", "val", "test")).isEmpty)
+    // deterministic: two evaluations agree row-for-row
+    val again = Sampling.splitTrainVal(spark, sfDir)
+    assert(s.join(again.withColumnRenamed("split", "split2"), Seq("doc_id"))
+      .filter(col("split") =!= col("split2")).isEmpty, "split must be a pure function of the key")
+    val frac = s.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+    // md5 buckets are uniform-ish; the fixture is small, so band generously
+    assert(math.abs(frac("train") - 0.90) < 0.06, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0 && frac.getOrElse("test", 0.0) > 0)
+  }
+
+  test("stratified sample keeps per-stratum rates near 20% and never exceeds the stratum") {
+    Sampling.sampleStratified(spark, sfDir).collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val k = r.getAs[Long]("n_sampled")
+      assert(k <= n)
+      if (n >= 30) {
+        val rate = k.toDouble / n
+        assert(rate > 0.05 && rate < 0.40, s"lang ${r.getString(0)}: rate $rate off 20%")
+      }
+    }
+  }
+
+  test("sequence packs respect the token budget: every pack but a lang's last starts full") {
+    val budget = 4096
+    val packs = Sampling.packSequences(spark, sfDir)
+    // a pack's docs START inside [pack_id*budget, (pack_id+1)*budget), so
+    // cumulative tokens of packs 0..k-1 must cover k*budget: every
+    // non-final pack's running total reaches its boundary
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pack_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bad = packs
+      .withColumn("cum", sum(col("total_tokens")).over(w))
+      .withColumn("is_last", col("pack_id") === max(col("pack_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .filter(!col("is_last") && col("cum") < (col("pack_id") + 1) * budget)
+    assert(bad.isEmpty, "a non-final pack failed to fill its budget boundary")
+    // pack ids are contiguous from 0 per lang
+    val gaps = packs.groupBy(col("lang"))
+      .agg(min(col("pack_id")).as("mn"), max(col("pack_id")).as("mx"), count(lit(1)).as("k"))
+      .filter(col("mn") =!= 0 || col("k") =!= col("mx") + 1)
+    assert(gaps.isEmpty, "pack ids must be contiguous per lang")
+  }
+}
