@@ -91,13 +91,42 @@ object Relational {
       |FROM events WHERE user_id = 3
       |GROUP BY 1 ORDER BY bucket DESC LIMIT 10 OFFSET 2""".stripMargin
 
+  /** A4 at an arbitrary interval — the reference's granularity parameter
+    * spans 1m/5m/15m/1h/4h/1d (`repository.py:424-443`); non-calendar
+    * intervals can't `date_trunc`, so the bucket is epoch arithmetic
+    * (`floor(epoch/Δ)·Δ` ≙ TimescaleDB `time_bucket(Δ, ts)`), here Δ =
+    * 4 h. Same one-aggregate shape as the hourly resample — granularity
+    * changes a constant, never the plan. */
+  def a4Resample4h(spark: SparkSession, dir: String): DataFrame = {
+    val interval = 4 * 3600
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        timestamp_seconds(floor(unix_timestamp(col("ts")) / interval) * interval).as("bucket"))
+      .agg(
+        round(min_by(col("value"), col("ts")), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(max_by(col("value"), col("ts")), 6).as("close"),
+        count(lit(1)).as("volume"))
+  }
+
+  val a4Resample4hSql: String =
+    """SELECT user_id,
+      |  to_timestamp(floor(epoch(ts) / 14400) * 14400) AS bucket,
+      |  round(arg_min(value, ts), 6) + 0 AS open, round(max(value), 6) + 0 AS high,
+      |  round(min(value), 6) + 0 AS low,  round(arg_max(value, ts), 6) + 0 AS close,
+      |  count(*) AS volume
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"      -> (q1Agg _),
     "a4_resample" -> (a4Resample _),
+    "a4_resample_4h" -> (a4Resample4h _),
     "a4_resample_paged" -> (a4ResamplePaged _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg"      -> q1AggSql,
     "a4_resample" -> a4ResampleSql,
+    "a4_resample_4h" -> a4Resample4hSql,
     "a4_resample_paged" -> a4PagedSql)
 }

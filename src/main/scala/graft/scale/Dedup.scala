@@ -303,19 +303,46 @@ object Dedup {
     val side = d.withColumn("bkt", col("lb")).withColumn("home", lit(true))
       .unionByName(
         d.withColumn("bkt", col("lb") + 1).withColumn("home", lit(false)))
-    side.as("a").join(side.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.bkt") === col("b.bkt") &&
-          (col("a.home") || col("b.home")) &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")).cast("double") >=
-            greatest(col("a.n"), col("b.n")) * 0.5)
-      .withColumn("jaccard",
-        size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
-          size(array_union(col("a.ts"), col("b.ts"))))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.lang").as("lang"), round(col("jaccard"), 6).as("jaccard"))
+    // per-(lang, source, bucket) typed kernel instead of a self-join:
+    // each doc's token hash-set is built ONCE per group (array_intersect
+    // as a join expression rebuilds both sides' sets per PAIR), the
+    // length band prunes before any probing, and |A∪B| = nA + nB − |A∩B|
+    // avoids materializing unions. Group memory = one block's docs — the
+    // bound the blocking exists to provide.
+    import spark.implicits._
+    side.select(col("lang"), col("source"), col("bkt"),
+        col("doc_id"), col("ts"), col("n"), col("home"))
+      .as[(String, String, Long, Long, Seq[String], Int, Boolean)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key, it) =>
+        val m = it.toArray
+        val sets = m.map(t => t._5.toSet)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Double)]
+        var i = 0
+        while (i < m.length) {
+          var j = i + 1
+          while (j < m.length) {
+            // at least one side in its home bucket (pairs meet exactly
+            // once, in max(kA, kB)); exact τ-band before any set probe
+            if ((m(i)._7 || m(j)._7) &&
+                math.min(m(i)._6, m(j)._6).toDouble >= math.max(m(i)._6, m(j)._6) * 0.5) {
+              val (a, b) = if (sets(i).size <= sets(j).size) (sets(i), sets(j)) else (sets(j), sets(i))
+              var inter = 0
+              a.foreach(t => if (b.contains(t)) inter += 1)
+              val jac = inter.toDouble / (m(i)._6 + m(j)._6 - inter)
+              if (jac >= 0.5) {
+                val (da, db) = if (m(i)._4 < m(j)._4) (m(i)._4, m(j)._4) else (m(j)._4, m(i)._4)
+                out += ((da, db, key._1, jac))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b", "lang", "jaccard")
+      .select(col("doc_a"), col("doc_b"), col("lang"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   val ngramJaccardSql: String =

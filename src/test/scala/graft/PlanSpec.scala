@@ -108,9 +108,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "split must not shuffle:\n" + p)
   }
 
-  test("ngram jaccard self-join is keyed on the length bucket below the array intersect") {
+  test("ngram jaccard is a per-(lang,source,length-bucket) grouped kernel, never a cross product") {
     val p = plan(scale.Dedup.ngramJaccardPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("bkt"), "length-bucket join key missing from plan:\n" + p)
+    assert(p.contains("MapGroups"), "expected the per-block typed kernel:\n" + p)
+    assert(p.contains("Exchange"), "expected the block-key shuffle:\n" + p)
   }
 }
