@@ -66,14 +66,19 @@ object Sketches {
     * 20 verified items touch the driver. */
   def skHeavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached: read three times (sketch build, N for the error band, and
+    // the exact top-20 via Sampling.heavyHitters, whose identical plan
+    // hits the same cache entry)
     val sh = Dedup.shingleRows(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .cache()
     val eps = 0.001
     val cms = sh.stat.countMinSketch(col("s"), eps = eps, confidence = 0.99, seed = 42)
     val n = sh.count()
     val slack = math.ceil(eps * n).toLong
     val top = Sampling.heavyHitters(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    sh.unpersist()
     top.map { case (s, exact) =>
       val est = cms.estimateCount(s)
       (s, exact, est >= exact && est <= exact + slack)
