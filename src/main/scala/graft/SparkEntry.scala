@@ -24,6 +24,7 @@ object SparkEntry {
       scale.Multimodal.queries ++
       scale.Sketches.queries ++
       scale.Sampling.queries ++
+      scale.Curation.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
       streaming.Subscriptions.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       scale.Multimodal.oracles ++
       scale.Sketches.oracles ++
       scale.Sampling.oracles ++
+      scale.Curation.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++
       streaming.Subscriptions.oracles ++
