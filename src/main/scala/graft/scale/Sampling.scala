@@ -122,6 +122,78 @@ object Sampling {
        |       round(sum(n_tokens) / 4096.0, 6) + 0 AS fill_ratio
        |FROM offs GROUP BY 1, 2""".stripMargin
 
+  /** Mixture resampling — reweight the corpus to TARGET per-language
+    * token shares (the data-mixing step of a pretraining run): per-lang
+    * weight = target_share · total_tokens / lang_tokens; weight < 1
+    * downsamples by a deterministic hash fraction, weight > 1 emits
+    * ⌊w⌋ copies plus a hash-fractional extra. The per-lang stats are a
+    * TINY aggregate broadcast back over the corpus — the 100 TB plan is
+    * one map-side filter/replicate, no corpus shuffle beyond the census.
+    * Output: per-lang census (in/out docs+tokens, weight, achieved
+    * share) so the oracle pins both the rates and the replication. */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+    val targetShare =
+      when(col("lang") === "en", 0.30).otherwise(0.175)
+    val stats = docs.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("total_tokens", sum(col("lang_tokens")).over(wAll))
+      .withColumn("target_share", targetShare)
+      .withColumn("weight",
+        col("target_share") * col("total_tokens") / col("lang_tokens"))
+    // 32-bit md5 prefix as a uniform fraction in [0,1) — bit-identical in DuckDB
+    val hashFrac = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    docs.join(broadcast(stats), Seq("lang"))
+      .withColumn("n_copies",
+        floor(col("weight")) +
+          when(hashFrac < col("weight") - floor(col("weight")), 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs_in"),
+        max(col("lang_tokens")).as("tokens_in"),
+        round(max(col("lang_tokens")) / max(col("total_tokens")).cast("double"), 6)
+          .as("current_share"),
+        max(col("target_share")).as("target_share"),
+        round(max(col("weight")), 6).as("weight"),
+        sum(col("n_copies")).as("n_docs_out"),
+        sum(col("n_copies") * col("n_tokens")).as("tokens_out"))
+      .withColumn("achieved_share",
+        round(col("tokens_out") / sum(col("tokens_out")).over(wAll).cast("double"), 6))
+  }
+
+  val sampleMixtureSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, len(${Dedup.tokensSql}) AS n_tokens FROM documents),
+       |stats AS (
+       |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens FROM docs GROUP BY lang),
+       |w AS (
+       |  SELECT lang, lang_tokens,
+       |         CAST(sum(lang_tokens) OVER () AS BIGINT) AS total_tokens,
+       |         CASE WHEN lang = 'en' THEN 0.30::DOUBLE ELSE 0.175::DOUBLE END AS target_share
+       |  FROM stats),
+       |ww AS (
+       |  SELECT *, target_share * total_tokens / lang_tokens AS weight FROM w),
+       |cop AS (
+       |  SELECT d.lang, d.n_tokens, ww.lang_tokens, ww.total_tokens, ww.target_share, ww.weight,
+       |         CAST(floor(ww.weight) AS BIGINT) +
+       |         CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+       |                   < ww.weight - floor(ww.weight) THEN 1 ELSE 0 END AS n_copies
+       |  FROM docs d JOIN ww ON d.lang = ww.lang),
+       |census AS (
+       |  SELECT lang, count(*) AS n_docs_in,
+       |         max(lang_tokens) AS tokens_in,
+       |         round(max(lang_tokens) * 1.0 / max(total_tokens), 6) + 0 AS current_share,
+       |         max(target_share) AS target_share,
+       |         round(max(weight), 6) + 0 AS weight,
+       |         CAST(sum(n_copies) AS BIGINT) AS n_docs_out,
+       |         CAST(sum(n_copies * n_tokens) AS BIGINT) AS tokens_out
+       |  FROM cop GROUP BY lang)
+       |SELECT *, round(tokens_out * 1.0 / sum(tokens_out) OVER (), 6) + 0 AS achieved_share
+       |FROM census""".stripMargin
+
   private def tokens(c: Column): Column = Dedup.tokens(c)
   private def tokensListSql: String = Dedup.tokensSql
 
@@ -129,11 +201,13 @@ object Sampling {
     "split_train_val"   -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
     "pack_sequences"    -> (packSequences _),
+    "sample_mixture"    -> (sampleMixture _),
     "text_heavy_hitters" -> (heavyHitters _))
 
   def oracles: Map[String, String] = Map(
     "split_train_val"   -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_sequences"    -> packSequencesSql,
+    "sample_mixture"    -> sampleMixtureSql,
     "text_heavy_hitters" -> heavyHittersSql)
 }

@@ -55,4 +55,24 @@ class SamplingSpec extends SparkSpec {
       .filter(col("mn") =!= 0 || col("k") =!= col("mx") + 1)
     assert(gaps.isEmpty, "pack ids must be contiguous per lang")
   }
+
+  test("mixture resampling moves every lang's token share toward its target") {
+    val rows = Sampling.sampleMixture(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val current = r.getAs[Double]("current_share")
+      val target = r.getAs[Double]("target_share")
+      val achieved = r.getAs[Double]("achieved_share")
+      val weight = r.getAs[Double]("weight")
+      // replication bounds: ⌊w⌋·n_in ≤ n_out ≤ ⌈w⌉·n_in
+      val nIn = r.getAs[Long]("n_docs_in"); val nOut = r.getAs[Long]("n_docs_out")
+      assert(nOut >= math.floor(weight).toLong * nIn && nOut <= math.ceil(weight).toLong * nIn,
+        s"$lang: n_out $nOut outside [⌊w⌋,⌈w⌉]·$nIn for w=$weight")
+      // achieved share must land nearer the target than where it started
+      // (generous band: hash sampling on a small fixture is noisy)
+      assert(math.abs(achieved - target) <= math.abs(current - target) + 0.05,
+        s"$lang: achieved $achieved vs target $target (was $current)")
+    }
+  }
 }
