@@ -100,10 +100,85 @@ object Multimodal {
         col("width"), col("height"), col("format"))
   }
 
+  // ---------------------------------------------------------------- resize
+  /** Resize planning — the metadata half of an image-resize stage (the
+    * pixel work is the stubbed codec): fit each image into 224×224
+    * preserving aspect ratio, downscale-only. Pure column math over the
+    * prunable metadata columns — the media bytes are never touched, so
+    * at 100 TB this runs off a pruned scan of two int columns. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val scale = least(lit(1.0), lit(224.0) / greatest(col("width"), col("height")))
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(scale, 6).as("scale"),
+        greatest(lit(1), round(col("width") * scale).cast("int")).as("out_w"),
+        greatest(lit(1), round(col("height") * scale).cast("int")).as("out_h"))
+      .withColumn("out_bytes_est", col("out_w") * col("out_h") * 3)
+  }
+
+  val resizePlanSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 640 + 64 AS INT) AS width,
+      |    CAST(doc_id % 480 + 48 AS INT) AS height
+      |  FROM documents),
+      |s AS (
+      |  SELECT *, least(1.0::DOUBLE, 224.0::DOUBLE / greatest(width, height)) AS sc FROM m)
+      |SELECT doc_id, width, height, round(sc, 6) + 0 AS scale,
+      |  greatest(1, CAST(round(width * sc) AS INT)) AS out_w,
+      |  greatest(1, CAST(round(height * sc) AS INT)) AS out_h,
+      |  greatest(1, CAST(round(width * sc) AS INT)) *
+      |  greatest(1, CAST(round(height * sc) AS INT)) * 3 AS out_bytes_est
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- frames
+  /** Frame sampling — the video-ingest stage: treat the payload as
+    * fixed-32-byte frames, sample at a stride that yields ≤ 8 frames per
+    * doc, and slice each sampled frame out of the BINARY column (offset
+    * math + `substring` on bytes — the real I/O shape; the codec decode
+    * of each frame is the stubbed step). Emits one row per sampled frame
+    * with its md5 — oracle-exact because the payload is single-byte
+    * ASCII, so DuckDB's VARCHAR substring slices the same bytes. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .withColumn("n_bytes", length(col("media")))
+      .withColumn("n_frames", ceil(col("n_bytes") / lit(32.0)))
+      .withColumn("stride", ceil(col("n_frames") / lit(8.0)))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))).as("frame_idx"),
+        col("media"), col("n_bytes"))
+      .withColumn("offset", col("frame_idx") * 32)
+      .withColumn("frame_len", least(lit(32L), col("n_bytes") - col("offset")))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("offset"),
+        col("frame_len"),
+        md5(expr("substring(media, cast(offset + 1 as int), cast(frame_len as int))"))
+          .as("frame_digest"))
+
+  val frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, length(text) AS n_bytes,
+      |         CAST(ceil(length(text) / 32.0) AS BIGINT) AS n_frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT *, CAST(ceil(n_frames / 8.0) AS BIGINT) AS stride FROM m),
+      |f AS (
+      |  SELECT doc_id, n_frames, text, n_bytes,
+      |         unnest(generate_series(0, n_frames - 1, stride)) AS frame_idx
+      |  FROM s)
+      |SELECT doc_id, n_frames, frame_idx, frame_idx * 32 AS "offset",
+      |  least(32, n_bytes - frame_idx * 32) AS frame_len,
+      |  md5(substring(text, frame_idx * 32 + 1, least(32, n_bytes - frame_idx * 32)))
+      |    AS frame_digest
+      |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats"      -> (blobStats _),
-    "mm_decode_features" -> (decodeFeatures _))
+    "mm_decode_features" -> (decodeFeatures _),
+    "mm_resize_plan"     -> (resizePlan _),
+    "mm_frame_sample"    -> (frameSample _))
 
   def oracles: Map[String, String] = Map(
-    "mm_blob_stats" -> blobStatsSql)
+    "mm_blob_stats"   -> blobStatsSql,
+    "mm_resize_plan"  -> resizePlanSql,
+    "mm_frame_sample" -> frameSampleSql)
 }
