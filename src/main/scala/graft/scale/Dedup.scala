@@ -602,7 +602,115 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  // ---------------------------------------------------------------- incremental
+  /** Incremental ingest dedup — the shape a 100 TB pipeline actually
+    * runs daily: a NEW batch (docs with doc_id % 10 == 7 stand in for
+    * today's crawl) is deduplicated AGAINST the existing corpus, never
+    * corpus × corpus. Exact phase: shuffle join on content hash (the
+    * corpus hash index is too big to broadcast — this is the one join
+    * here that must shuffle, on a high-entropy key). Near phase: MinHash
+    * band join restricted to new × corpus (shuffle rows = docs × bands),
+    * candidates verified by exact shingle-row Jaccard ≥ 0.5. Output is
+    * one verdict row per new-batch doc: drop_exact / drop_near / keep.
+    * In-batch duplication is the batch-local [[dedupExact]]/
+    * [[minhashLshPairs]] run — out of scope here by design. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val isNew = col("doc_id") % 10 === 7
+    val hashed = docs.withColumn("content_hash", md5(col("text").cast("binary")))
+    val corpusHash = hashed.filter(!isNew)
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("exact_dup_of"))
+    // signatures over raw docs (no rep-collapse: the batch must see every
+    // corpus doc); shingle rows shared by the sig build and the verify join
+    val sh = shingleRows(docs).cache()
+    val hashedSh = sh.withColumn("h",
+      conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 1000000007L)
+    val mins = (0 until 16).map(k =>
+      min((col("h") + 1) * lit(1000003L + k * 99991L) % 2147483647L).as(s"m$k"))
+    val sigs = hashedSh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(k => col(s"m$k")): _*).as("minhash"))
+    val bands = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            (((element_at(col("minhash"), b * 4 + 1) * 31 +
+               element_at(col("minhash"), b * 4 + 2)) * 31 +
+               element_at(col("minhash"), b * 4 + 3)) * 31 +
+               element_at(col("minhash"), b * 4 + 4)).as("bh"))))
+          .as("bandrec"))
+      .select(col("doc_id"), col("bandrec.band").as("band"), col("bandrec.bh").as("bh"))
+    val cand = bands.filter(isNew).as("n")
+      .join(bands.filter(!isNew).as("c"),
+        col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val near = broadcast(cand)
+      .join(sh.select(col("doc_id").as("new_id"), col("s")), "new_id")
+      .join(sh.select(col("doc_id").as("corpus_id"), col("s")), Seq("corpus_id", "s"))
+      .groupBy(col("new_id"), col("corpus_id")).agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("new_id"), col("n").as("n_a"))), "new_id")
+      .join(broadcast(sizes.select(col("doc_id").as("corpus_id"), col("n").as("n_b"))), "corpus_id")
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .groupBy(col("new_id")).agg(min(col("corpus_id")).as("near_dup_of"))
+    hashed.filter(isNew).select(col("doc_id"), col("content_hash"))
+      .join(corpusHash, Seq("content_hash"), "left")
+      .join(near.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup_of"), col("near_dup_of"),
+        when(col("exact_dup_of").isNotNull, "drop_exact")
+          .when(col("near_dup_of").isNotNull, "drop_near")
+          .otherwise("keep").as("verdict"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents),
+       |shs AS (
+       |  SELECT doc_id, list_distinct($shinglesSql) AS sh FROM toks),
+       |hs AS (
+       |  SELECT doc_id, sh,
+       |         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007) AS hs
+       |  FROM shs WHERE len(sh) > 0),
+       |sig AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(generate_series(0, 15),
+       |      k -> list_aggregate(list_transform(hs, h -> (h + 1) * (1000003 + k * 99991) % 2147483647),
+       |                          'min')) AS minhash
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |         ((minhash[b*4+1] * 31 + minhash[b*4+2]) * 31 +
+       |           minhash[b*4+3]) * 31 + minhash[b*4+4] AS bh
+       |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+       |  WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+       |near AS (
+       |  SELECT new_id, min(corpus_id) AS near_dup_of
+       |  FROM cand
+       |  JOIN sig sn ON sn.doc_id = new_id
+       |  JOIN sig sc ON sc.doc_id = corpus_id
+       |  WHERE len(list_intersect(sn.sh, sc.sh)) * 1.0 /
+       |        len(list_distinct(list_concat(sn.sh, sc.sh))) >= 0.5
+       |  GROUP BY new_id),
+       |corp AS (
+       |  SELECT md5(text) AS content_hash, min(doc_id) AS exact_dup_of
+       |  FROM documents WHERE doc_id % 10 <> 7 GROUP BY 1),
+       |newdocs AS (
+       |  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 10 = 7)
+       |SELECT n.doc_id, c.exact_dup_of, nr.near_dup_of,
+       |  CASE WHEN c.exact_dup_of IS NOT NULL THEN 'drop_exact'
+       |       WHEN nr.near_dup_of IS NOT NULL THEN 'drop_near'
+       |       ELSE 'keep' END AS verdict
+       |FROM newdocs n
+       |LEFT JOIN corp c ON c.content_hash = n.content_hash
+       |LEFT JOIN near nr ON nr.new_id = n.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental"    -> (dedupIncremental _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_exact"          -> (dedupExact _),
     "dedup_minhash_sig"    -> (minhashSignatures _),
@@ -614,6 +722,7 @@ object Dedup {
     "dedup_embedding_lsh"  -> (embeddingLshPairs _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_incremental"    -> dedupIncrementalSql,
     "dedup_exact"          -> dedupExactSql,
     "dedup_minhash_sig"    -> minhashSignaturesSql,
     "dedup_minhash_lsh"    -> minhashLshPairsSql,
