@@ -68,6 +68,27 @@ object TextAnalysis {
        |FROM f""".stripMargin
 
   // ---------------------------------------------------------------- quality
+  /** The composite quality-score expression over a `text` column —
+    * shared by the batch query below and the streaming ingest gate
+    * ([[graft.streaming.CorpusIngest]]), so both paths apply one
+    * definition of "quality". */
+  def qualityScoreCol: Column = {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+    val toks = Dedup.tokens(col("text"))
+    val nToks = size(toks)
+    val stopRatio = size(filter(toks, t => t.isInCollection(stop))).cast("double") /
+      greatest(nToks, lit(1))
+    val punctRatio = strippedLen(col("text"), "[^!-/:-@\\[-`{-~]").cast("double") /
+      greatest(length(col("text")), lit(1))
+    val digitRatio = strippedLen(col("text"), "[^0-9]").cast("double") /
+      greatest(length(col("text")), lit(1))
+    val lenScore = least(length(col("text")).cast("double") / 400.0, lit(1.0))
+    lenScore * 0.4 +
+      least(stopRatio * 4.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2 +
+      (lit(1.0) - least(digitRatio * 10.0, lit(1.0))) * 0.1
+  }
+
   /** Quality scoring (length / punctuation / digit / stopword ratios →
     * composite score + keep/flag/drop bucket) — the filter stage of a
     * pretraining curation pipeline. */
@@ -81,11 +102,7 @@ object TextAnalysis {
       greatest(length(col("text")), lit(1))
     val digitRatio = strippedLen(col("text"), "[^0-9]").cast("double") /
       greatest(length(col("text")), lit(1))
-    val lenScore = least(length(col("text")).cast("double") / 400.0, lit(1.0))
-    val score = lenScore * 0.4 +
-      least(stopRatio * 4.0, lit(1.0)) * 0.3 +
-      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2 +
-      (lit(1.0) - least(digitRatio * 10.0, lit(1.0))) * 0.1
+    val score = qualityScoreCol
     Tables.documents(spark, dir).select(
       col("doc_id"),
       nToks.as("n_tokens"),

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming corpus ingest end-to-end: in-watermark exact duplicates are
+  * dropped, the quality gate filters, and the surviving scores equal the
+  * batch formula on the same text. */
+class CorpusIngestSpec extends SparkSpec {
+
+  private def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+  test("ingest dedups within the watermark and applies the batch quality gate") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and runs on for " +
+      "a while with many of the common stopwords in a long enough sentence " +
+      "to clear the length score threshold of the quality formula easily " +
+      "and then some more words for good measure in the end of the text"
+    val junk = "!!! ??? ### 12345 67890 !!! ??? ### 12345 67890"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CorpusIngest.ingest(mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("ingest_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, good, ts(0)), (2L, good, ts(10)), (3L, junk, ts(20)),
+        (4L, good + " extra", ts(30)))
+      q.processAllAvailable()
+      // advance the watermark so the dedup state flushes and rows emit
+      mem.addData((5L, "late watermark pusher text", ts(400)))
+      q.processAllAvailable()
+      val out = spark.table("ingest_t").orderBy("doc_id").collect()
+      val ids = out.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.contains(1L), "first copy must survive")
+      assert(!ids.contains(2L), "in-watermark exact duplicate must be dropped")
+      assert(!ids.contains(3L), "junk doc must fail the quality gate")
+      assert(ids.contains(4L), "near-but-not-exact text is NOT exact-deduped")
+      // score equals the batch formula on the same text
+      val streamed = out.find(_.getAs[Long]("doc_id") == 1L).get
+        .getAs[Double]("quality_score")
+      val batch = Seq(good).toDF("text")
+        .select(round(graft.scale.TextAnalysis.qualityScoreCol, 6).as("s"))
+        .collect().head.getDouble(0)
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+}
