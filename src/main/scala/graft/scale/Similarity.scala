@@ -283,6 +283,149 @@ object Similarity {
       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- recall
+  /** Recall@10 self-measurement — the acceptance test every ANN index
+    * deployment runs before trading exactness for speed: both index
+    * families (LSH buckets, IVF nprobe=2) retrieve top-10 per query, and
+    * each set is scored against the brute-force top-10 ground truth.
+    * One row per (query, method): retrieved count, hits, recall. The
+    * ground truth reuses the broadcast-query brute pass — at 100 TB this
+    * runs on a sampled query set, exactly this plan shape.
+    *
+    * Measured at sf0.01: IVF ≈ 0.88, LSH ≈ 0 — the LSH index is
+    * mis-sized for a 500-vector corpus (2⁸ buckets → ~2 vectors each,
+    * so a query's bucket rarely holds its true neighbors). That is the
+    * finding this operator exists to surface: bucket-count must track
+    * corpus size, and the recall probe is how a deployment notices. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val c = corpus(spark, dir).withColumn("bucket", lshBucket(col("v"))).cache()
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
+    def rank(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val brute = rank(c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cos))
+    val lsh = rank(c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cos))
+    // IVF candidates exactly as in [[annIvfSearch]] (nprobe = 2)
+    val cents = c.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dist = (0 until 64).map { d =>
+      val diff = element_at(col("v"), d + 1) - element_at(col("cv"), d + 1)
+      diff * diff
+    }.reduce(_ + _)
+    val assigned = c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+    val lists = assigned.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+    val probes = assigned.filter(col("vec_id") < 10)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"))
+    val ivf = rank(c.join(broadcast(lists), "vec_id")
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cos))
+    def recallOf(approx: DataFrame, method: String): DataFrame =
+      approx.alias("a").join(brute.alias("b"),
+          col("a.query_id") === col("b.query_id") && col("a.vec_id") === col("b.vec_id"),
+          "left")
+        .groupBy(col("a.query_id").as("query_id"))
+        .agg(count(lit(1)).as("n_retrieved"), count(col("b.vec_id")).as("n_hits"))
+        .select(col("query_id"), lit(method).as("method"),
+          col("n_retrieved"), col("n_hits"),
+          round(col("n_hits").cast("double") / k, 6).as("recall_at_10"))
+    recallOf(lsh, "lsh").union(recallOf(ivf, "ivf"))
+  }
+
+  val annRecallSql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT j, list_transform(generate_series(0, 63),
+      |           d -> ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+      |                  / 2147483648.0 - 1.0) AS h
+      |  FROM unnest(generate_series(0, 7)) AS t(j)),
+      |signs AS (
+      |  SELECT e0.vec_id, p.j,
+      |         CASE WHEN list_sum(list_transform(list_zip(e0.v, p.h), q -> q[1] * q[2])) >= 0
+      |              THEN CAST(pow(2.0, p.j) AS BIGINT) ELSE 0 END AS bit
+      |  FROM e0, planes p),
+      |b AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM signs GROUP BY vec_id),
+      |e AS (SELECT e0.*, b.bucket FROM e0 JOIN b USING (vec_id)),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+      |      FROM e WHERE vec_id < 10),
+      |bscored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])) / (e.nrm * q.qn) AS cosine
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |brute AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM bscored)
+      |  WHERE rank <= 10),
+      |lscored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])) / (e.nrm * q.qn) AS cosine
+      |  FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+      |lsh AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM lscored)
+      |  WHERE rank <= 10),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT e0.vec_id, e0.v, e0.nrm, c.cid,
+      |         list_sum(list_transform(list_zip(e0.v, c.cv),
+      |                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM e0 CROSS JOIN cents c),
+      |lists AS (
+      |  SELECT vec_id, cid
+      |  FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |        FROM dists)
+      |  WHERE rk = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |        FROM dists WHERE vec_id < 10)
+      |  WHERE rk <= 2),
+      |iscored AS (
+      |  SELECT p.query_id, e0.vec_id,
+      |         list_sum(list_transform(list_zip(e0.v, p.qv), z -> z[1] * z[2])) / (e0.nrm * p.qn) AS cosine
+      |  FROM e0 JOIN lists l ON e0.vec_id = l.vec_id
+      |         JOIN probes p ON l.cid = p.cid
+      |  WHERE e0.vec_id <> p.query_id),
+      |ivf AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM iscored)
+      |  WHERE rank <= 10),
+      |rec AS (
+      |  SELECT a.query_id, 'lsh' AS method, count(*) AS n_retrieved, count(b.vec_id) AS n_hits
+      |  FROM lsh a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  SELECT a.query_id, 'ivf', count(*), count(b.vec_id)
+      |  FROM ivf a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id)
+      |SELECT query_id, method, n_retrieved, n_hits,
+      |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
+      |FROM rec""".stripMargin
+
   // ---------------------------------------------------------------- ts search
   /** Time-series subsequence similarity search (the pattern-matching
     * query a FOREX engine runs against its own history; cf. EDBT'19
@@ -361,6 +504,7 @@ object Similarity {
     "ann_lsh_search"  -> (annLshSearch _),
     "ann_ivf_assign"  -> (annIvfAssign _),
     "ann_ivf_search"  -> (annIvfSearch _),
+    "ann_recall"      -> (annRecall _),
     "ts_similar_windows" -> (tsSimilarWindows _))
 
   def oracles: Map[String, String] = Map(
@@ -369,5 +513,6 @@ object Similarity {
     "ann_lsh_search"  -> annLshSearchSql,
     "ann_ivf_assign"  -> annIvfAssignSql,
     "ann_ivf_search"  -> annIvfSearchSql,
+    "ann_recall"      -> annRecallSql,
     "ts_similar_windows" -> tsSimilarWindowsSql)
 }
