@@ -187,6 +187,43 @@ object Sinks {
   def exportJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** Small-file compaction — the maintenance job a 100 TB lake runs
+    * continuously: streaming appends leave thousands of KB-sized files
+    * per date partition, and scan planning + file-open cost eventually
+    * dominates reads. Each partition is rewritten into
+    * ceil(bytes / target) files, sized from its ACTUAL on-disk bytes
+    * (never a global constant). The directory listing is a driver-side
+    * metadata op proportional to partition count; each rewrite is a
+    * distributed job touching only partitions whose file count exceeds
+    * the target — untouched partitions cost nothing. Returns the
+    * (date, files_before, files_after, bytes) census. */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetBytes: Long = 128L << 20): Seq[(String, Int, Int, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .map { p =>
+        val files = fs.listStatus(p.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val date = p.getPath.getName.stripPrefix("date=")
+        if (want < files.length) {
+          val tmp = new Path(p.getPath.getParent, s".compact_tmp_$date")
+          spark.read.parquet(p.getPath.toString)
+            .repartition(want)
+            .write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .parquet(tmp.toString)
+          fs.delete(p.getPath, true)
+          fs.rename(tmp, p.getPath)
+          (date, files.length, want, bytes)
+        } else (date, files.length, files.length, bytes)
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_upsert_merge"    -> (upsertMerged _),
     "k2_feature_save"    -> (k2FeatureSave _),

@@ -66,4 +66,31 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.json(dir)
     assert(back.count() == df.count())
   }
+
+  test("compaction collapses small-file partitions without changing the data") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/events"
+    val src = Tables.events(spark, sfDir).select(col("ts"), col("user_id"), col("value"))
+    // simulate streaming-append fragmentation: many tiny files per partition
+    Sinks.writePartitioned(src.repartition(20), dir)
+    val before = spark.read.parquet(dir)
+    val nBefore = before.count()
+    val sumBefore = before.select(sum(col("value"))).head().getDouble(0)
+    val fragged = new java.io.File(dir).listFiles().filter(_.getName.startsWith("date="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(fragged.exists(_ > 5), s"fixture should be fragmented, got $fragged")
+
+    val census = Sinks.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+    assert(census.nonEmpty)
+    census.foreach { case (date, b, a, bytes) =>
+      assert(a <= b, s"$date grew: $b -> $a")
+      assert(a == 1, s"$date: 1 GiB target must collapse a tiny partition to one file, got $a")
+      assert(bytes > 0)
+    }
+    val filesAfter = new java.io.File(dir).listFiles().filter(_.getName.startsWith("date="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(filesAfter.forall(_ == 1), s"expected 1 file per partition, got $filesAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == nBefore)
+    assert(math.abs(after.select(sum(col("value"))).head().getDouble(0) - sumBefore) < 1e-6)
+  }
 }
