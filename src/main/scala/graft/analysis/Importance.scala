@@ -114,9 +114,17 @@ object Importance {
     val fit = stacked.groupBy(col("feature"))
       .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
            min(col("y")).as("y0"), max(col("y")).as("y1"))
+    // a constant variable (possible on sparse fixtures) has zero bin
+    // width: its rows land in ONE null bin, so nxy ≡ ny, nx ≡ n and the
+    // MI sum is exactly 0 — the right answer, with no ANSI 0/0. CASE
+    // short-circuits in both engines; least() must stay OUTSIDE the
+    // guard (it SKIPS nulls rather than propagating them).
+    def bin(v: Column, lo: Column, hi: Column): Column =
+      when(hi - lo === 0, lit(null))
+        .otherwise(least(floor((v - lo) / (hi - lo) * 4), lit(3)))
     val binned = stacked.join(broadcast(fit), "feature")
-      .withColumn("bx", least(floor((col("x") - col("x0")) / (col("x1") - col("x0")) * 4), lit(3)))
-      .withColumn("by", least(floor((col("y") - col("y0")) / (col("y1") - col("y0")) * 4), lit(3)))
+      .withColumn("bx", bin(col("x"), col("x0"), col("x1")))
+      .withColumn("by", bin(col("y"), col("y0"), col("y1")))
     val joint = binned.groupBy(col("feature"), col("bx"), col("by")).agg(count(lit(1)).as("nxy"))
     val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
     val withMarginals = joint
@@ -143,8 +151,10 @@ object Importance {
       |  FROM stacked GROUP BY feature),
       |binned AS (
       |  SELECT s.feature,
-      |    least(floor((x - x0) / (x1 - x0) * 4), 3) AS bx,
-      |    least(floor((y - y0) / (y1 - y0) * 4), 3) AS by
+      |    CASE WHEN x1 - x0 = 0 THEN NULL
+      |         ELSE least(floor((x - x0) / (x1 - x0) * 4), 3) END AS bx,
+      |    CASE WHEN y1 - y0 = 0 THEN NULL
+      |         ELSE least(floor((y - y0) / (y1 - y0) * 4), 3) END AS by
       |  FROM stacked s JOIN fit USING (feature)),
       |joint AS (
       |  SELECT feature, bx, by, count(*) AS nxy FROM binned GROUP BY 1, 2, 3),
