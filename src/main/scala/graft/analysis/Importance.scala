@@ -101,6 +101,33 @@ object Importance {
       |       CAST(row_number() OVER (ORDER BY abs_corr DESC, feature) AS INT) AS rank
       |FROM scores""".stripMargin
 
+  // ---------------------------------------------------------------- corr matrix
+  /** Full pairwise correlation matrix over the 5 features + target (15
+    * unordered pairs) — the collinearity diagnostic run before any
+    * feature-selection step. ONE aggregate job computes all 15 moments
+    * sets; `stack` unpivots the single wide row. The pair list drives
+    * both the Spark aggregation and the oracle SQL, so they cannot
+    * drift. */
+  private val corrPairs: Seq[(String, String)] = {
+    val vars = featureNames :+ "target"
+    for { i <- vars.indices; j <- vars.indices if i < j } yield (vars(i), vars(j))
+  }
+
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val f = featureFrame(spark, dir)
+    val aggs = corrPairs.map { case (a, b) =>
+      round(corrSafe(col(a), col(b)), 6).as(s"${a}__$b") }
+    f.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${corrPairs.size}, " +
+        corrPairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ") +
+        ") AS (var_a, var_b, pearson_r)"))
+  }
+
+  val corrMatrixSql: String = featureFrameSql + "\n" +
+    corrPairs.map { case (a, b) =>
+      s"SELECT '$a' AS var_a, '$b' AS var_b, round(corr($a, $b), 6) + 0 AS pearson_r FROM feat"
+    }.mkString("", "\nUNION ALL ", "")
+
   // ---------------------------------------------------------------- MI
   /** Binned mutual information (`feature_importance.py:117-179`): 4
     * equal-width bins per variable, MI from contingency counts — pure
@@ -310,6 +337,7 @@ object Importance {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "imp_correlation" -> (corrImportance _),
+    "imp_corr_matrix" -> (corrMatrix _),
     "imp_mutual_info" -> (miImportance _),
     "imp_rf"          -> (rfImportance _),
     "imp_lasso"       -> (lassoImportance _),
@@ -319,6 +347,7 @@ object Importance {
 
   def oracles: Map[String, String] = Map(
     "imp_correlation" -> corrImportanceSql,
+    "imp_corr_matrix" -> corrMatrixSql,
     "imp_mutual_info" -> miImportanceSql,
     "imp_fstat"       -> fstatImportanceSql,
     "imp_consensus"   -> consensusImportanceSql)

@@ -283,6 +283,60 @@ object Similarity {
       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- projection
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * 64-dim embeddings → 16 dims via the md5-derived plane matrix (rows
+    * 0–15 of [[planes]]) — the embedding-compression step a 100 TB
+    * vector store runs before indexing (4× smaller vectors, pairwise
+    * distances preserved within JL distortion). A pure map stage.
+    *
+    * The 16×64 multiply runs as a typed kernel: the same matrix as an
+    * unrolled 1024-term Column expression falls out of whole-stage
+    * codegen and runs interpreted at ~1 µs/term/row (the
+    * ann_lsh/embedding-band lesson). Ascending-dimension summation
+    * matches the oracle's list_sum fold exactly. */
+  def embProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pl = planes
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val out = new Array[Double](16)
+        var j = 0
+        while (j < 16) {
+          val p = pl(j)
+          var s = 0.0
+          var d = 0
+          while (d < 64) { s += v(d) * p(d); d += 1 }
+          out(j) = s
+          j += 1
+        }
+        (id, out)
+      }
+      .toDF("vec_id", "p")
+      .select(col("vec_id") +:
+        (0 until 16).map(j => round(element_at(col("p"), j + 1), 6).as(s"p$j")): _*)
+  }
+
+  val embProjectSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planes AS (
+      |  SELECT j, list_transform(generate_series(0, 63),
+      |           d -> ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+      |                  / 2147483648.0 - 1.0) AS h
+      |  FROM unnest(generate_series(0, 15)) AS t(j)),
+      |proj AS (
+      |  SELECT e.vec_id, p.j,
+      |         list_sum(list_transform(list_zip(e.v, p.h), q -> q[1] * q[2])) AS s
+      |  FROM e, planes p)
+      |SELECT vec_id,
+      |""".stripMargin +
+      (0 until 16).map(j =>
+        s"  round(max(CASE WHEN j = $j THEN s END), 6) + 0 AS p$j")
+        .mkString(",\n") +
+      "\nFROM proj GROUP BY vec_id"
+
   // ---------------------------------------------------------------- recall
   /** Recall@10 self-measurement — the acceptance test every ANN index
     * deployment runs before trading exactness for speed: both index
@@ -505,6 +559,7 @@ object Similarity {
     "ann_ivf_assign"  -> (annIvfAssign _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
+    "emb_project"     -> (embProject _),
     "ts_similar_windows" -> (tsSimilarWindows _))
 
   def oracles: Map[String, String] = Map(
@@ -514,5 +569,6 @@ object Similarity {
     "ann_ivf_assign"  -> annIvfAssignSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
+    "emb_project"     -> embProjectSql,
     "ts_similar_windows" -> tsSimilarWindowsSql)
 }
