@@ -114,4 +114,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapGroups"), "expected the per-block typed kernel:\n" + p)
     assert(p.contains("Exchange"), "expected the block-key shuffle:\n" + p)
   }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    // the join key IS the partition column, so Catalyst turns the dim
+    // filter into a runtime partition-pruning subquery — at 100 TB this
+    // is the difference between scanning 3 date partitions and all of them
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/events"
+    sources.Sinks.writePartitioned(
+      Tables.events(spark, sfDir).select(col("ts"), col("user_id"), col("value")), dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a REAL scan with a selective filter (a folded
+    // LocalRelation doesn't qualify as a pruning source)
+    val dim = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("date"), col("event_type"))
+      .filter(col("event_type") === "view")
+    val p = plan(fact.join(dim, Seq("date")).groupBy(col("date")).count())
+    assert(p.contains("dynamicpruning"), "expected a runtime partition-pruning subquery:\n" + p)
+  }
+
+  test("runtime bloom filter from a selective dim reaches the fact scan of a shuffle join") {
+    // when neither side broadcasts, Spark can still build a bloom filter
+    // from the filtered dim and apply it map-side on the fact — the
+    // runtime-filtering story for fact⋈dim joins too big to broadcast
+    import org.apache.spark.sql.functions._
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // the fixture is far below the 10 GiB production threshold
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val fact = Tables.events(spark, sfDir).select(col("user_id"), col("value"))
+      val dim = Tables.events(spark, sfDir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"))
+      val p = plan(fact.join(dim, "user_id").groupBy(col("user_id")).count())
+      assert(p.toLowerCase.contains("might_contain"),
+        "expected a bloom-filter probe on the fact side:\n" + p)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
