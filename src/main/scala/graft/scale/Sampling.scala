@@ -62,6 +62,42 @@ object Sampling {
        |       round(avg(CASE WHEN $hashBucketSql < 20 THEN 1.0 ELSE 0.0 END), 6) + 0 AS sample_rate
        |FROM documents GROUP BY lang""".stripMargin
 
+  /** Split-leakage audit — the check that motivates group-aware splits:
+    * near-duplicate pairs ([[Dedup.minhashLshPairs]], Jaccard ≥ 0.5)
+    * whose two docs land in DIFFERENT splits leak training content into
+    * eval. Output is the (split_a, split_b) pair matrix with a `leaky`
+    * flag; a clean split has all mass on the diagonal. Cost = the LSH
+    * pair query + one broadcast-sized aggregation. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def split(c: Column): Column = {
+      val b = conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    }
+    Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .withColumn("split_a", split(col("doc_a")))
+      .withColumn("split_b", split(col("doc_b")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+  }
+
+  private def splitOfSql(c: String): String =
+    s"""CASE WHEN ('0x' || substr(md5($c::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+       |     WHEN ('0x' || substr(md5($c::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  val splitLeakageSql: String =
+    s"""WITH pairs AS (
+       |${Dedup.minhashLshPairsSql}
+       |)
+       |SELECT split_a, split_b, count(*) AS n_pairs, split_a <> split_b AS leaky
+       |FROM (SELECT ${splitOfSql("doc_a")} AS split_a,
+       |             ${splitOfSql("doc_b")} AS split_b
+       |      FROM pairs)
+       |GROUP BY split_a, split_b""".stripMargin
+
   /** Corpus heavy hitters — the boilerplate detector every web-scale
     * pipeline runs (headers/footers/licenses repeat across documents):
     * top 20 word-3-gram shingles by DISTINCT-document frequency. One
@@ -202,6 +238,7 @@ object Sampling {
     "sample_stratified" -> (sampleStratified _),
     "pack_sequences"    -> (packSequences _),
     "sample_mixture"    -> (sampleMixture _),
+    "split_leakage"     -> (splitLeakage _),
     "text_heavy_hitters" -> (heavyHitters _))
 
   def oracles: Map[String, String] = Map(
@@ -209,5 +246,6 @@ object Sampling {
     "sample_stratified" -> sampleStratifiedSql,
     "pack_sequences"    -> packSequencesSql,
     "sample_mixture"    -> sampleMixtureSql,
+    "split_leakage"     -> splitLeakageSql,
     "text_heavy_hitters" -> heavyHittersSql)
 }
