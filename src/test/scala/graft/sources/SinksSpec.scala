@@ -67,6 +67,31 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == df.count())
   }
 
+  test("a corrupt part-file is skipped under ignoreCorruptFiles instead of killing the scan") {
+    // the 100 TB reality: out of millions of part-files a few arrive
+    // truncated; the lake read path must degrade to "skip + log", not
+    // fail the whole job
+    val dir = Files.createTempDirectory("graft_corrupt").toString + "/t"
+    Tables.events(spark, sfDir).select(col("user_id"), col("value"))
+      .coalesce(1).write.parquet(dir)
+    val good = spark.read.parquet(dir).count()
+    Files.write(java.nio.file.Paths.get(dir, "part-corrupt.parquet"),
+      "not a parquet file".getBytes)
+    val failed =
+      try { spark.read.parquet(dir).count(); false }
+      catch { case _: Throwable => true }
+    assert(failed, "without the flag a corrupt file must surface as an error")
+    val keep = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      assert(spark.read.parquet(dir).count() == good,
+        "with the flag the scan must return every healthy row")
+    } finally keep match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None    => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("compaction collapses small-file partitions without changing the data") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/events"
     val src = Tables.events(spark, sfDir).select(col("ts"), col("user_id"), col("value"))
