@@ -561,8 +561,19 @@ object Dedup {
     * large-star/small-star optimization, identical join shape).
     * Cluster id = min doc_id of the component. Rows-only check; the
     * invariants (pairs co-clustered, label = component min) are
-    * spec-pinned. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    * spec-pinned.
+    *
+    * Memoized per (session, dir): the labels are an INDEX that multiple
+    * consumers read ([[Sampling.splitByCluster]], the dedup keep-list) —
+    * the iterative loop runs driver-side actions, so Spark's plan cache
+    * cannot deduplicate repeat calls by itself. */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterMemo.computeIfAbsent((spark, dir), _ => computeClusters(spark, dir))
+
+  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus
     // (only near-dups appear) — coalesce the loop state so each
     // iteration is a handful of tasks, not 32 shuffle partitions of a

@@ -362,8 +362,10 @@ object Similarity {
       scored.withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
         .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    // cached: the ground-truth set joins against BOTH approximate sets —
+    // without the boundary the full brute scoring pass runs twice
     val brute = rank(c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cos))
+      .withColumn("cosine", cos)).cache()
     val lsh = rank(c.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cos))
