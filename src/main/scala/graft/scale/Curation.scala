@@ -122,11 +122,81 @@ object Curation {
        |  round(b.max_bi * 1.0 / b.n_bigrams, 6) + 0 AS top_bigram_frac
        |FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------- fused pipeline
+  /** The training-corpus flagship: the FULL curation path as ONE lazy
+    * plan — drop benchmark docs → exact-dedup representatives → quality
+    * gate (score ≥ 0.4) → decontamination (benchmark 3-gram overlap
+    * < 20%, broadcast) → deterministic split assignment. The document
+    * analog of `pipeline_full`: where the reference-style pipeline would
+    * materialize between stages, every stage here is a transformation
+    * over the same DAG, so Catalyst sees — and optimizes — the whole
+    * path at once. Output: one row per surviving doc with its score,
+    * contamination fraction, and split. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val isBench = col("doc_id") % 97 === 0
+    val corpus = docs.filter(!isBench)
+    // stage 1: exact dedup — keep each content hash's lowest doc_id
+    val reps = corpus.groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = corpus.join(reps, Seq("doc_id"), "left_semi")
+    // stage 2: quality gate on the ROUNDED score (what the user sees)
+    val scored = kept
+      .withColumn("quality_score", round(graft.scale.TextAnalysis.qualityScoreCol, 6))
+      .filter(col("quality_score") >= 0.4)
+    // stage 3: decontamination — benchmark shingle set broadcast
+    val benchShingles = Dedup.shingleRows(docs.filter(isBench))
+      .select(col("s")).distinct().withColumn("hit", lit(1))
+    val fracs = Dedup.shingleRows(scored.select(col("doc_id"), col("text")))
+      .join(broadcast(benchShingles), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("hit")).cast("double") / count(lit(1))).as("frac"))
+    // stage 4: keep clean docs, assign the deterministic split
+    val b = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+    scored.join(fracs, Seq("doc_id"), "left")
+      .filter(coalesce(col("frac"), lit(0.0)) < 0.2)
+      .select(col("doc_id"), col("quality_score"),
+        round(coalesce(col("frac"), lit(0.0)), 6).as("contaminated_frac"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+  }
+
+  val corpusPipelineSql: String =
+    s"""WITH ${graft.scale.TextAnalysis.qualityCtes},
+       |reps AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents
+       |  WHERE doc_id % 97 <> 0 GROUP BY md5(text)),
+       |qualified AS (
+       |  SELECT q.doc_id, round(q.score, 6) + 0 AS quality_score
+       |  FROM qs q JOIN reps r ON r.doc_id = q.doc_id
+       |  WHERE round(q.score, 6) >= 0.4),
+       |toks2 AS (
+       |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |shs2 AS (
+       |  SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql})) AS sgl FROM toks2),
+       |bench2 AS (SELECT DISTINCT sgl FROM shs2 WHERE doc_id % 97 = 0),
+       |fr AS (
+       |  SELECT c.doc_id, count(b.sgl) * 1.0 / count(*) AS frac
+       |  FROM (SELECT doc_id, sgl FROM shs2
+       |        WHERE doc_id IN (SELECT doc_id FROM qualified)) c
+       |  LEFT JOIN bench2 b ON c.sgl = b.sgl
+       |  GROUP BY c.doc_id)
+       |SELECT q.doc_id, q.quality_score,
+       |  round(coalesce(fr.frac, 0), 6) + 0 AS contaminated_frac,
+       |  CASE WHEN ('0x' || substr(md5(q.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+       |       WHEN ('0x' || substr(md5(q.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM qualified q LEFT JOIN fr ON fr.doc_id = q.doc_id
+       |WHERE coalesce(fr.frac, 0) < 0.2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_overlap" -> (decontamOverlap _),
-    "text_repetition"  -> (textRepetition _))
+    "text_repetition"  -> (textRepetition _),
+    "corpus_pipeline"  -> (corpusPipeline _))
 
   def oracles: Map[String, String] = Map(
     "decontam_overlap" -> decontamOverlapSql,
-    "text_repetition"  -> textRepetitionSql)
+    "text_repetition"  -> textRepetitionSql,
+    "corpus_pipeline"  -> corpusPipelineSql)
 }

@@ -114,10 +114,14 @@ object TextAnalysis {
         .as("quality_bucket"))
   }
 
-  val qualityScoreSql: String =
-    s"""WITH t AS (
+  /** The quality-score CTE chain ending in `qs(doc_id, n_tokens,
+    * stop_ratio, punct_ratio, digit_ratio, score)` — shared by the
+    * standalone quality oracle and the fused [[Curation.corpusPipeline]]
+    * oracle. */
+  val qualityCtes: String =
+    s"""qt AS (
        |  SELECT doc_id, text, ${Dedup.tokensSql} AS ts FROM documents),
-       |f AS (
+       |qf AS (
        |  SELECT doc_id, len(ts) AS n_tokens,
        |    len(list_filter(ts, x -> x IN ('the','a','of','and','in','to','is','on','for','with')))
        |      * 1.0 / greatest(len(ts), 1) AS stop_ratio,
@@ -126,13 +130,16 @@ object TextAnalysis {
        |    (length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')))
        |      * 1.0 / greatest(length(text), 1) AS digit_ratio,
        |    least(length(text) * 1.0 / 400.0, 1.0) AS len_score
-       |  FROM t),
-       |s AS (
+       |  FROM qt),
+       |qs AS (
        |  SELECT doc_id, n_tokens, stop_ratio, punct_ratio, digit_ratio,
        |    len_score * 0.4 + least(stop_ratio * 4.0, 1.0) * 0.3 +
        |    (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 +
        |    (1.0 - least(digit_ratio * 10.0, 1.0)) * 0.1 AS score
-       |  FROM f)
+       |  FROM qf)""".stripMargin
+
+  val qualityScoreSql: String =
+    s"""WITH $qualityCtes
        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
        |  round(stop_ratio, 6) + 0 AS stopword_ratio,
        |  round(punct_ratio, 6) + 0 AS punct_ratio,
@@ -140,7 +147,7 @@ object TextAnalysis {
        |  round(score, 6) + 0 AS quality_score,
        |  CASE WHEN score >= 0.7 THEN 'keep' WHEN score >= 0.4 THEN 'flag'
        |       ELSE 'drop' END AS quality_bucket
-       |FROM s""".stripMargin
+       |FROM qs""".stripMargin
 
   // ---------------------------------------------------------------- tokens
   /** Token counting: whitespace tokens and a BPE-ish regex tokenizer

@@ -20,6 +20,19 @@ class CurationSpec extends SparkSpec {
     assert(bad.isEmpty, "contamination fraction out of range")
   }
 
+  test("fused corpus pipeline: one plan, broadcast decontam, meaningful survival") {
+    val df = Curation.corpusPipeline(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "benchmark shingles must broadcast:\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val n = df.count()
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(n > 0 && n < total, s"pipeline kept $n of $total")
+    assert(df.filter(col("doc_id") % 97 === 0).isEmpty, "benchmark docs must not survive")
+    assert(df.filter(col("quality_score") < 0.4).isEmpty)
+    assert(df.filter(col("contaminated_frac") >= 0.2).isEmpty)
+  }
+
   test("repetition metrics match a hand computation on one doc") {
     val row = Curation.textRepetition(spark, sfDir)
       .filter(col("doc_id") === 0).collect().head
