@@ -208,15 +208,51 @@ object TextAnalysis {
        |                        'min')), ',') AS fp_sketch
        |FROM hi""".stripMargin
 
+  // ---------------------------------------------------------------- vocab/OOV
+  /** Vocabulary coverage — the tokenizer-sizing diagnostic: the corpus's
+    * top-100 tokens by OCCURRENCE count form the vocab (deterministic
+    * count-then-token tie-break), and every doc reports its
+    * out-of-vocabulary token fraction. The vocab is tiny by construction
+    * → broadcast; token rows shuffle once for the vocab count and once
+    * for the per-doc aggregate. */
+  def vocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(100)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  val vocabOovSql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, unnest(${Dedup.tokensSql}) AS tok FROM documents),
+       |voc AS (
+       |  SELECT tok FROM (SELECT tok, count(*) AS n FROM tr GROUP BY tok
+       |                   ORDER BY n DESC, tok LIMIT 100)),
+       |j AS (
+       |  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tr t LEFT JOIN voc v ON t.tok = v.tok)
+       |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+       |       round(sum(oov) * 1.0 / count(*), 6) + 0 AS oov_rate
+       |FROM j GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_vocab_oov"   -> (vocabOov _))
 
   def oracles: Map[String, String] = Map(
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_vocab_oov"   -> vocabOovSql)
 }
