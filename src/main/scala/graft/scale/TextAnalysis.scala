@@ -208,6 +208,29 @@ object TextAnalysis {
        |                        'min')), ',') AS fp_sketch
        |FROM hi""".stripMargin
 
+  // ---------------------------------------------------------------- adaptive
+  /** Adaptive quality gate — fit-then-apply: the cutoff is the corpus's
+    * own 30th-percentile score (one tiny aggregate broadcast back over
+    * the scan), not a fixed constant that silently drifts as the corpus
+    * mix changes between crawls. Exact interpolated percentile on the
+    * rounded score, so both engines see identical doubles. */
+  def qualityAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), round(qualityScoreCol, 6).as("quality_score"))
+    val cut = scored.agg(
+      round(expr("percentile(quality_score, 0.3)"), 6).as("threshold"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("quality_score"), col("threshold"),
+        (col("quality_score") >= col("threshold")).as("kept"))
+  }
+
+  val qualityAdaptiveSql: String =
+    s"""WITH $qualityCtes,
+       |sc AS (SELECT doc_id, round(score, 6) + 0 AS quality_score FROM qs),
+       |cut AS (SELECT round(quantile_cont(quality_score, 0.3), 6) + 0 AS threshold FROM sc)
+       |SELECT doc_id, quality_score, threshold, quality_score >= threshold AS kept
+       |FROM sc, cut""".stripMargin
+
   // ---------------------------------------------------------------- vocab/OOV
   /** Vocabulary coverage — the tokenizer-sizing diagnostic: the corpus's
     * top-100 tokens by OCCURRENCE count form the vocab (deterministic
@@ -247,12 +270,14 @@ object TextAnalysis {
     "text_quality"     -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
-    "text_vocab_oov"   -> (vocabOov _))
+    "text_vocab_oov"   -> (vocabOov _),
+    "text_quality_adaptive" -> (qualityAdaptive _))
 
   def oracles: Map[String, String] = Map(
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
     "text_fingerprint" -> fingerprintSql,
-    "text_vocab_oov"   -> vocabOovSql)
+    "text_vocab_oov"   -> vocabOovSql,
+    "text_quality_adaptive" -> qualityAdaptiveSql)
 }
