@@ -18,9 +18,18 @@ object GraftFunctions {
   def ewmAvgBuilder(exprs: Seq[Expression]): EwmAvg =
     EwmAvg(Cast(exprs.head, DoubleType), Cast(exprs(1), DoubleType))
 
-  def register(spark: SparkSession): Unit =
+  def dotBuilder(exprs: Seq[Expression]): DotProduct =
+    DotProduct(exprs.head, exprs(1))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm_avg", ewmAvgBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", dotBuilder, "built-in")
+  }
+
+  /** Codegen'd dense dot product ([[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** pandas `ewm(alpha=α, adjust=True).mean()` as a window aggregate. */
   def ewmAvg(c: Column, alpha: Double): Column =

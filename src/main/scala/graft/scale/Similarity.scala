@@ -90,6 +90,29 @@ object Similarity {
       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
       |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** [[annBruteForce]] re-expressed over the codegen'd
+    * [[graft.functions.DotProduct]] Catalyst expression (`graft_dot`) —
+    * same semantics, same oracle, bit-identical results: the custom
+    * `doGenCode` loop replaces 64 unrolled multiply-adds per pair. The
+    * point is the extension tier: where an unrolled form blows the
+    * codegen budget (join conditions, wider vectors), the expression
+    * stays a single tree node and never falls back to interpretation. */
+  def annDotExpr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   // ---------------------------------------------------------------- LSH
   /** Sign-pattern bucket id over the 8 precomputed hyperplanes: unrolled
     * plane dots (literal coefficients) summed into a bit pattern. */
@@ -556,6 +579,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
+    "ann_dot_expr"    -> (annDotExpr _),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search"  -> (annLshSearch _),
     "ann_ivf_assign"  -> (annIvfAssign _),
@@ -566,6 +590,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "ann_brute_force" -> annBruteForceSql,
+    "ann_dot_expr"    -> annBruteForceSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_search"  -> annLshSearchSql,
     "ann_ivf_assign"  -> annIvfAssignSql,
