@@ -265,12 +265,47 @@ object TextAnalysis {
        |       round(sum(oov) * 1.0 / count(*), 6) + 0 AS oov_rate
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- unigram LM
+  /** Unigram language-model scoring — the simplified CCNet-style LM
+    * filter: fit P(token) on the corpus itself (one count aggregate),
+    * score every doc by its mean token negative-log-likelihood. Docs far
+    * above the corpus's typical NLL are gibberish or wrong-language;
+    * far below are boilerplate. Two shuffles of token rows; the
+    * probability table is vocab-sized (broadcast at any corpus scale —
+    * vocabularies don't grow with corpus bytes). */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    // total token count as a window over the (vocab-sized) count table —
+    // no driver action in the plan builder
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val probs = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("p", col("c") / sum(col("c")).over(wAll))
+      .select(col("tok"), col("p"))
+    tok.join(broadcast(probs), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("p"))), 6).as("mean_nll"))
+  }
+
+  val unigramNllSql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, unnest(${Dedup.tokensSql}) AS tok FROM documents),
+       |probs AS (
+       |  SELECT tok, count(*) * 1.0 / (SELECT count(*) FROM tr) AS p
+       |  FROM tr GROUP BY tok)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       round(avg(-ln(p)), 6) + 0 AS mean_nll
+       |FROM tr JOIN probs USING (tok)
+       |GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_vocab_oov"   -> (vocabOov _),
+    "text_unigram_nll" -> (unigramNll _),
     "text_quality_adaptive" -> (qualityAdaptive _))
 
   def oracles: Map[String, String] = Map(
@@ -279,5 +314,6 @@ object TextAnalysis {
     "text_token_count" -> tokenCountSql,
     "text_fingerprint" -> fingerprintSql,
     "text_vocab_oov"   -> vocabOovSql,
+    "text_unigram_nll" -> unigramNllSql,
     "text_quality_adaptive" -> qualityAdaptiveSql)
 }
