@@ -140,6 +140,36 @@ object Sampling {
        |FROM shs GROUP BY s
        |ORDER BY n_docs DESC, s LIMIT 20""".stripMargin
 
+  /** Per-doc boilerplate coverage — how much of each document is made of
+    * corpus-wide heavy-hitter shingles ([[heavyHitters]] top-20
+    * broadcast back): the doc-level signal that drives header/footer/
+    * license stripping. Same broadcast-join shape as decontamination —
+    * the flagged set is constant-sized regardless of corpus bytes. */
+  def boilerplateFrac(spark: SparkSession, dir: String): DataFrame = {
+    val hh = heavyHitters(spark, dir).select(col("s")).withColumn("hit", lit(1))
+    Dedup.shingleRows(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .join(broadcast(hh), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6)
+          .as("boilerplate_frac"))
+  }
+
+  val boilerplateFracSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql})) AS s FROM toks),
+       |hh AS (
+       |  SELECT s FROM (SELECT s, count(*) AS n_docs FROM shs GROUP BY s
+       |                 ORDER BY n_docs DESC, s LIMIT 20))
+       |SELECT c.doc_id, count(*) AS n_shingles, count(h.s) AS n_boiler,
+       |       round(count(h.s) * 1.0 / count(*), 6) + 0 AS boilerplate_frac
+       |FROM shs c LEFT JOIN hh h ON c.s = h.s
+       |GROUP BY c.doc_id""".stripMargin
+
   /** Sequence packing — the pretraining batcher: documents are laid out
     * in a deterministic order (per-lang, by doc_id) and cut into
     * fixed-budget packs of 4096 tokens; a document belongs to the pack
@@ -258,7 +288,8 @@ object Sampling {
     "sample_mixture"    -> (sampleMixture _),
     "split_leakage"     -> (splitLeakage _),
     "split_by_cluster"  -> (splitByCluster _),
-    "text_heavy_hitters" -> (heavyHitters _))
+    "text_heavy_hitters" -> (heavyHitters _),
+    "text_boilerplate_frac" -> (boilerplateFrac _))
 
   def oracles: Map[String, String] = Map(
     "split_train_val"   -> splitTrainValSql,
@@ -266,5 +297,6 @@ object Sampling {
     "pack_sequences"    -> packSequencesSql,
     "sample_mixture"    -> sampleMixtureSql,
     "split_leakage"     -> splitLeakageSql,
-    "text_heavy_hitters" -> heavyHittersSql)
+    "text_heavy_hitters" -> heavyHittersSql,
+    "text_boilerplate_frac" -> boilerplateFracSql)
 }
