@@ -24,11 +24,16 @@ class DotProductSpec extends SparkSpec {
       .head().getDouble(0) == 11.0)
   }
 
-  test("the graft_dot ANN query equals the unrolled form row for row") {
-    val unrolled = graft.scale.Similarity.annBruteForce(spark, sfDir).collect().toSet
-    val viaExpr = graft.scale.Similarity.annDotExpr(spark, sfDir).collect().toSet
-    assert(unrolled.nonEmpty && unrolled == viaExpr,
-      s"expression form diverged: ${viaExpr.diff(unrolled).take(3)}")
+  test("graft_dot is bit-identical to the unrolled 64-term arithmetic on real vectors") {
+    GraftFunctions.register(spark)
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    // the A/B: the expression vs the flat element_at arithmetic it replaced
+    val unrolled = (0 until 64)
+      .map(i => element_at(v, i + 1) * element_at(v, i + 1)).reduce(_ + _)
+    val diverged = graft.Tables.embeddings(spark, sfDir)
+      .select(GraftFunctions.dot(v, v).as("e"), unrolled.as("u"))
+      .filter(col("e") =!= col("u"))
+    assert(diverged.isEmpty, "summation order must match the unrolled left fold")
   }
 
   test("graft_dot participates in whole-stage codegen") {
