@@ -170,6 +170,53 @@ object Sampling {
        |FROM shs c LEFT JOIN hh h ON c.s = h.s
        |GROUP BY c.doc_id""".stripMargin
 
+  /** Contrastive pair mining — training data FOR the embedding model:
+    * each near-dup pair ([[Dedup.minhashLshPairs]]) yields an (anchor,
+    * positive); the negative is hash-picked deterministically from a
+    * ranked 10% sample pool (at corpus scale the negative pool is
+    * always a bounded sample, so the global rank window never sees more
+    * than the sample — here ~50 rows). Pairs whose pick collides with
+    * the anchor or positive are dropped (deterministic in both
+    * engines). */
+  def pairsContrastive(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(spark, dir)
+    val pool0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string").cast("binary")).as("hsh"))
+      .filter(conv(substring(col("hsh"), 1, 8), 16, 10).cast("long") % 100 < 10)
+    val pool = pool0.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("hsh"))) - 1)
+      .select(col("rk"), col("doc_id").as("negative_id"))
+    val poolN = pool.agg(count(lit(1)).as("npool"))
+    pairs.crossJoin(broadcast(poolN))
+      .withColumn("rk",
+        conv(substring(md5(concat_ws("_", col("doc_a"), col("doc_b")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % col("npool"))
+      .join(broadcast(pool), Seq("rk"))
+      .filter(col("negative_id") =!= col("doc_a") && col("negative_id") =!= col("doc_b"))
+      .select(col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"),
+        col("negative_id"), col("jaccard"))
+  }
+
+  val pairsContrastiveSql: String =
+    s"""WITH pairs AS (
+       |${Dedup.minhashLshPairsSql}
+       |),
+       |pool0 AS (
+       |  SELECT doc_id, md5(doc_id::VARCHAR) AS hsh FROM documents
+       |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10),
+       |pool AS (
+       |  SELECT row_number() OVER (ORDER BY hsh) - 1 AS rk, doc_id AS negative_id
+       |  FROM pool0),
+       |n AS (SELECT count(*) AS npool FROM pool),
+       |px AS (
+       |  SELECT p.*,
+       |    ('0x' || substr(md5(p.doc_a::VARCHAR || '_' || p.doc_b::VARCHAR), 1, 8))::BIGINT
+       |      % n.npool AS rk
+       |  FROM pairs p, n)
+       |SELECT px.doc_a AS anchor_id, px.doc_b AS positive_id, pool.negative_id, px.jaccard
+       |FROM px JOIN pool ON px.rk = pool.rk
+       |WHERE pool.negative_id <> px.doc_a AND pool.negative_id <> px.doc_b""".stripMargin
+
   /** Sequence packing — the pretraining batcher: documents are laid out
     * in a deterministic order (per-lang, by doc_id) and cut into
     * fixed-budget packs of 4096 tokens; a document belongs to the pack
@@ -289,7 +336,8 @@ object Sampling {
     "split_leakage"     -> (splitLeakage _),
     "split_by_cluster"  -> (splitByCluster _),
     "text_heavy_hitters" -> (heavyHitters _),
-    "text_boilerplate_frac" -> (boilerplateFrac _))
+    "text_boilerplate_frac" -> (boilerplateFrac _),
+    "pairs_contrastive" -> (pairsContrastive _))
 
   def oracles: Map[String, String] = Map(
     "split_train_val"   -> splitTrainValSql,
@@ -298,5 +346,6 @@ object Sampling {
     "sample_mixture"    -> sampleMixtureSql,
     "split_leakage"     -> splitLeakageSql,
     "text_heavy_hitters" -> heavyHittersSql,
-    "text_boilerplate_frac" -> boilerplateFracSql)
+    "text_boilerplate_frac" -> boilerplateFracSql,
+    "pairs_contrastive" -> pairsContrastiveSql)
 }
