@@ -35,10 +35,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
+    val maxQ = results.maxBy(_._2)
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Full per-query map goes to a file — 140+ queries exceed the
+    // driver's stdout tail buffer, which truncated the round-2 line
+    // into "parsed": null. The printed line stays compact: summary
+    // stats + one headline query per family.
+    val full = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val fw = new java.io.PrintWriter("BENCH_FULL.json")
+    try fw.println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+    finally fw.close()
+    val headline = Seq(
+      "q1_agg", "a4_resample", "a5_daily_stats", "a9_outliers",
+      "pipeline_full", "corpus_pipeline", "f9_confidence_filter",
+      "w4_ema", "w6_macd", "w17_adx", "w24_roll_stats",
+      "w29_support_resistance", "w34_backtest", "j1_enrich_join",
+      "j5_skew_salted", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_embedding_cos", "dedup_clusters",
+      "ann_brute_force", "ann_lsh_search", "ann_ivf_search",
+      "text_quality", "text_heavy_hitters", "sk_heavy_hitters_cms",
+      "split_by_cluster", "s6_vwap")
+    val byName = results.toMap
+    val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + f(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"max_query":"${maxQ._1}","max_sec":${f(maxQ._2)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

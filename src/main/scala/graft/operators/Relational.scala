@@ -112,7 +112,7 @@ object Relational {
 
   val a4Resample4hSql: String =
     """SELECT user_id,
-      |  to_timestamp(floor(epoch(ts) / 14400) * 14400) AS bucket,
+      |  to_timestamp(floor(epoch(ts) / 14400) * 14400)::TIMESTAMP AS bucket,
       |  round(arg_min(value, ts), 6) + 0 AS open, round(max(value), 6) + 0 AS high,
       |  round(min(value), 6) + 0 AS low,  round(arg_max(value, ts), 6) + 0 AS close,
       |  count(*) AS volume

@@ -566,12 +566,34 @@ object Dedup {
     * Memoized per (session, dir): the labels are an INDEX that multiple
     * consumers read ([[Sampling.splitByCluster]], the dedup keep-list) —
     * the iterative loop runs driver-side actions, so Spark's plan cache
-    * cannot deduplicate repeat calls by itself. */
+    * cannot deduplicate repeat calls by itself. The session key is WEAK
+    * and the DataFrame value SOFT (a DataFrame strongly references its
+    * session, so a strong value would pin the weak key forever): a dead
+    * session's entry is collectible, memory pressure evicts and the memo
+    * recomputes on miss. [[invalidateClusters]] drops a dir's entry when
+    * the data under it changes mid-session. */
   private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterMemo.computeIfAbsent((spark, dir), _ => computeClusters(spark, dir))
+    clusterMemo.synchronized {
+      val m = clusterMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+      m.get(dir).flatMap(r => Option(r.get())).getOrElse {
+        val df = computeClusters(spark, dir)
+        m(dir) = new java.lang.ref.SoftReference(df)
+        df
+      }
+    }
+
+  /** Drop the memoized labels for `dir` (all sessions) — call after
+    * rewriting the documents under it. */
+  def invalidateClusters(dir: String): Unit =
+    clusterMemo.synchronized {
+      clusterMemo.values.forEach { m =>
+        m.remove(dir).flatMap(r => Option(r.get())).foreach(_.unpersist())
+      }
+    }
 
   private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus
@@ -602,13 +624,17 @@ object Dedup {
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .coalesce(4).cache()
-      val s = updated.agg(sum(col("label"))).head().getLong(0)
+      // sum() over zero rows is NULL — a clean corpus (no near-dup
+      // pairs) must converge to an empty label set, not NPE
+      val row = updated.agg(sum(col("label"))).head()
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
       labels.unpersist()
       changed = s != prevSum
       prevSum = s
       labels = updated
       iter += 1
     }
+    edges.unpersist()
     System.err.println(s"[dedup_clusters] converged after $iter rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }

@@ -142,6 +142,10 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).toDF()
       .withColumn("n_bytes", length(col("media")))
+      // empty payload ⇒ n_frames = 0 ⇒ stride = 0, and sequence(0, -1,
+      // step = 0) throws instead of emitting zero rows — an empty doc
+      // contributes no frames, so filter before the explode
+      .filter(col("n_bytes") > 0)
       .withColumn("n_frames", ceil(col("n_bytes") / lit(32.0)))
       .withColumn("stride", ceil(col("n_frames") / lit(8.0)))
       .select(col("doc_id"), col("n_frames"),
@@ -158,7 +162,7 @@ object Multimodal {
     """WITH m AS (
       |  SELECT doc_id, text, length(text) AS n_bytes,
       |         CAST(ceil(length(text) / 32.0) AS BIGINT) AS n_frames
-      |  FROM documents),
+      |  FROM documents WHERE length(text) > 0),
       |s AS (
       |  SELECT *, CAST(ceil(n_frames / 8.0) AS BIGINT) AS stride FROM m),
       |f AS (

@@ -60,10 +60,13 @@ object Sketches {
     * 100 TB boilerplate detector actually ships (mergeable, fixed
     * memory, one pass over shingle rows); the exact top-20
     * ([[Sampling.heavyHitters]]) is its verification oracle. CMS
-    * one-sided guarantee: exact ≤ estimate ≤ exact + ε·N (w.p. 1−δ);
-    * with a fixed seed the estimate is deterministic, so the band
-    * check is hash-stable. The sketch aggregates distributed; only the
-    * 20 verified items touch the driver. */
+    * guarantees: estimate ≥ exact ALWAYS (counters only over-count) —
+    * that deterministic bound is what the oracle pins; the upper band
+    * est ≤ exact + ε·N holds only with probability 1−δ per item, so a
+    * fixture/seed change can legitimately break it — the band is
+    * asserted in SketchesSpec, not hash-pinned here. The sketch
+    * aggregates distributed; only the 20 verified items touch the
+    * driver. */
   def skHeavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // cached: read three times (sketch build, N for the error band, and
@@ -72,17 +75,30 @@ object Sketches {
     val sh = Dedup.shingleRows(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .cache()
-    val eps = 0.001
-    val cms = sh.stat.countMinSketch(col("s"), eps = eps, confidence = 0.99, seed = 42)
-    val n = sh.count()
-    val slack = math.ceil(eps * n).toLong
+    val cms = sh.stat.countMinSketch(col("s"), eps = 0.001, confidence = 0.99, seed = 42)
     val top = Sampling.heavyHitters(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     sh.unpersist()
     top.map { case (s, exact) =>
       val est = cms.estimateCount(s)
-      (s, exact, est >= exact && est <= exact + slack)
-    }.toSeq.toDF("s", "n_docs", "within_eps_band")
+      (s, exact, est >= exact)
+    }.toSeq.toDF("s", "n_docs", "sketch_ge_exact")
+  }
+
+  /** The probabilistic ε-band companion for SketchesSpec: per heavy
+    * hitter, how far the CMS estimate over-counts vs ε·N. Not oracle-
+    * checked (the band holds w.p. 1−δ, not always). */
+  def cmsErrorBand(spark: SparkSession, dir: String): Seq[(String, Long, Long, Long)] = {
+    val sh = Dedup.shingleRows(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .cache()
+    val eps = 0.001
+    val cms = sh.stat.countMinSketch(col("s"), eps = eps, confidence = 0.99, seed = 42)
+    val slack = math.ceil(eps * sh.count()).toLong
+    val top = Sampling.heavyHitters(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    sh.unpersist()
+    top.toSeq.map { case (s, exact) => (s, exact, cms.estimateCount(s), slack) }
   }
 
   val skHeavyHittersCmsSql: String =
@@ -90,7 +106,7 @@ object Sketches {
        |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
        |shs AS (
        |  SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql})) AS s FROM toks)
-       |SELECT s, count(*) AS n_docs, TRUE AS within_eps_band
+       |SELECT s, count(*) AS n_docs, TRUE AS sketch_ge_exact
        |FROM shs GROUP BY s
        |ORDER BY n_docs DESC, s LIMIT 20""".stripMargin
 

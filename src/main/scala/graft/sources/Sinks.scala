@@ -212,13 +212,21 @@ object Sinks {
         val date = p.getPath.getName.stripPrefix("date=")
         if (want < files.length) {
           val tmp = new Path(p.getPath.getParent, s".compact_tmp_$date")
+          val old = new Path(p.getPath.getParent, s".compact_old_$date")
           spark.read.parquet(p.getPath.toString)
             .repartition(want)
             .write.mode(SaveMode.Overwrite)
             .option("compression", "zstd")
             .parquet(tmp.toString)
-          fs.delete(p.getPath, true)
+          // two-rename swap: every failure point leaves a full copy on
+          // disk (crash after the first rename ⇒ the partition is
+          // recoverable from .compact_old_<date>; delete-then-rename
+          // would lose it). The old copy is dropped only once the new
+          // data is live.
+          fs.delete(old, true) // stale leftover from a prior crash
+          fs.rename(p.getPath, old)
           fs.rename(tmp, p.getPath)
+          fs.delete(old, true)
           (date, files.length, want, bytes)
         } else (date, files.length, files.length, bytes)
       }

@@ -51,4 +51,18 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
     assert(out(10L) == 10L && out(11L) == 10L)
   }
+
+  test("a clean corpus (no near-dup pairs) yields an empty cluster set, not an NPE") {
+    import spark.implicits._
+    // unique texts with no shared shingles → zero LSH pairs → the
+    // convergence aggregate sums zero rows (NULL) and must read as 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    (1L to 5L).map { i =>
+      (i, s"unique document number $i with entirely distinct content token$i" +
+        (1 to 10).map(j => s" filler${i}x$j").mkString, "en", "web", 60L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Dedup.minhashLshPairs(spark, tmp).count() == 0)
+    assert(Dedup.dedupClusters(spark, tmp).count() == 0)
+  }
 }

@@ -34,4 +34,18 @@ class MultimodalSpec extends SparkSpec {
     assert(schema("width").dataType.typeName == "integer")
     assert(schema("format").dataType.typeName == "string")
   }
+
+  test("frame sampling skips empty payloads instead of throwing on a zero stride") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mm-empty").toString
+    Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "x" * 100, "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val frames = Multimodal.frameSample(spark, tmp).collect()
+    assert(!frames.exists(_.getLong(0) == 1L), "empty doc must emit no frames")
+    // 100 bytes → 4 frames, stride 1 → all 4 sampled
+    assert(frames.count(_.getLong(0) == 2L) == 4)
+  }
 }
