@@ -109,10 +109,11 @@ object Segmented {
     *
     * Algebraically identical to the serial scan (divergence is ulp-level
     * summation order); unlike [[segmented]] there is NO density
-    * precondition — any segmentation is exact. DuckDB cannot express the
-    * scale-safe recurrence (its weight form overflows past ~7k rows), so
-    * this query is rows-only checked by the driver and equality-pinned to
-    * the serial EwmAvg in `SegmentedSpec`. */
+    * precondition — any segmentation is exact. The DuckDB oracle uses the
+    * same segmented algebra (its naive weight form overflows past ~7k
+    * rows): per-1250-row-chunk local num/den via bounded weights, then an
+    * 8-step recursive-CTE carry fold — see [[w4EmaSegmentedSql]]. Also
+    * equality-pinned to the serial EwmAvg in `SegmentedSpec`. */
   def emaSegmented(df: DataFrame, orderTs: String, tieBreak: String,
                    valueCol: String, span: Int, nSegments: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -156,8 +157,8 @@ object Segmented {
   }
 
   /** W4 at single-key scale: EMA-20 of the whole events table as one
-    * series, 8-way parallel. Rows-only driver check (see [[emaSegmented]]
-    * for why no DuckDB oracle); serial-equality pinned in the spec. */
+    * series, 8-way parallel. Oracle-checked against the segmented-in-SQL
+    * form below; serial-equality pinned in the spec. */
   def w4EmaSegmented(spark: SparkSession, dir: String): DataFrame = {
     val series = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("value"))
@@ -165,10 +166,52 @@ object Segmented {
       .select(col("event_id"), round(col("__ema"), 6).as("ema_20"))
   }
 
+  /** DuckDB oracle for the segmented EMA. The naive adjust=True weight
+    * form `Σ x_j·q^(−j) / Σ q^(−j)` overflows past ~7k rows (q^(−10000)
+    * ≈ e^1000), so the oracle runs the SAME chunked algebra as the
+    * engine: 1250-row chunks keep every exponent inside q^(±1250)
+    * (≈ e^±125, comfortably finite), the per-chunk carries fold through
+    * an 8-step recursive CTE — the recurrence the engine folds on the
+    * driver. Chunking is algebraically invisible, so the chunk size need
+    * not match the engine's segmentation. */
+  val w4EmaSegmentedSql: String = {
+    val q = "(1.0 - 2.0/21.0)"
+    s"""WITH RECURSIVE r AS (
+       |  SELECT event_id, value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+       |  FROM events),
+       |s AS (
+       |  SELECT event_id, value, CAST(rn // 1250 AS INTEGER) AS seg,
+       |         CAST(rn % 1250 AS INTEGER) AS i
+       |  FROM r),
+       |u AS (
+       |  SELECT *, pow(1.0 / $q, CAST(i + 1 AS DOUBLE)) AS uw FROM s),
+       |loc AS (
+       |  SELECT event_id, seg, i,
+       |         sum(value * uw) OVER wg / uw AS num_local,
+       |         (1.0 - pow($q, CAST(i + 1 AS DOUBLE))) / (1.0 - $q) AS den_local
+       |  FROM u
+       |  WINDOW wg AS (PARTITION BY seg ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ends AS (
+       |  SELECT seg, count(*) AS len, arg_max(num_local, i) AS num_end,
+       |         arg_max(den_local, i) AS den_end
+       |  FROM loc GROUP BY seg),
+       |carry(seg, num, den) AS (
+       |  SELECT -1, 0.0::DOUBLE, 0.0::DOUBLE
+       |  UNION ALL
+       |  SELECT e.seg, e.num_end + pow($q, CAST(e.len AS DOUBLE)) * c.num,
+       |         e.den_end + pow($q, CAST(e.len AS DOUBLE)) * c.den
+       |  FROM carry c JOIN ends e ON e.seg = c.seg + 1)
+       |SELECT l.event_id,
+       |       round((l.num_local + pow($q, CAST(l.i + 1 AS DOUBLE)) * c.num) /
+       |             (l.den_local + pow($q, CAST(l.i + 1 AS DOUBLE)) * c.den), 6) + 0 AS ema_20
+       |FROM loc l JOIN carry c ON c.seg = l.seg - 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w3_sma_segmented" -> (w3SmaSegmented _),
     "w4_ema_segmented" -> (w4EmaSegmented _))
 
   def oracles: Map[String, String] = Map(
-    "w3_sma_segmented" -> w3SmaSegmentedSql)
+    "w3_sma_segmented" -> w3SmaSegmentedSql,
+    "w4_ema_segmented" -> w4EmaSegmentedSql)
 }

@@ -746,6 +746,29 @@ object Dedup {
        |LEFT JOIN corp c ON c.content_hash = n.content_hash
        |LEFT JOIN near nr ON nr.new_id = n.doc_id""".stripMargin
 
+  /** CTE list computing the near-dup connected components in DuckDB —
+    * transitive closure over the LSH pair graph (tiny: only near-dups
+    * appear), min-id labeling. Shared by the `dedup_clusters` oracle and
+    * Sampling's `split_by_cluster`. Must be opened with WITH RECURSIVE. */
+  val connectedComponentsCte: String =
+    s"""pairs AS (
+       |$minhashLshPairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+       |cc AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $connectedComponentsCte
+       |SELECT doc_id, cluster_id FROM cc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental"    -> (dedupIncremental _),
     "dedup_clusters"       -> (dedupClusters _),
@@ -760,6 +783,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "dedup_incremental"    -> dedupIncrementalSql,
+    "dedup_clusters"       -> dedupClustersSql,
     "dedup_exact"          -> dedupExactSql,
     "dedup_minhash_sig"    -> minhashSignaturesSql,
     "dedup_minhash_lsh"    -> minhashLshPairsSql,

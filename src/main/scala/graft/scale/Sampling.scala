@@ -88,8 +88,8 @@ object Sampling {
     * ([[Dedup.dedupClusters]] connected components; docs outside any
     * cluster keep their own id), so every member of a near-dup family
     * lands in the same split and cross-split leakage is zero by
-    * construction (spec-pinned; rows-only — the CC labels come from an
-    * iterative fold, not SQL). */
+    * construction (spec-pinned; oracle-checked via the recursive-CTE
+    * closure in [[Dedup.connectedComponentsCte]]). */
   def splitByCluster(spark: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.dedupClusters(spark, dir)
     val b = conv(substring(md5(col("group_key").cast("string").cast("binary")), 1, 8), 16, 10)
@@ -105,6 +105,13 @@ object Sampling {
     s"""CASE WHEN ('0x' || substr(md5($c::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
        |     WHEN ('0x' || substr(md5($c::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
        |     ELSE 'test' END""".stripMargin
+
+  val splitByClusterSql: String =
+    s"""WITH RECURSIVE ${Dedup.connectedComponentsCte}
+       |SELECT d.doc_id,
+       |       coalesce(c.cluster_id, d.doc_id) AS group_key,
+       |       ${splitOfSql("coalesce(c.cluster_id, d.doc_id)")} AS split
+       |FROM documents d LEFT JOIN cc c USING (doc_id)""".stripMargin
 
   val splitLeakageSql: String =
     s"""WITH pairs AS (
@@ -345,6 +352,7 @@ object Sampling {
     "pack_sequences"    -> packSequencesSql,
     "sample_mixture"    -> sampleMixtureSql,
     "split_leakage"     -> splitLeakageSql,
+    "split_by_cluster"  -> splitByClusterSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_boilerplate_frac" -> boilerplateFracSql,
     "pairs_contrastive" -> pairsContrastiveSql)
