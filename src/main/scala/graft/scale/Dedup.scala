@@ -2,6 +2,7 @@ package graft.scale
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for large-scale training-data
@@ -559,8 +560,9 @@ object Dedup {
     * near-dup components are clique-ish, so 2–4 rounds in practice
     * (capped at 20; at web scale the same loop runs with the
     * large-star/small-star optimization, identical join shape).
-    * Cluster id = min doc_id of the component. Rows-only check; the
-    * invariants (pairs co-clustered, label = component min) are
+    * Cluster id = min doc_id of the component. Oracle-checked against
+    * the recursive-CTE transitive closure ([[dedupClustersSql]]); the
+    * invariants (pairs co-clustered, label = component min) are also
     * spec-pinned.
     *
     * Memoized per (session, dir): the labels are an INDEX that multiple
@@ -748,8 +750,9 @@ object Dedup {
 
   /** CTE list computing the near-dup connected components in DuckDB —
     * transitive closure over the LSH pair graph (tiny: only near-dups
-    * appear), min-id labeling. Shared by the `dedup_clusters` oracle and
-    * Sampling's `split_by_cluster`. Must be opened with WITH RECURSIVE. */
+    * appear), min-id labeling. Shared by the `dedup_clusters` /
+    * `dedup_keep_best` oracles and Sampling's `split_by_cluster`. Must
+    * be opened with WITH RECURSIVE. */
   val connectedComponentsCte: String =
     s"""pairs AS (
        |$minhashLshPairsSql
@@ -769,9 +772,158 @@ object Dedup {
     s"""WITH RECURSIVE $connectedComponentsCte
        |SELECT doc_id, cluster_id FROM cc""".stripMargin
 
+  // ---------------------------------------------------------------- paragraphs
+  /** Paragraph-level exact dedup (the Dolma/CCNet line-dedup stage):
+    * repeated content is removed at sub-document granularity, so a doc
+    * that quotes another wholesale keeps only its novel spans. The
+    * corpus fixture has no newlines, so a "paragraph" is a 10-token
+    * chunk — the plan is delimiter-agnostic (swap the chunker for
+    * `split(text, "\n")` on real corpora, everything downstream is
+    * identical).
+    *
+    * Keep-first policy: a chunk survives only at its globally first
+    * occurrence (min doc_id, then min position — also kills in-doc
+    * repetition). One shuffle on the chunk hash (row_number per chunk),
+    * one per-doc reassembly aggregate; at 100 TB both keys are
+    * high-entropy, and a skewed boilerplate chunk degrades into a single
+    * hot window partition that AQE splits. */
+  def dedupParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), (ceil(size(col("ts")) / lit(10.0)) - 1).cast("int")),
+          i => concat_ws(" ", slice(col("ts"), i * 10 + 1, lit(10)))))
+        .as(Seq("chunk_idx", "chunk")))
+    val rk = row_number().over(
+      Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("chunk_idx")))
+    chunks.withColumn("rk", rk)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rk") === 1,
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"))
+  }
+
+  val dedupParagraphsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents),
+       |c AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |         array_to_string(ts[(i*10+1):(i*10+10)], ' ') AS chunk
+       |  FROM t, unnest(generate_series(0, CAST(ceil(len(ts)/10.0) AS BIGINT) - 1)) AS g(i)),
+       |k AS (
+       |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rk
+       |  FROM c)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rk = 1), '')
+       |         AS clean_text
+       |FROM k GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- keep-best
+  /** Cluster resolution by QUALITY, not id: per near-dup cluster
+    * ([[dedupClusters]]; singletons are their own cluster), keep the
+    * member with the highest [[TextAnalysis.qualityScoreCol]] — what
+    * production dedup actually ships (min-id keeps an arbitrary copy;
+    * keep-best retains the cleanest). Scores are rounded to 6 BEFORE
+    * ranking so both engines rank identical values; ties break on
+    * doc_id. Cost over [[dedupClusters]]: one scoring map + one window
+    * over cluster_key. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScoreCol, 6).as("quality_score"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))
+    scored.select(
+      col("doc_id"), col("cluster_key"), col("quality_score"),
+      (row_number().over(Window.partitionBy(col("cluster_key"))
+        .orderBy(col("quality_score").desc, col("doc_id"))) === 1).as("keep"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $connectedComponentsCte,
+       |${TextAnalysis.qualityCtes},
+       |scored AS (
+       |  SELECT d.doc_id,
+       |         coalesce(c.cluster_id, d.doc_id) AS cluster_key,
+       |         round(q.score, 6) + 0 AS quality_score
+       |  FROM documents d
+       |  LEFT JOIN cc c USING (doc_id)
+       |  JOIN qs q USING (doc_id))
+       |SELECT doc_id, cluster_key, quality_score,
+       |       row_number() OVER (PARTITION BY cluster_key
+       |                          ORDER BY quality_score DESC, doc_id) = 1 AS keep
+       |FROM scored""".stripMargin
+
+  // ---------------------------------------------------------------- semantic
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    * clustering — vectors are assigned to their nearest coarse centroid
+    * ([[Similarity.annIvfAssign]]'s inverted-file shape) and near-dup
+    * pairs are searched ONLY within a centroid's list, turning the n²
+    * all-pairs scan into k·(n/k)² — the approximation the paper makes at
+    * scale (cross-centroid dups are missed by design; the centroid count
+    * trades recall for cost). Within a list: exact cosine ≥ 0.4 via the
+    * codegen'd dot, drop the higher id, report who shadowed it. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.vecDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val assign = Similarity.annIvfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val av = assign.join(e, "vec_id").cache()
+    val a = av.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = av.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, "centroid_id")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  val dedupSemanticSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT e.vec_id, c.cid,
+      |         list_sum(list_transform(list_zip(e.v, c.cv),
+      |                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM e CROSS JOIN cents c),
+      |assign AS (
+      |  SELECT vec_id, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |        FROM dists)
+      |  WHERE rk = 1),
+      |av AS (SELECT a.vec_id, a.cid, e.v, e.nrm FROM assign a JOIN e USING (vec_id)),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+      |        (a.nrm * b.nrm) >= 0.4),
+      |dups AS (SELECT vec_b AS vec_id, min(vec_a) AS dup_of FROM pairs GROUP BY vec_b)
+      |SELECT a.vec_id, a.cid AS centroid_id, d.dup_of, d.dup_of IS NULL AS keep
+      |FROM assign a LEFT JOIN dups d USING (vec_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental"    -> (dedupIncremental _),
     "dedup_clusters"       -> (dedupClusters _),
+    "dedup_paragraphs"     -> (dedupParagraphs _),
+    "dedup_keep_best"      -> (dedupKeepBest _),
+    "dedup_semantic"       -> (dedupSemantic _),
     "dedup_exact"          -> (dedupExact _),
     "dedup_minhash_sig"    -> (minhashSignatures _),
     "dedup_minhash_lsh"    -> (minhashLshPairs _),
@@ -784,6 +936,9 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_incremental"    -> dedupIncrementalSql,
     "dedup_clusters"       -> dedupClustersSql,
+    "dedup_paragraphs"     -> dedupParagraphsSql,
+    "dedup_keep_best"      -> dedupKeepBestSql,
+    "dedup_semantic"       -> dedupSemanticSql,
     "dedup_exact"          -> dedupExactSql,
     "dedup_minhash_sig"    -> minhashSignaturesSql,
     "dedup_minhash_lsh"    -> minhashLshPairsSql,

@@ -299,7 +299,49 @@ object TextAnalysis {
        |FROM tr JOIN probs USING (tok)
        |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- PII scrub
+  /** PII detection + redaction — the C4/Dolma scrub stage: emails, IPv4
+    * addresses, and phone-shaped digit runs are counted and replaced
+    * with typed placeholder tags. Pure per-row column expressions
+    * (codegen'd `regexp_*`, zero shuffles — the 100 TB cost is exactly
+    * one pass over the text bytes). The regexes stay inside the
+    * RE2 ∩ java.util.regex common subset, so the DuckDB oracle runs the
+    * SAME patterns — on the PII-free corpus fixture the oracle pins the
+    * identity transform plus cross-engine regex agreement; the positive
+    * path (real hits redacted) is pinned on a PII-bearing fixture in
+    * `DedupSpec`-style spec tests. Counts are measured on the original
+    * text; redaction applies email → IP → phone so a match is consumed
+    * by its most specific class. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val phoneRe = "\\+?[0-9][0-9() -]{7,}[0-9]"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "[EMAIL]"),
+          ipRe, "[IP]"),
+        phoneRe, "[PHONE]").as("clean_text"))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ipRe')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS INT) AS n_phones,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
+       |      '$ipRe', '[IP]', 'g'),
+       |    '$phoneRe', '[PHONE]', 'g') AS clean_text
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub"   -> (piiScrub _),
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
@@ -309,6 +351,7 @@ object TextAnalysis {
     "text_quality_adaptive" -> (qualityAdaptive _))
 
   def oracles: Map[String, String] = Map(
+    "text_pii_scrub"   -> piiScrubSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,

@@ -52,6 +52,51 @@ class DedupSpec extends SparkSpec {
     assert(out(10L) == 10L && out(11L) == 10L)
   }
 
+  test("paragraph dedup keeps a chunk only at its first global occurrence") {
+    import spark.implicits._
+    // doc 2's first 10 tokens copy doc 1's; doc 3 repeats its own chunk.
+    // tokens() lowercases and splits on non-alphanumerics.
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val own2 = (1 to 10).map(i => s"own2x$i").mkString(" ")
+    val rep3 = (1 to 10).map(i => s"rep3x$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-para").toString
+    Seq(
+      (1L, shared, "en", "web", 100L),
+      (2L, s"$shared $own2", "en", "web", 200L),
+      (3L, s"$rep3 $rep3", "en", "web", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupParagraphs(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 0L, shared)), "first occurrence keeps everything")
+    assert(out(2L) == ((2L, 1L, own2)), "copied chunk dropped, novel chunk kept")
+    assert(out(3L) == ((2L, 1L, rep3)), "in-doc repetition collapses to one copy")
+  }
+
+  test("keep-best retains exactly one doc per cluster and it has the top quality score") {
+    val out = Dedup.dedupKeepBest(spark, dir).cache()
+    val perCluster = out.groupBy(col("cluster_key"))
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+        max(col("quality_score")).as("best"),
+        max(when(col("keep"), col("quality_score"))).as("kept_score"))
+    assert(perCluster.filter(col("n_keep") =!= 1).count() == 0,
+      "exactly one keeper per cluster")
+    assert(perCluster.filter(col("kept_score") =!= col("best")).count() == 0,
+      "the keeper carries the cluster-max quality score")
+    assert(out.filter(!col("keep")).count() > 0, "fixture has clusters to resolve")
+  }
+
+  test("semantic dedup drops only the higher id of a same-centroid near-pair") {
+    val out = Dedup.dedupSemantic(spark, dir).cache()
+    // a dropped vector's shadow must be a smaller id in the SAME centroid
+    val bad = out.filter(!col("keep"))
+      .join(out.select(col("vec_id").as("dup_of"), col("centroid_id").as("cid2"),
+        col("keep").as("keep2")), "dup_of")
+      .filter(col("cid2") =!= col("centroid_id") || col("dup_of") >= col("vec_id"))
+    assert(bad.count() == 0)
+    assert(out.filter(!col("keep")).count() > 0, "fixture has semantic dups")
+  }
+
   test("a clean corpus (no near-dup pairs) yields an empty cluster set, not an NPE") {
     import spark.implicits._
     // unique texts with no shared shingles → zero LSH pairs → the

@@ -1,0 +1,29 @@
+package graft.scale
+
+import graft.SparkSpec
+
+/** PII scrub positive path: the sf corpus contains no PII by
+  * construction (the oracle there pins the identity transform and
+  * cross-engine regex agreement), so the actual detection + redaction
+  * semantics are pinned here on a PII-bearing fixture. */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("PII scrub counts and redacts emails, IPs, and phone numbers") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (1L, "contact alice.smith+spam@example-corp.io or bob@mail.co today", "en", "web", 60L),
+      (2L, "server at 192.168.0.1 answered; backup at 10.0.0.254 did not", "en", "web", 60L),
+      (3L, "call +1 (555) 123-4567 now", "en", "web", 30L),
+      (4L, "nothing sensitive here at all", "en", "web", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.piiScrub(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((2, 0, 0, "contact [EMAIL] or [EMAIL] today")))
+    assert(out(2L) == ((0, 2, 0, "server at [IP] answered; backup at [IP] did not")))
+    assert(out(3L) == ((0, 0, 1, "call [PHONE] now")))
+    assert(out(4L) == ((0, 0, 0, "nothing sensitive here at all")))
+  }
+}
