@@ -28,7 +28,12 @@ case class SigRow(user_id: Long, bucket: java.sql.Timestamp, close: Double, sign
   * with O(1) state per key — no per-group materialization, so a key's
   * series length is unbounded at scale. Parallelism = number of keys
   * (1500+ at sf0.1; at 100 TB this is the per-symbol/per-entity axis).
-  * These have no SQL oracle (driver records rows-only); correctness is
+  *
+  * Oracles: the folds ARE expressible in DuckDB as recursive CTEs that
+  * advance every key one row per iteration in lockstep (depth = longest
+  * per-key series, not total rows). The SQL carries the same state tuple
+  * through the same arithmetic expressions in the same order, so the
+  * doubles are bit-identical, not merely close. Correctness is also
   * pinned by specs against direct reference re-implementations.
   */
 object Stateful {
@@ -75,6 +80,50 @@ object Stateful {
         }
       }
     out.select(col("user_id"), col("bucket"), round(col("psar"), 6).as("psar"), col("is_bull"))
+  }
+
+  /** `Tables.candlesSql` reopened as a recursive WITH (the recursive
+    * member comes later in the CTE list; RECURSIVE must be declared up
+    * front). NB: under WITH RECURSIVE DuckDB scopes WINDOW names across
+    * ALL CTEs in the list, so every window alias below is unique. */
+  private val recursiveCandles: String =
+    "WITH RECURSIVE " + graft.Tables.candlesSql.stripPrefix("WITH ")
+
+  /** W19 oracle: the SAR recurrence as a recursive CTE — state
+    * (psar, bull, af, ep) steps through the same branch structure and
+    * arithmetic as the fold above, all keys in lockstep. */
+  val psarSql: String = {
+    val raw = "(p.psar + p.af * (p.ep - p.psar))"
+    s"""$recursiveCandles,
+       |c AS (SELECT user_id, bucket, high, low,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+       |      FROM candles),
+       |p(user_id, rn, bucket, psar, bull, af, ep) AS (
+       |  SELECT user_id, rn, bucket, high, TRUE, 0.02::DOUBLE, low FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.user_id, c.rn, c.bucket,
+       |    CASE WHEN p.bull THEN CASE WHEN c.low <= $raw THEN p.ep ELSE $raw END
+       |         ELSE CASE WHEN c.high >= $raw THEN p.ep ELSE $raw END END,
+       |    CASE WHEN p.bull THEN c.low > $raw ELSE c.high >= $raw END,
+       |    CASE WHEN p.bull THEN
+       |           CASE WHEN c.low <= $raw THEN 0.02::DOUBLE
+       |                WHEN c.high > p.ep THEN least(p.af + 0.02, 0.2::DOUBLE)
+       |                ELSE p.af END
+       |         ELSE
+       |           CASE WHEN c.high >= $raw THEN 0.02::DOUBLE
+       |                WHEN c.low < p.ep THEN least(p.af + 0.02, 0.2::DOUBLE)
+       |                ELSE p.af END END,
+       |    CASE WHEN p.bull THEN
+       |           CASE WHEN c.low <= $raw THEN c.low
+       |                WHEN c.high > p.ep THEN c.high
+       |                ELSE p.ep END
+       |         ELSE
+       |           CASE WHEN c.high >= $raw THEN c.high
+       |                WHEN c.low < p.ep THEN c.low
+       |                ELSE p.ep END END
+       |  FROM p JOIN c ON c.user_id = p.user_id AND c.rn = p.rn + 1
+       |)
+       |SELECT user_id, bucket, round(psar, 6) + 0 AS psar, bull AS is_bull FROM p""".stripMargin
   }
 
   // ---------------------------------------------------------------- W33+W34
@@ -210,6 +259,168 @@ object Stateful {
         round(col("return_pct"), 6).as("return_pct"))
   }
 
+  // ------------------------------------------------------- W34 fold oracle
+  /** The W34 executor as recursive-CTE SQL, strategy-agnostic like
+    * [[foldTrades]]: `sigCtes` must end with a CTE
+    * `sig(user_id, bucket, close, signal)`. The state tuple mirrors the
+    * fold's mutable variables; entry/exit arithmetic keeps the fold's
+    * exact operation order (size before commission, gross before pnl) so
+    * capital compounds bit-identically. Ends with `alltr` (emitted +
+    * force-closed trades, unrounded) so consumers choose their own
+    * projection. */
+  private def foldTradesCtes(sigCtes: String): String = {
+    val ent = "(s.signal <> 0 AND p.o_time IS NULL AND p.capital > 0)"
+    val opp = "((p.o_type = 'buy' AND s.signal < 0) OR (p.o_type = 'sell' AND s.signal > 0))"
+    val stop = "((p.o_type = 'buy' AND s.close <= p.o_price * 0.95) OR " +
+      "(p.o_type = 'sell' AND s.close >= p.o_price * 1.05))"
+    val ext = s"(p.o_time IS NOT NULL AND ($opp OR $stop))"
+    val comm = "(p.o_comm + p.o_size * 0.0001)"
+    val gross = "(CASE WHEN p.o_type = 'buy' THEN (s.close - p.o_price) * p.o_size " +
+      "ELSE (p.o_price - s.close) * p.o_size END)"
+    val pnl = s"($gross - $comm)"
+    val ret = "(CASE WHEN p.o_type = 'buy' THEN (s.close - p.o_price) / p.o_price * 100.0 " +
+      "ELSE (p.o_price - s.close) / p.o_price * 100.0 END)"
+    val fcomm = "(o_comm + o_size * 0.0001)"
+    val fgross = "(CASE WHEN o_type = 'buy' THEN (last_close - o_price) * o_size " +
+      "ELSE (o_price - last_close) * o_size END)"
+    val fret = "(CASE WHEN o_type = 'buy' THEN (last_close - o_price) / o_price * 100.0 " +
+      "ELSE (o_price - last_close) / o_price * 100.0 END)"
+    s"""$recursiveCandles,
+       |$sigCtes,
+       |sr AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn FROM sig),
+       |p(user_id, rn, capital, o_time, o_price, o_type, o_size, o_comm, last_bucket, last_close,
+       |  t_emit, t_entry_time, t_exit_time, t_entry_price, t_exit_price, t_type, t_size, t_comm, t_pnl, t_ret) AS (
+       |  SELECT user_id, 0, 10000.0::DOUBLE, NULL::TIMESTAMP, 0.0::DOUBLE, '', 0.0::DOUBLE, 0.0::DOUBLE,
+       |         NULL::TIMESTAMP, 0.0::DOUBLE, FALSE, NULL::TIMESTAMP, NULL::TIMESTAMP, NULL::DOUBLE,
+       |         NULL::DOUBLE, NULL::VARCHAR, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+       |  FROM (SELECT DISTINCT user_id FROM sr)
+       |  UNION ALL
+       |  SELECT s.user_id, s.rn,
+       |    CASE WHEN $ent THEN p.capital - (p.capital * 0.1) * 0.0001
+       |         WHEN $ext THEN p.capital + $pnl ELSE p.capital END,
+       |    CASE WHEN $ent THEN s.bucket WHEN $ext THEN NULL ELSE p.o_time END,
+       |    CASE WHEN $ent THEN s.close WHEN $ext THEN 0.0 ELSE p.o_price END,
+       |    CASE WHEN $ent THEN (CASE WHEN s.signal > 0 THEN 'buy' ELSE 'sell' END)
+       |         WHEN $ext THEN '' ELSE p.o_type END,
+       |    CASE WHEN $ent THEN p.capital * 0.1 WHEN $ext THEN 0.0 ELSE p.o_size END,
+       |    CASE WHEN $ent THEN (p.capital * 0.1) * 0.0001 WHEN $ext THEN 0.0 ELSE p.o_comm END,
+       |    s.bucket, s.close,
+       |    $ext,
+       |    CASE WHEN $ext THEN p.o_time END,
+       |    CASE WHEN $ext THEN s.bucket END,
+       |    CASE WHEN $ext THEN p.o_price END,
+       |    CASE WHEN $ext THEN s.close END,
+       |    CASE WHEN $ext THEN p.o_type END,
+       |    CASE WHEN $ext THEN p.o_size END,
+       |    CASE WHEN $ext THEN $comm END,
+       |    CASE WHEN $ext THEN $pnl END,
+       |    CASE WHEN $ext THEN $ret END
+       |  FROM p JOIN sr s ON s.user_id = p.user_id AND s.rn = p.rn + 1),
+       |emitted AS (
+       |  SELECT user_id, t_entry_time AS entry_time, t_exit_time AS exit_time,
+       |         t_entry_price AS entry_price, t_exit_price AS exit_price, t_type AS trade_type,
+       |         t_size AS size, t_comm AS commission, t_pnl AS pnl, t_ret AS return_pct
+       |  FROM p WHERE t_emit),
+       |fin AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS frk FROM p) WHERE frk = 1),
+       |forced AS (
+       |  SELECT user_id, o_time AS entry_time, last_bucket AS exit_time, o_price AS entry_price,
+       |         last_close AS exit_price, o_type AS trade_type, o_size AS size,
+       |         $fcomm AS commission, ($fgross - $fcomm) AS pnl, $fret AS return_pct
+       |  FROM fin WHERE o_time IS NOT NULL),
+       |alltr AS (SELECT * FROM emitted UNION ALL SELECT * FROM forced)""".stripMargin
+  }
+
+  private val foldFinalSelect: String =
+    """SELECT user_id, entry_time, exit_time, round(entry_price, 6) + 0 AS entry_price,
+      |       round(exit_price, 6) + 0 AS exit_price, trade_type, round(size, 6) + 0 AS size,
+      |       round(commission, 6) + 0 AS commission, round(pnl, 6) + 0 AS pnl,
+      |       round(return_pct, 6) + 0 AS return_pct
+      |FROM alltr""".stripMargin
+
+  /** SMA(10,20)-cross signal CTEs (mirrors [[backtestTrades]]'s layer). */
+  private val smaSigCtes: String =
+    """f AS (
+      |  SELECT user_id, bucket, close,
+      |         CASE WHEN count(close) OVER sw10 = 10 THEN avg(close) OVER sw10 END AS fast,
+      |         CASE WHEN count(close) OVER sw20 = 20 THEN avg(close) OVER sw20 END AS slow
+      |  FROM candles
+      |  WINDOW swa AS (PARTITION BY user_id ORDER BY bucket),
+      |         sw10 AS (swa ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+      |         sw20 AS (swa ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |sig AS (
+      |  SELECT user_id, bucket, close,
+      |         CASE WHEN fast > slow AND lag(fast) OVER swb <= lag(slow) OVER swb THEN 1
+      |              WHEN fast < slow AND lag(fast) OVER swb >= lag(slow) OVER swb THEN -1
+      |              ELSE 0 END AS signal
+      |  FROM f WINDOW swb AS (PARTITION BY user_id ORDER BY bucket))""".stripMargin
+
+  /** RSI(14) band-cross signal CTEs (mirrors [[backtestTradesRsi]]). */
+  private val rsiSigCtes: String =
+    """dd AS (
+      |  SELECT user_id, bucket, close, close - lag(close) OVER rwa AS d
+      |  FROM candles WINDOW rwa AS (PARTITION BY user_id ORDER BY bucket)),
+      |gl AS (
+      |  SELECT user_id, bucket, close,
+      |         CASE WHEN count(g) OVER rw14 = 14 THEN avg(g) OVER rw14 END AS g,
+      |         CASE WHEN count(l) OVER rw14 = 14 THEN avg(l) OVER rw14 END AS l
+      |  FROM (SELECT *,
+      |          CASE WHEN d IS NOT NULL THEN (CASE WHEN d > 0 THEN d ELSE 0.0 END) END AS g,
+      |          CASE WHEN d IS NOT NULL THEN (CASE WHEN d < 0 THEN -d ELSE 0.0 END) END AS l
+      |        FROM dd)
+      |  WINDOW rwb AS (PARTITION BY user_id ORDER BY bucket),
+      |         rw14 AS (rwb ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |rr AS (
+      |  SELECT user_id, bucket, close,
+      |         CASE WHEN l = 0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + g / l) END AS rsi
+      |  FROM gl),
+      |sig AS (
+      |  SELECT user_id, bucket, close,
+      |         CASE WHEN rsi < 30 AND lag(rsi) OVER rwc >= 30 THEN 1
+      |              WHEN rsi > 70 AND lag(rsi) OVER rwc <= 70 THEN -1
+      |              ELSE 0 END AS signal
+      |  FROM rr WINDOW rwc AS (PARTITION BY user_id ORDER BY bucket))""".stripMargin
+
+  /** MACD(12,26,9) line-cross signal CTEs (mirrors
+    * [[backtestTradesMacd]]; the naive normalized-weight ewm form — fine
+    * at per-key series lengths, see [[graft.operators.EmaFamily]]). */
+  private val macdSigCtes: String =
+    """mu AS (
+      |  SELECT user_id, bucket, close,
+      |    pow(1.0 / (1.0 - (2.0 / 13.0)), CAST(count(close) OVER mwg AS DOUBLE)) AS u12,
+      |    pow(1.0 / (1.0 - (2.0 / 27.0)), CAST(count(close) OVER mwg AS DOUBLE)) AS u26
+      |  FROM candles
+      |  WINDOW mwa AS (PARTITION BY user_id ORDER BY bucket),
+      |         mwg AS (mwa ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |mm AS (
+      |  SELECT user_id, bucket, close,
+      |    sum(close * u12) OVER mwg2 / sum(u12) OVER mwg2 -
+      |    sum(close * u26) OVER mwg2 / sum(u26) OVER mwg2 AS macd
+      |  FROM mu
+      |  WINDOW mwb AS (PARTITION BY user_id ORDER BY bucket),
+      |         mwg2 AS (mwb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |ms AS (
+      |  SELECT user_id, bucket, close, macd,
+      |    pow(1.0 / (1.0 - (2.0 / 10.0)), CAST(count(macd) OVER mwg3 AS DOUBLE)) AS u9
+      |  FROM mm
+      |  WINDOW mwc AS (PARTITION BY user_id ORDER BY bucket),
+      |         mwg3 AS (mwc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |mf AS (
+      |  SELECT user_id, bucket, close, macd,
+      |    sum(macd * u9) OVER mwg4 / sum(u9) OVER mwg4 AS macd_sig
+      |  FROM ms
+      |  WINDOW mwd AS (PARTITION BY user_id ORDER BY bucket),
+      |         mwg4 AS (mwd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |sig AS (
+      |  SELECT user_id, bucket, close,
+      |    CASE WHEN macd > macd_sig AND lag(macd) OVER mwe <= lag(macd_sig) OVER mwe THEN 1
+      |         WHEN macd < macd_sig AND lag(macd) OVER mwe >= lag(macd_sig) OVER mwe THEN -1
+      |         ELSE 0 END AS signal
+      |  FROM mf WINDOW mwe AS (PARTITION BY user_id ORDER BY bucket))""".stripMargin
+
+  val w34BacktestSql: String = foldTradesCtes(smaSigCtes) + "\n" + foldFinalSelect
+  val w34BacktestRsiSql: String = foldTradesCtes(rsiSigCtes) + "\n" + foldFinalSelect
+  val w34BacktestMacdSql: String = foldTradesCtes(macdSigCtes) + "\n" + foldFinalSelect
+
   // ---------------------------------------------------------------- A11
   /** The A11 metric layer (`backtesting_engine.py:79-160,441-467`) over
     * ANY trades frame with (user_id, entry_time, exit_time, pnl,
@@ -279,21 +490,12 @@ object Stateful {
     metricsLayer(trades)
   }
 
-  val a11MetricsFixtureSql: String = Tables.candlesSql +
-    """, numbered AS (
-      |  SELECT user_id, bucket, close,
-      |         row_number() OVER w AS rn,
-      |         lag(bucket, 10) OVER w AS entry_time,
-      |         lag(close, 10) OVER w AS entry_close
-      |  FROM candles
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
-      |trades AS (
-      |  SELECT user_id, entry_time, bucket AS exit_time,
-      |         round(close - entry_close, 6) + 0 AS pnl,
-      |         round((close - entry_close) / entry_close, 6) + 0 AS return_pct
-      |  FROM numbered
-      |  WHERE rn % 10 = 0 AND entry_close IS NOT NULL),
-      |curve0 AS (
+  /** The A11 metric chain over a preceding CTE
+    * `trades(user_id, entry_time, exit_time, pnl, return_pct)` — shared
+    * by the fixture oracle and the fold-fed [[a11BacktestMetricsSql]].
+    * (Window aliases unique per the WITH RECURSIVE namespace rule.) */
+  private val metricsChainSql: String =
+    """curve0 AS (
       |  SELECT user_id, exit_time, entry_time, pnl, return_pct,
       |         10000.0 + sum(pnl) OVER wg AS equity,
       |         CASE WHEN pnl > 0 THEN 1 ELSE 0 END AS win,
@@ -330,6 +532,34 @@ object Stateful {
       |SELECT a.*, s.max_consec_wins, s.max_consec_losses
       |FROM agg a LEFT JOIN streaks s USING (user_id)""".stripMargin
 
+  val a11MetricsFixtureSql: String = Tables.candlesSql +
+    """, numbered AS (
+      |  SELECT user_id, bucket, close,
+      |         row_number() OVER nw AS rn,
+      |         lag(bucket, 10) OVER nw AS entry_time,
+      |         lag(close, 10) OVER nw AS entry_close
+      |  FROM candles
+      |  WINDOW nw AS (PARTITION BY user_id ORDER BY bucket)),
+      |trades AS (
+      |  SELECT user_id, entry_time, bucket AS exit_time,
+      |         round(close - entry_close, 6) + 0 AS pnl,
+      |         round((close - entry_close) / entry_close, 6) + 0 AS return_pct
+      |  FROM numbered
+      |  WHERE rn % 10 = 0 AND entry_close IS NOT NULL),
+      |""".stripMargin + metricsChainSql
+
+  /** A11 over the REAL fold-produced trades: the W34 recursive-CTE fold
+    * feeds the same metric chain the fixture pins, so the full
+    * trades → metrics path is oracle-checked end to end. */
+  val a11BacktestMetricsSql: String =
+    foldTradesCtes(smaSigCtes) +
+      """,
+        |trades AS (
+        |  SELECT user_id, entry_time, exit_time,
+        |         round(pnl, 6) + 0 AS pnl, round(return_pct, 6) + 0 AS return_pct
+        |  FROM alltr),
+        |""".stripMargin + metricsChainSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w19_psar"          -> (psar _),
     "w34_backtest"      -> (backtestTrades _),
@@ -338,9 +568,11 @@ object Stateful {
     "a11_backtest_metrics" -> (backtestMetrics _),
     "a11_metrics_fixture"  -> (a11MetricsFixture _))
 
-  /** The fold queries are sequential state machines with no SQL oracle
-    * (driver rows-only check); the shared A11 metric layer is pinned by
-    * the fixture oracle. */
   def oracles: Map[String, String] = Map(
+    "w19_psar"          -> psarSql,
+    "w34_backtest"      -> w34BacktestSql,
+    "w34_backtest_rsi"  -> w34BacktestRsiSql,
+    "w34_backtest_macd" -> w34BacktestMacdSql,
+    "a11_backtest_metrics" -> a11BacktestMetricsSql,
     "a11_metrics_fixture"  -> a11MetricsFixtureSql)
 }
