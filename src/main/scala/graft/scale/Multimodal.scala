@@ -64,8 +64,13 @@ object Multimodal {
   // ---------------------------------------------------------------- decode
   /** Per-partition decode + feature extraction. Real pipeline shape:
     * batch rows per partition, init the (stubbed) codec once, emit a
-    * typed feature row per media blob. Driver check is rows-only
-    * (mapPartitions is not SQL-expressible); the spec pins the math. */
+    * typed feature row per media blob. The mapPartitions kernel itself
+    * is not SQL, but its OUTPUT is oracle-checked: the fixture media
+    * bytes are ASCII, so DuckDB replays the byte walk as
+    * `unicode(char)` rows and mirrors the kernel's ascending-bucket
+    * entropy fold with an ordered list aggregation
+    * ([[decodeFeaturesSql]]); the spec additionally pins the math on
+    * crafted byte patterns. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -175,6 +180,45 @@ object Multimodal {
       |    AS frame_digest
       |FROM f""".stripMargin
 
+  /** Oracle for [[decodeFeatures]] — the byte walk as unicode(char)
+    * rows (ASCII fixture: byte == codepoint), mean as exact integer sum
+    * / n, entropy as the kernel's ascending-bucket fold via
+    * `list(... ORDER BY b)`, zero buckets restored with a
+    * generate_series left join. */
+  val decodeFeaturesSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unicode(c) AS u
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+      |hist AS (
+      |  SELECT doc_id, u // 16 AS b, count(*) AS c FROM ch GROUP BY 1, 2),
+      |n AS (
+      |  SELECT doc_id, octet_length(text::BLOB) AS n_bytes FROM documents),
+      |ent AS (
+      |  SELECT h.doc_id,
+      |         -list_sum(list_transform(list(h.c ORDER BY h.b),
+      |            c -> (c * 1.0 / n.n_bytes) * ln(c * 1.0 / n.n_bytes))) / ln(2) AS byte_entropy
+      |  FROM hist h JOIN n ON n.doc_id = h.doc_id
+      |  GROUP BY h.doc_id, n.n_bytes),
+      |mean AS (
+      |  SELECT doc_id, CAST(sum(u) AS DOUBLE) AS s FROM ch GROUP BY doc_id),
+      |h16 AS (
+      |  SELECT d.doc_id,
+      |         array_to_string(list(coalesce(h.c, 0) ORDER BY g.b), ',') AS histogram16
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g
+      |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.b = g.b
+      |  GROUP BY d.doc_id)
+      |SELECT n.doc_id, CAST(n.n_bytes AS INT) AS n_bytes,
+      |       round(m.s / n.n_bytes, 6) + 0 AS mean_byte,
+      |       round(e.byte_entropy, 6) + 0 AS byte_entropy,
+      |       h16.histogram16,
+      |       CAST(n.doc_id % 640 + 64 AS INT) AS width,
+      |       CAST(n.doc_id % 480 + 48 AS INT) AS height,
+      |       CASE WHEN n.doc_id % 3 = 0 THEN 'png'
+      |            WHEN n.doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+      |FROM n JOIN mean m USING (doc_id) JOIN ent e ON e.doc_id = n.doc_id
+      |JOIN h16 USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats"      -> (blobStats _),
     "mm_decode_features" -> (decodeFeatures _),
@@ -183,6 +227,7 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "mm_blob_stats"   -> blobStatsSql,
+    "mm_decode_features" -> decodeFeaturesSql,
     "mm_resize_plan"  -> resizePlanSql,
     "mm_frame_sample" -> frameSampleSql)
 }
