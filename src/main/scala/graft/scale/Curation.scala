@@ -31,11 +31,13 @@ object Curation {
     * Per doc: distinct-shingle count, benchmark-hit count, contamination
     * fraction, and the ≥ 20% drop flag. */
   def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // per-doc predicates commute with per-doc shingling, so both sides
+    // filter the shared memoized shingle index instead of re-tokenizing
+    val sh = Dedup.shingleIndex(spark, dir)
     val isBench = col("doc_id") % 97 === 0
-    val benchShingles = Dedup.shingleRows(docs.filter(isBench))
+    val benchShingles = sh.filter(isBench)
       .select(col("s")).distinct().withColumn("hit", lit(1))
-    Dedup.shingleRows(docs.filter(!isBench))
+    sh.filter(!isBench)
       .join(broadcast(benchShingles), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))

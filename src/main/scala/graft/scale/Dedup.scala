@@ -61,6 +61,18 @@ object Dedup {
       .distinct()
   }
 
+  /** The shingle rows of the FULL documents table, memoized + cached per
+    * (session, dir): six registered queries read this exact relation
+    * (heavy hitters, boilerplate coverage, CMS sketch, fingerprints,
+    * decontamination, incremental dedup), and each cold build pays the
+    * tokenize + explode + distinct shuffle. At scale this is the
+    * materialized shingle INDEX a corpus pipeline maintains next to the
+    * corpus; consumers that need a subset filter it (per-doc predicates
+    * commute with per-doc shingling). */
+  def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute(spark, "shingles", dir)(
+      shingleRows(Tables.documents(spark, dir).select(col("doc_id"), col("text"))).cache())
+
   // ---------------------------------------------------------------- exact
   /** Exact dedup by content hash: keep the lowest doc_id per hash group
     * (one aggregate; the 100 TB shape — never a pairwise comparison). */
@@ -565,37 +577,18 @@ object Dedup {
     * invariants (pairs co-clustered, label = component min) are also
     * spec-pinned.
     *
-    * Memoized per (session, dir): the labels are an INDEX that multiple
-    * consumers read ([[Sampling.splitByCluster]], the dedup keep-list) —
-    * the iterative loop runs driver-side actions, so Spark's plan cache
-    * cannot deduplicate repeat calls by itself. The session key is WEAK
-    * and the DataFrame value SOFT (a DataFrame strongly references its
-    * session, so a strong value would pin the weak key forever): a dead
-    * session's entry is collectible, memory pressure evicts and the memo
-    * recomputes on miss. [[invalidateClusters]] drops a dir's entry when
-    * the data under it changes mid-session. */
-  private val clusterMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
-
+    * Memoized per (session, dir) via [[DirMemo]]: the labels are an
+    * INDEX that multiple consumers read ([[Sampling.splitByCluster]],
+    * [[dedupKeepBest]], the dedup keep-list) — the iterative loop runs
+    * driver-side actions, so Spark's plan cache cannot deduplicate
+    * repeat calls by itself. [[invalidateClusters]] drops a dir's
+    * indexes when the data under it changes mid-session. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterMemo.synchronized {
-      val m = clusterMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-      m.get(dir).flatMap(r => Option(r.get())).getOrElse {
-        val df = computeClusters(spark, dir)
-        m(dir) = new java.lang.ref.SoftReference(df)
-        df
-      }
-    }
+    DirMemo.getOrCompute(spark, "clusters", dir)(computeClusters(spark, dir))
 
-  /** Drop the memoized labels for `dir` (all sessions) — call after
+  /** Drop every memoized index for `dir` (all sessions) — call after
     * rewriting the documents under it. */
-  def invalidateClusters(dir: String): Unit =
-    clusterMemo.synchronized {
-      clusterMemo.values.forEach { m =>
-        m.remove(dir).flatMap(r => Option(r.get())).foreach(_.unpersist())
-      }
-    }
+  def invalidateClusters(dir: String): Unit = DirMemo.invalidateDir(dir)
 
   private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus
@@ -660,8 +653,9 @@ object Dedup {
     val corpusHash = hashed.filter(!isNew)
       .groupBy(col("content_hash")).agg(min(col("doc_id")).as("exact_dup_of"))
     // signatures over raw docs (no rep-collapse: the batch must see every
-    // corpus doc); shingle rows shared by the sig build and the verify join
-    val sh = shingleRows(docs).cache()
+    // corpus doc); the shared memoized shingle index serves the sig
+    // build and the verify join
+    val sh = shingleIndex(spark, dir)
     val hashedSh = sh.withColumn("h",
       conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
         .cast("long") % 1000000007L)

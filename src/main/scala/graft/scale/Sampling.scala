@@ -132,8 +132,7 @@ object Sampling {
     * space-saving sketch in the combine stage — the exact form here IS
     * the verification oracle for that sketch. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.shingleRows(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    Dedup.shingleIndex(spark, dir)
       .groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("s"))
       .limit(20)
@@ -154,8 +153,7 @@ object Sampling {
     * the flagged set is constant-sized regardless of corpus bytes. */
   def boilerplateFrac(spark: SparkSession, dir: String): DataFrame = {
     val hh = heavyHitters(spark, dir).select(col("s")).withColumn("hit", lit(1))
-    Dedup.shingleRows(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    Dedup.shingleIndex(spark, dir)
       .join(broadcast(hh), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_boiler"))

@@ -69,16 +69,12 @@ object Sketches {
     * driver. */
   def skHeavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cached: read three times (sketch build, N for the error band, and
-    // the exact top-20 via Sampling.heavyHitters, whose identical plan
-    // hits the same cache entry)
-    val sh = Dedup.shingleRows(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .cache()
+    // the shared shingle index serves the sketch build AND the exact
+    // top-20 (Sampling.heavyHitters reads the same memoized relation)
+    val sh = Dedup.shingleIndex(spark, dir)
     val cms = sh.stat.countMinSketch(col("s"), eps = 0.001, confidence = 0.99, seed = 42)
     val top = Sampling.heavyHitters(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    sh.unpersist()
     top.map { case (s, exact) =>
       val est = cms.estimateCount(s)
       (s, exact, est >= exact)
@@ -89,15 +85,12 @@ object Sketches {
     * hitter, how far the CMS estimate over-counts vs ε·N. Not oracle-
     * checked (the band holds w.p. 1−δ, not always). */
   def cmsErrorBand(spark: SparkSession, dir: String): Seq[(String, Long, Long, Long)] = {
-    val sh = Dedup.shingleRows(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .cache()
+    val sh = Dedup.shingleIndex(spark, dir)
     val eps = 0.001
     val cms = sh.stat.countMinSketch(col("s"), eps = eps, confidence = 0.99, seed = 42)
     val slack = math.ceil(eps * sh.count()).toLong
     val top = Sampling.heavyHitters(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    sh.unpersist()
     top.toSeq.map { case (s, exact) => (s, exact, cms.estimateCount(s), slack) }
   }
 

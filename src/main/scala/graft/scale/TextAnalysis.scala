@@ -178,7 +178,7 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     // shingle rows → hash once per shingle → groupBy agg (see
     // Dedup.shingleRows for why the array-lambda form is pathological)
-    val exploded = Dedup.shingleRows(Tables.documents(spark, dir))
+    val exploded = Dedup.shingleIndex(spark, dir)
       .withColumn("h", md5(col("s").cast("binary")))
       .withColumn("hi", conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 1000000007L)
     val sketchMins = (0 until 4).map(k =>
