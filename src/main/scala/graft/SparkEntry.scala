@@ -24,6 +24,7 @@ object SparkEntry {
       scale.Multimodal.queries ++
       scale.Sketches.queries ++
       scale.Sampling.queries ++
+      scale.Profile.queries ++
       scale.Curation.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       scale.Multimodal.oracles ++
       scale.Sketches.oracles ++
       scale.Sampling.oracles ++
+      scale.Profile.oracles ++
       scale.Curation.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++

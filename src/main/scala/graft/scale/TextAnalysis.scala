@@ -316,17 +316,29 @@ object TextAnalysis {
   private val ipRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   private val phoneRe = "\\+?[0-9][0-9() -]{7,}[0-9]"
 
+  /** Total PII hits in a `text` column — shared with the streaming
+    * ingest gate ([[graft.streaming.CorpusIngest]]) so batch and stream
+    * apply one definition of "contains PII". */
+  def piiHitsCol: Column =
+    size(regexp_extract_all(col("text"), lit(emailRe), lit(0))) +
+      size(regexp_extract_all(col("text"), lit(ipRe), lit(0))) +
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+
+  /** The redacted text — email → IP → phone, shared batch/stream. */
+  def piiCleanCol: Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
       size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).as("n_ips"),
       size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), emailRe, "[EMAIL]"),
-          ipRe, "[IP]"),
-        phoneRe, "[PHONE]").as("clean_text"))
+      piiCleanCol.as("clean_text"))
 
   val piiScrubSql: String =
     s"""SELECT doc_id,

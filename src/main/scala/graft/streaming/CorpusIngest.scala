@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *    daily [[graft.scale.Dedup.dedupIncremental]] batch);
   *  - quality gate = the SAME score expression as the batch query
   *    ([[graft.scale.TextAnalysis.qualityScoreCol]]), dropping
-  *    `score < 0.4` docs and tagging the rest keep/flag.
+  *    `score < 0.4` docs and tagging the rest keep/flag;
+  *  - PII scrub = the SAME redaction expressions as the batch query
+  *    ([[graft.scale.TextAnalysis.piiCleanCol]]) — surviving docs emit
+  *    redacted text plus the hit count.
   *
   * Emits one curated row per surviving doc (append mode — every row is
   * final once the watermark passes).
@@ -33,5 +36,7 @@ object CorpusIngest {
       .filter(col("quality_score") >= 0.4)
       .select(col("doc_id"), col("ts"), col("content_hash"),
         nTokens.as("n_tokens"), col("quality_score"),
-        when(col("quality_score") >= 0.7, "keep").otherwise("flag").as("quality_bucket"))
+        when(col("quality_score") >= 0.7, "keep").otherwise("flag").as("quality_bucket"),
+        graft.scale.TextAnalysis.piiHitsCol.as("n_pii"),
+        graft.scale.TextAnalysis.piiCleanCol.as("clean_text"))
 }

@@ -96,6 +96,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("semantic dedup pairs join on the centroid list key, never the cross product") {
+    val p = plan(scale.Dedup.dedupSemantic(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("centroid_id"), "in-list pair join must key on the centroid:\n" + p)
+    // the only nested-loop is the broadcast of the 16 centroids during assignment
+    assert(p.contains("graft_dot") || p.contains("DotProduct"),
+      "in-list cosine must run through the codegen'd dot:\n" + p)
+  }
+
+  test("paragraph dedup is one chunk-hash window plus one per-doc reassembly aggregate") {
+    val p = plan(scale.Dedup.dedupParagraphs(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), "keep-first needs the per-chunk window:\n" + p)
+    // two key shuffles (chunk, then doc_id) — a join-based keep-first
+    // would add a third ("Exchange (" counts tree nodes once; the
+    // formatted details repeat the bare word)
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges <= 2, s"expected 2 exchanges (chunk window, doc agg), got $exchanges:\n" + p)
+  }
+
   test("salted skew join: salt in the join keys, replication explode below the join, no broadcast of the fact") {
     val p = plan(operators.Joins.j5SkewSalted(spark, sfDir))
     assert(p.contains("SortMergeJoin"), "merge hint should force the shuffle-join shape:\n" + p)

@@ -46,4 +46,27 @@ class CorpusIngestSpec extends SparkSpec {
       assert(streamed == batch, s"stream $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("ingest scrubs PII with the batch redaction expressions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val leaky = "please reach the owner at alice@example.com for all of " +
+      "the details on this and mention the host 10.0.0.7 in the report " +
+      "which is a long enough sentence with plenty of the stopwords to " +
+      "clear the quality gate of the ingest and then some more words on the end"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CorpusIngest.ingest(mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("ingest_pii")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, leaky, ts(0)))
+      mem.addData((9L, "late watermark pusher text", ts(400)))
+      q.processAllAvailable()
+      val row = spark.table("ingest_pii").filter(col("doc_id") === 1L).collect().head
+      assert(row.getAs[Int]("n_pii") == 2)
+      val clean = row.getAs[String]("clean_text")
+      assert(clean.contains("[EMAIL]") && clean.contains("[IP]"))
+      assert(!clean.contains("alice@example.com") && !clean.contains("10.0.0.7"))
+    } finally q.stop()
+  }
 }
