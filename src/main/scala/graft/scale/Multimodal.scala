@@ -71,7 +71,8 @@ object Multimodal {
     * entropy fold with an ordered list aggregation
     * ([[decodeFeaturesSql]]); the spec additionally pins the math on
     * crafted byte patterns. */
-  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+  private def decoded(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[MediaFeatures] = {
     import spark.implicits._
     mediaTable(spark, dir)
       .mapPartitions { rows =>
@@ -97,13 +98,84 @@ object Multimodal {
             r.width, r.height, r.format)
         }
       }
+  }
+
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark, dir)
       .toDF()
       .select(col("doc_id"), col("n_bytes"),
         round(col("mean_byte"), 6).as("mean_byte"),
         round(col("byte_entropy"), 6).as("byte_entropy"),
         concat_ws(",", col("histogram16")).as("histogram16"),
         col("width"), col("height"), col("format"))
+
+  // ---------------------------------------------------------------- phash
+  /** Perceptual-hash near-dup over the binary column — the multimodal
+    * arm of the dedup suite (images re-encoded at different quality
+    * share byte statistics even when exact hashes differ). Signature =
+    * 16 sign bits of the byte histogram vs the uniform share (the
+    * pHash pattern: coarse spectrum, thresholded); candidates must
+    * share the signature AND land within 0.1 mean byte value and 0.02
+    * entropy bits. On this deliberately uniform fixture that yields a
+    * ~23× candidate reduction at 18/25 recall of the MinHash truth set
+    * (spec-pinned); real media bytes separate far harder.
+    *
+    * Scale shape: the mean-band join key keeps same-signature buckets
+    * from going quadratic — the right side emits (band−1, band, band+1)
+    * guest copies (lossless: a |Δmean| ≤ 0.1 pair's 0.1-floors differ
+    * by at most 1), the join runs per (sig, band), and the exact
+    * |Δmean|/|Δentropy| checks prune inside the bucket. Same home/guest
+    * trick as the n-gram length bands. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val f = decoded(spark, dir).toDF()
+      .withColumn("sig", (0 until 16)
+        .map(i => when(element_at(col("histogram16"), i + 1) * 16 > col("n_bytes"),
+          lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _))
+      .withColumn("band", floor(col("mean_byte") * 10).cast("long"))
+    val left = f.select(col("doc_id").as("doc_a"), col("sig"),
+      col("band"), col("mean_byte").as("ma"), col("byte_entropy").as("ea"))
+    val right = f.select(col("doc_id").as("doc_b"), col("sig"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"),
+      col("mean_byte").as("mb"), col("byte_entropy").as("eb"))
+    left.join(right, Seq("sig", "band"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("ma") - col("mb")) <= 0.1 && abs(col("ea") - col("eb")) <= 0.02)
+      .select(col("doc_a"), col("doc_b"), col("sig").as("phash"),
+        round(abs(col("ma") - col("mb")), 6).as("mean_dist"))
   }
+
+  val phashDedupSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unicode(c) AS u
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+      |hist AS (
+      |  SELECT doc_id, u // 16 AS b, count(*) AS c FROM ch GROUP BY 1, 2),
+      |n AS (
+      |  SELECT doc_id, octet_length(text::BLOB) AS n_bytes FROM documents),
+      |mean AS (
+      |  SELECT doc_id, CAST(sum(u) AS DOUBLE) / octet_length(any_value(t.text)::BLOB) AS m
+      |  FROM ch JOIN documents t USING (doc_id) GROUP BY doc_id),
+      |ent AS (
+      |  SELECT h.doc_id,
+      |         -list_sum(list_transform(list(h.c ORDER BY h.b),
+      |            c -> (c * 1.0 / n.n_bytes) * ln(c * 1.0 / n.n_bytes))) / ln(2) AS e
+      |  FROM hist h JOIN n ON n.doc_id = h.doc_id GROUP BY h.doc_id, n.n_bytes),
+      |sig AS (
+      |  SELECT h.doc_id,
+      |         CAST(sum(CASE WHEN h.c * 16 > n.n_bytes
+      |                       THEN CAST(pow(2.0, h.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM hist h JOIN n USING (doc_id) GROUP BY h.doc_id),
+      |f AS (
+      |  SELECT s.doc_id, s.sig, m.m, e.e, CAST(floor(m.m * 10) AS BIGINT) AS band
+      |  FROM sig s JOIN mean m USING (doc_id) JOIN ent e USING (doc_id)),
+      |r AS (
+      |  SELECT doc_id, sig, m, e, unnest([band - 1, band, band + 1]) AS band FROM f)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS phash,
+      |       round(abs(a.m - b.m), 6) + 0 AS mean_dist
+      |FROM f a JOIN r b ON a.sig = b.sig AND a.band = b.band
+      |WHERE a.doc_id < b.doc_id AND abs(a.m - b.m) <= 0.1
+      |  AND abs(a.e - b.e) <= 0.02""".stripMargin
 
   // ---------------------------------------------------------------- resize
   /** Resize planning — the metadata half of an image-resize stage (the
@@ -223,11 +295,13 @@ object Multimodal {
     "mm_blob_stats"      -> (blobStats _),
     "mm_decode_features" -> (decodeFeatures _),
     "mm_resize_plan"     -> (resizePlan _),
+    "mm_phash_dedup"     -> (phashDedup _),
     "mm_frame_sample"    -> (frameSample _))
 
   def oracles: Map[String, String] = Map(
     "mm_blob_stats"   -> blobStatsSql,
     "mm_decode_features" -> decodeFeaturesSql,
+    "mm_phash_dedup"  -> phashDedupSql,
     "mm_resize_plan"  -> resizePlanSql,
     "mm_frame_sample" -> frameSampleSql)
 }

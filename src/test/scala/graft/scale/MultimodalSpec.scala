@@ -35,6 +35,21 @@ class MultimodalSpec extends SparkSpec {
     assert(schema("format").dataType.typeName == "string")
   }
 
+  test("phash candidates shrink the pair space and keep most true near-dups") {
+    import org.apache.spark.sql.functions._
+    val cand = Multimodal.phashDedup(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val nCand = cand.count()
+    assert(nCand < nDocs * (nDocs - 1) / 2 / 10,
+      s"candidate set must prune >90% of the pair space ($nCand of ${nDocs * (nDocs - 1) / 2})")
+    val truth = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val nTruth = truth.count()
+    val hit = truth.join(cand, Seq("doc_a", "doc_b")).count()
+    assert(hit * 10 >= nTruth * 7,
+      s"byte-stat candidates must recall >=70% of MinHash near-dups ($hit of $nTruth)")
+  }
+
   test("frame sampling skips empty payloads instead of throwing on a zero stride") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-mm-empty").toString
