@@ -54,9 +54,11 @@ object Bench {
       "w29_support_resistance", "w34_backtest", "j1_enrich_join",
       "j5_skew_salted", "dedup_exact", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_embedding_cos", "dedup_clusters",
+      "dedup_paragraphs", "dedup_semantic", "dedup_keep_best",
       "ann_brute_force", "ann_lsh_search", "ann_ivf_search",
       "text_quality", "text_heavy_hitters", "sk_heavy_hitters_cms",
-      "split_by_cluster", "s6_vwap")
+      "text_pii_scrub", "mm_phash_dedup", "profile_documents",
+      "w19_psar", "split_by_cluster", "s6_vwap")
     val byName = results.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + f(v)))
       .mkString("{", ",", "}")

@@ -128,12 +128,13 @@ object Curation {
   /** The training-corpus flagship: the FULL curation path as ONE lazy
     * plan — drop benchmark docs → exact-dedup representatives → quality
     * gate (score ≥ 0.4) → decontamination (benchmark 3-gram overlap
-    * < 20%, broadcast) → deterministic split assignment. The document
-    * analog of `pipeline_full`: where the reference-style pipeline would
-    * materialize between stages, every stage here is a transformation
-    * over the same DAG, so Catalyst sees — and optimizes — the whole
-    * path at once. Output: one row per surviving doc with its score,
-    * contamination fraction, and split. */
+    * < 20%, broadcast) → PII census → deterministic split assignment.
+    * The document analog of `pipeline_full`: where the reference-style
+    * pipeline would materialize between stages, every stage here is a
+    * transformation over the same DAG, so Catalyst sees — and
+    * optimizes — the whole path at once. Output: one row per surviving
+    * doc with its score, contamination fraction, PII hit count, and
+    * split. */
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val isBench = col("doc_id") % 97 === 0
@@ -161,6 +162,7 @@ object Curation {
       .filter(coalesce(col("frac"), lit(0.0)) < 0.2)
       .select(col("doc_id"), col("quality_score"),
         round(coalesce(col("frac"), lit(0.0)), 6).as("contaminated_frac"),
+        graft.scale.TextAnalysis.piiHitsCol.as("n_pii"),
         when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
   }
 
@@ -186,10 +188,13 @@ object Curation {
        |  GROUP BY c.doc_id)
        |SELECT q.doc_id, q.quality_score,
        |  round(coalesce(fr.frac, 0), 6) + 0 AS contaminated_frac,
+       |  ${graft.scale.TextAnalysis.piiHitsSql("d.text")} AS n_pii,
        |  CASE WHEN ('0x' || substr(md5(q.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
        |       WHEN ('0x' || substr(md5(q.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
        |       ELSE 'test' END AS split
-       |FROM qualified q LEFT JOIN fr ON fr.doc_id = q.doc_id
+       |FROM qualified q
+       |JOIN documents d ON d.doc_id = q.doc_id
+       |LEFT JOIN fr ON fr.doc_id = q.doc_id
        |WHERE coalesce(fr.frac, 0) < 0.2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

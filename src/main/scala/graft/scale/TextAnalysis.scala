@@ -324,6 +324,12 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(ipRe), lit(0))) +
       size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
 
+  /** SQL mirror of [[piiHitsCol]] over a given text expression. */
+  def piiHitsSql(textExpr: String): String =
+    s"CAST(len(regexp_extract_all($textExpr, '$emailRe')) + " +
+      s"len(regexp_extract_all($textExpr, '$ipRe')) + " +
+      s"len(regexp_extract_all($textExpr, '$phoneRe')) AS INT)"
+
   /** The redacted text — email → IP → phone, shared batch/stream. */
   def piiCleanCol: Column =
     regexp_replace(

@@ -22,6 +22,7 @@ class SparkEntrySpec extends SparkSpec {
     "Multimodal"      -> scale.Multimodal.queries,
     "Sketches"        -> scale.Sketches.queries,
     "Sampling"        -> scale.Sampling.queries,
+    "Profile"         -> scale.Profile.queries,
     "Curation"        -> scale.Curation.queries,
     "Sources"         -> operators.Sources.queries,
     "Sinks"           -> sources.Sinks.queries,
