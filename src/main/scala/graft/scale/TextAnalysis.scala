@@ -358,8 +358,75 @@ object TextAnalysis {
        |    '$phoneRe', '[PHONE]', 'g') AS clean_text
        |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- BPE fit
+  /** Tokenizer fitting — the first 4 merge steps of word-level BPE over
+    * the corpus: per step, count adjacent token pairs (one hash
+    * aggregate with map-side combine), pick the most frequent (tiny
+    * top-1 to the driver — the same fit-loop shape as the RFE driver
+    * loop), splice the winning pair into one unit, repeat. The merge
+    * applies via delimiter-guarded string `replace` — leftmost
+    * non-overlapping scan, the standard greedy-BPE approximation, with
+    * IDENTICAL semantics in Spark and DuckDB so the oracle replays the
+    * fit exactly. Ties break on (count desc, left, right). Tokens are
+    * [a-z0-9]+ so the '_' joiner and ' ' delimiter never collide.
+    * Output: the learned merge table (step, left_tok, right_tok,
+    * n_pair). At 100 TB each step is one shuffle over pair rows; the
+    * driver sees 4 single-row results. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    var txt = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit(" "), concat_ws(" ", Dedup.tokens(col("text"))), lit(" ")).as("t"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to 4) {
+      val top = txt
+        .select(col("doc_id"),
+          posexplode(filter(split(col("t"), " "), x => x =!= "")).as(Seq("pos", "tok")))
+        .withColumn("nx", lead(col("tok"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .groupBy(col("tok"), col("nx")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("nx"))
+        .limit(1).collect()(0)
+      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      out += ((step, l, r, n))
+      txt = txt.withColumn("t",
+        expr(s"replace(t, ' $l $r ', ' ${l}_$r ')"))
+    }
+    out.toSeq.toDF("step", "left_tok", "right_tok", "n_pair")
+  }
+
+  val bpeMergesSql: String = {
+    def stage(k: Int): String =
+      s"""tok$k AS (
+         |  SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ts FROM m$k),
+         |cnt$k AS (
+         |  SELECT l, r, count(*) AS n FROM (
+         |    SELECT ts[i] AS l, ts[i+1] AS r
+         |    FROM tok$k, unnest(generate_series(1, len(ts) - 1)) AS g(i))
+         |  GROUP BY l, r),
+         |top$k AS (SELECT l, r, n FROM cnt$k ORDER BY n DESC, l, r LIMIT 1),
+         |m${k + 1} AS (
+         |  SELECT doc_id,
+         |         replace(t, ' ' || tp.l || ' ' || tp.r || ' ',
+         |                    ' ' || tp.l || '_' || tp.r || ' ') AS t
+         |  FROM m$k, top$k tp)""".stripMargin
+    s"""WITH m0 AS (
+       |  SELECT doc_id, ' ' || array_to_string(${Dedup.tokensSql}, ' ') || ' ' AS t
+       |  FROM documents),
+       |${stage(0)},
+       |${stage(1)},
+       |${stage(2)},
+       |${stage(3)}
+       |SELECT 1 AS step, l AS left_tok, r AS right_tok, n AS n_pair FROM top0
+       |UNION ALL SELECT 2, l, r, n FROM top1
+       |UNION ALL SELECT 3, l, r, n FROM top2
+       |UNION ALL SELECT 4, l, r, n FROM top3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub"   -> (piiScrub _),
+    "text_bpe_merges"  -> (bpeMerges _),
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
@@ -370,6 +437,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "text_pii_scrub"   -> piiScrubSql,
+    "text_bpe_merges"  -> bpeMergesSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
