@@ -582,8 +582,150 @@ object Similarity {
       |WHERE NOT (n.user_id = 0 AND n.end_bucket = q.q_end)
       |ORDER BY dist, user_id, end_bucket LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- PQ
+  /** One row per (input row, subspace) with the 8-dim slice of `vcol` —
+    * the decomposition both PQ stages share. */
+  private def pqPieces(df: DataFrame, vcol: String): DataFrame =
+    df.withColumn("s", explode(sequence(lit(0), lit(7))))
+      .withColumn("sub", slice(col(vcol), col("s") * 8 + 1, lit(8)))
+
+  private def pqSubDist: Column = (0 until 8).map { i =>
+    val diff = element_at(col("sub"), i + 1) - element_at(col("csub"), i + 1)
+    diff * diff
+  }.reduce(_ + _)
+
+  /** Product quantization encode (the third ANN family — the MEMORY
+    * story: 64 float32 dims → 8 one-byte codes, 32× compression, which
+    * is what makes a 100 TB vector corpus fit an index at all). 8
+    * subspaces × 16 deterministic sub-centroids (subvectors of
+    * `vec_id < 16`, reproducible in the oracle like IVF); each vector's
+    * code is its per-subspace nearest sub-centroid by squared L2
+    * (rank-1 on (dist, cid)). One broadcast join over (vec, subspace)
+    * rows — a map-side stage, no corpus shuffle beyond the code
+    * reassembly. */
+  def annPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = pqPieces(c.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v")), "v")
+      .select(col("cid"), col("s"), col("sub").as("csub"))
+    pqPieces(c.select(col("vec_id"), col("v")), "v")
+      .select(col("vec_id"), col("s"), col("sub"))
+      .join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cid"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("s"), col("cid"))).as("sc"))
+      .select(col("vec_id"),
+        // comma-joined like the minhash signature: the driver's compare
+        // sorts rows by every column, and array cells don't sort
+        concat_ws(",", transform(array_sort(col("sc")), p => p.getField("cid")))
+          .as("code"))
+  }
+
+  val annPqEncodeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+      |  FROM e, unnest(generate_series(0, 7)) AS t(s)),
+      |csub AS (SELECT vec_id AS cid, s, sub AS csub FROM sub WHERE vec_id < 16),
+      |d AS (
+      |  SELECT p.vec_id, p.s, c.cid,
+      |         list_sum(list_transform(list_zip(p.sub, c.csub),
+      |                                 q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d
+      |  FROM sub p JOIN csub c USING (s)),
+      |code1 AS (
+      |  SELECT vec_id, s, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+      |        FROM d)
+      |  WHERE rk = 1)
+      |SELECT vec_id, array_to_string(list(cid ORDER BY s), ',') AS code
+      |FROM code1 GROUP BY vec_id""".stripMargin
+
+  /** PQ search via asymmetric distance (ADC): the query stays exact,
+    * the corpus is its 8-byte codes. The per-query lookup table
+    * (query × subspace × sub-centroid distances — 10×8×16 rows)
+    * broadcasts; corpus code rows join it on (subspace, code) and the
+    * 8 partial distances reassemble in FIXED subspace order (eight
+    * single-valued conditional sums — a bare sum() would re-associate
+    * doubles nondeterministically and flip near-tie ranks vs the
+    * oracle). Approximation error vs exact cosine is the PQ trade. */
+  def annPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = pqPieces(c.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v")), "v")
+      .select(col("cid"), col("s"), col("sub").as("csub"))
+    val codeRows = pqPieces(c.select(col("vec_id"), col("v")), "v")
+      .select(col("vec_id"), col("s"), col("sub"))
+      .join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("cid"))
+    val qd = pqPieces(c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v")), "v")
+      .select(col("query_id"), col("s"), col("sub"))
+      .join(broadcast(cents), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid"), pqSubDist.as("d"))
+    val parts = (0 until 8).map(s =>
+      sum(when(col("s") === s, col("d"))).as(s"d$s"))
+    codeRows.join(broadcast(qd), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("adist", (0 until 8).map(s => col(s"d$s")).reduce(_ + _))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adist"), 6).as("adist"))
+  }
+
+  val annPqSearchSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+      |  FROM e, unnest(generate_series(0, 7)) AS t(s)),
+      |csub AS (SELECT vec_id AS cid, s, sub AS csub FROM sub WHERE vec_id < 16),
+      |d AS (
+      |  SELECT p.vec_id, p.s, c.cid,
+      |         list_sum(list_transform(list_zip(p.sub, c.csub),
+      |                                 q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d
+      |  FROM sub p JOIN csub c USING (s)),
+      |codes AS (
+      |  SELECT vec_id, s, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+      |        FROM d)
+      |  WHERE rk = 1),
+      |qd AS (SELECT vec_id AS query_id, s, cid, d FROM d WHERE vec_id < 10),
+      |agg AS (
+      |  SELECT c.vec_id, q.query_id,
+      |         sum(CASE WHEN c.s = 0 THEN q.d END) AS d0,
+      |         sum(CASE WHEN c.s = 1 THEN q.d END) AS d1,
+      |         sum(CASE WHEN c.s = 2 THEN q.d END) AS d2,
+      |         sum(CASE WHEN c.s = 3 THEN q.d END) AS d3,
+      |         sum(CASE WHEN c.s = 4 THEN q.d END) AS d4,
+      |         sum(CASE WHEN c.s = 5 THEN q.d END) AS d5,
+      |         sum(CASE WHEN c.s = 6 THEN q.d END) AS d6,
+      |         sum(CASE WHEN c.s = 7 THEN q.d END) AS d7
+      |  FROM codes c JOIN qd q ON q.s = c.s AND q.cid = c.cid
+      |  WHERE c.vec_id <> q.query_id
+      |  GROUP BY c.vec_id, q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |         d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7 AS adist,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
+      |  FROM agg)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(adist, 6) + 0 AS adist
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
+    "ann_pq_encode"   -> (annPqEncode _),
+    "ann_pq_search"   -> (annPqSearch _),
     "ann_dot_expr"    -> (annDotExpr _),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search"  -> (annLshSearch _),
@@ -595,6 +737,8 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "ann_brute_force" -> annBruteForceSql,
+    "ann_pq_encode"   -> annPqEncodeSql,
+    "ann_pq_search"   -> annPqSearchSql,
     "ann_dot_expr"    -> annBruteForceSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_search"  -> annLshSearchSql,
