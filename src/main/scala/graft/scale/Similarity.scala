@@ -374,11 +374,13 @@ object Similarity {
     * ground truth reuses the broadcast-query brute pass — at 100 TB this
     * runs on a sampled query set, exactly this plan shape.
     *
-    * Measured at sf0.01: IVF ≈ 0.88, LSH ≈ 0 — the LSH index is
-    * mis-sized for a 500-vector corpus (2⁸ buckets → ~2 vectors each,
-    * so a query's bucket rarely holds its true neighbors). That is the
-    * finding this operator exists to surface: bucket-count must track
-    * corpus size, and the recall probe is how a deployment notices. */
+    * Measured at sf0.01: IVF ≈ 0.88, PQ ≈ 0.28, LSH ≈ 0 — the LSH
+    * index is mis-sized for a 500-vector corpus (2⁸ buckets → ~2
+    * vectors each, so a query's bucket rarely holds its true
+    * neighbors), and 16 sub-centroids quantize these near-isotropic
+    * synthetic embeddings coarsely. That is the finding this operator
+    * exists to surface: index parameters must track corpus shape, and
+    * the recall probe is how a deployment notices. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val k = 10
     val c = corpus(spark, dir).withColumn("bucket", lshBucket(col("v"))).cache()
@@ -428,7 +430,33 @@ object Similarity {
         .select(col("query_id"), lit(method).as("method"),
           col("n_retrieved"), col("n_hits"),
           round(col("n_hits").cast("double") / k, 6).as("recall_at_10"))
-    recallOf(lsh, "lsh").union(recallOf(ivf, "ivf"))
+    // PQ: top-10 of the whole corpus by asymmetric distance — measures
+    // pure quantization error (no candidate restriction to confound it)
+    val scents = pqPieces(c.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v")), "v")
+      .select(col("cid"), col("s"), col("sub").as("csub"))
+    val codeRows = pqPieces(c.select(col("vec_id"), col("v")), "v")
+      .select(col("vec_id"), col("s"), col("sub"))
+      .join(broadcast(scents), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cid"))))
+      .filter(col("rk") === 1).select(col("vec_id"), col("s"), col("cid"))
+    val qds = pqPieces(c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v")), "v")
+      .select(col("query_id"), col("s"), col("sub"))
+      .join(broadcast(scents), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid"), pqSubDist.as("d"))
+    val parts = (0 until 8).map(s => sum(when(col("s") === s, col("d"))).as(s"d$s"))
+    val pq = codeRows.join(broadcast(qds), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("adist", (0 until 8).map(s => col(s"d$s")).reduce(_ + _))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    recallOf(lsh, "lsh").union(recallOf(ivf, "ivf")).union(recallOf(pq, "pq"))
   }
 
   val annRecallSql: String =
@@ -498,6 +526,41 @@ object Similarity {
       |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       |        FROM iscored)
       |  WHERE rank <= 10),
+      |psub AS (
+      |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+      |  FROM e0, unnest(generate_series(0, 7)) AS t(s)),
+      |pcsub AS (SELECT vec_id AS cid, s, sub AS csub FROM psub WHERE vec_id < 16),
+      |pd AS (
+      |  SELECT p.vec_id, p.s, c.cid,
+      |         list_sum(list_transform(list_zip(p.sub, c.csub),
+      |                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+      |  FROM psub p JOIN pcsub c USING (s)),
+      |pcodes AS (
+      |  SELECT vec_id, s, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+      |        FROM pd)
+      |  WHERE rk = 1),
+      |pqd AS (SELECT vec_id AS query_id, s, cid, d FROM pd WHERE vec_id < 10),
+      |pagg AS (
+      |  SELECT c.vec_id, g.query_id,
+      |         sum(CASE WHEN c.s = 0 THEN g.d END) AS d0,
+      |         sum(CASE WHEN c.s = 1 THEN g.d END) AS d1,
+      |         sum(CASE WHEN c.s = 2 THEN g.d END) AS d2,
+      |         sum(CASE WHEN c.s = 3 THEN g.d END) AS d3,
+      |         sum(CASE WHEN c.s = 4 THEN g.d END) AS d4,
+      |         sum(CASE WHEN c.s = 5 THEN g.d END) AS d5,
+      |         sum(CASE WHEN c.s = 6 THEN g.d END) AS d6,
+      |         sum(CASE WHEN c.s = 7 THEN g.d END) AS d7
+      |  FROM pcodes c JOIN pqd g ON g.s = c.s AND g.cid = c.cid
+      |  WHERE c.vec_id <> g.query_id
+      |  GROUP BY c.vec_id, g.query_id),
+      |pq AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
+      |        FROM pagg)
+      |  WHERE rank <= 10),
       |rec AS (
       |  SELECT a.query_id, 'lsh' AS method, count(*) AS n_retrieved, count(b.vec_id) AS n_hits
       |  FROM lsh a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
@@ -505,6 +568,10 @@ object Similarity {
       |  UNION ALL
       |  SELECT a.query_id, 'ivf', count(*), count(b.vec_id)
       |  FROM ivf a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  SELECT a.query_id, 'pq', count(*), count(b.vec_id)
+      |  FROM pq a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
       |  GROUP BY a.query_id)
       |SELECT query_id, method, n_retrieved, n_hits,
       |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
