@@ -116,6 +116,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected 2 exchanges (chunk window, doc agg), got $exchanges:\n" + p)
   }
 
+  test("PQ search: lookup table broadcasts, corpus codes never cartesian") {
+    val p = plan(scale.Similarity.annPqSearch(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "ADC lookup table must broadcast:\n" + p)
+  }
+
   test("salted skew join: salt in the join keys, replication explode below the join, no broadcast of the fact") {
     val p = plan(operators.Joins.j5SkewSalted(spark, sfDir))
     assert(p.contains("SortMergeJoin"), "merge hint should force the shuffle-join shape:\n" + p)

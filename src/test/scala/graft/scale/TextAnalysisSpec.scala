@@ -8,6 +8,29 @@ import graft.SparkSpec
   * semantics are pinned here on a PII-bearing fixture. */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("BPE fit learns merges greedily with deterministic tie-breaks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq(
+      (1L, "x y x y x y", "en", "web", 11L),
+      (2L, "x y z", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.bpeMerges(spark, tmp).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    // step 1: (x, y) wins with 4 occurrences (3 in doc1, 1 in doc2).
+    // The greedy scan consumes shared delimiters, so doc1
+    // " x y x y x y " merges its 1st and 3rd pairs: " x_y x y x_y "
+    assert(out(1) == (("x", "y", 4L)))
+    // step 2: every remaining pair counts 1 — (x, y) wins the
+    // lexicographic tie-break and doc1 becomes " x_y x_y x_y "
+    assert(out(2) == (("x", "y", 1L)))
+    // step 3: (x_y, x_y) now counts 2; greedy merge → " x_y_x_y x_y "
+    assert(out(3) == (("x_y", "x_y", 2L)))
+    // step 4: (x_y, z) and (x_y_x_y, x_y) tie at 1 — left-asc breaks it
+    assert(out(4) == (("x_y", "z", 1L)))
+  }
+
   test("PII scrub counts and redacts emails, IPs, and phone numbers") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-pii").toString
