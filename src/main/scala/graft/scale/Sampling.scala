@@ -333,7 +333,71 @@ object Sampling {
   private def tokens(c: Column): Column = Dedup.tokens(c)
   private def tokensListSql: String = Dedup.tokensSql
 
+  // ---------------------------------------------------------------- DSIR
+  /** DSIR-style importance resampling (Xie et al. 2023, simplified to
+    * unigram features): reweight the source corpus toward a TARGET
+    * domain (the zh docs here) by the per-token likelihood ratio of two
+    * add-1-smoothed unigram LMs — target over source — length-
+    * normalized per doc, accept with probability min(1, exp(w)) against
+    * the deterministic md5 fraction (no RNG state; re-runs agree).
+    *
+    * 100 TB shape: both LMs are ONE token aggregate each (map-side
+    * combine), the merged ratio table is vocab-sized → broadcast, the
+    * per-doc weight is one more aggregate. The accept test compares the
+    * ROUNDED probability so both engines gate on identical doubles.
+    *
+    * On the sf fixture the langs share one vocabulary, so mean accept
+    * ≈ 0.99 — DSIR correctly finds nothing to reweight; discrimination
+    * on genuinely distinct domains is pinned in `SamplingSpec`
+    * (target ≈ 1.0 vs off-domain < 0.1). */
+  def sampleDsir(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cs"))
+      .withColumn("ns", sum(col("cs")).over(wAll))
+      .withColumn("v", count(lit(1)).over(wAll))
+    val tc = tok.filter(col("lang") === "zh")
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val ratios = vocab.join(tc, Seq("tok"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .select(col("tok"),
+        (log((col("ct") + 1.0) / (col("nt") + col("v"))) -
+          log((col("cs") + 1.0) / (col("ns") + col("v")))).as("lr"))
+    val weighted = tok.join(broadcast(ratios), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("lr")), 6).as("log_ratio"))
+    val prob = round(least(lit(1.0), exp(col("log_ratio"))), 6)
+    val hf = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000000L).cast("double") / 1000000.0
+    weighted.select(col("doc_id"), col("log_ratio"),
+      prob.as("accept_prob"), (hf < prob).as("sampled"))
+  }
+
+  val sampleDsirSql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, lang, unnest(${Dedup.tokensSql}) AS tok FROM documents),
+       |vocab AS (SELECT tok, count(*) AS cs FROM tr GROUP BY tok),
+       |tot AS (SELECT sum(cs) AS ns, count(*) AS v FROM vocab),
+       |tc AS (SELECT tok, count(*) AS ct FROM tr WHERE lang = 'zh' GROUP BY tok),
+       |ntt AS (SELECT count(*) AS nt FROM tr WHERE lang = 'zh'),
+       |ratios AS (
+       |  SELECT vb.tok,
+       |         ln((coalesce(t.ct, 0) + 1.0) / (ntt.nt + tot.v)) -
+       |         ln((vb.cs + 1.0) / (tot.ns + tot.v)) AS lr
+       |  FROM vocab vb LEFT JOIN tc t USING (tok), tot, ntt),
+       |w AS (
+       |  SELECT doc_id, round(avg(lr), 6) + 0 AS log_ratio
+       |  FROM tr JOIN ratios USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, log_ratio,
+       |  round(least(1.0, exp(log_ratio)), 6) + 0 AS accept_prob,
+       |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000) / 1000000.0 <
+       |    round(least(1.0, exp(log_ratio)), 6) AS sampled
+       |FROM w""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir"       -> (sampleDsir _),
     "split_train_val"   -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
     "pack_sequences"    -> (packSequences _),
@@ -345,6 +409,7 @@ object Sampling {
     "pairs_contrastive" -> (pairsContrastive _))
 
   def oracles: Map[String, String] = Map(
+    "sample_dsir"       -> sampleDsirSql,
     "split_train_val"   -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_sequences"    -> packSequencesSql,

@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
   * value-equality. */
 class SamplingSpec extends SparkSpec {
 
+  test("DSIR resampling upweights the target domain when vocabularies differ") {
+    import spark.implicits._
+    // the sf fixture's langs share one vocabulary (mean accept ≈ 0.99 —
+    // DSIR correctly finds nothing to reweight); discrimination needs
+    // actually distinct domains
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val zhDocs = (1L to 20L).map(i =>
+      (i, (1 to 30).map(j => s"alpha${(i + j) % 7}").mkString(" "), "zh", "web", 100L))
+    val enDocs = (21L to 120L).map(i =>
+      (i, (1 to 30).map(j => s"beta${(i + j) % 9}").mkString(" "), "en", "web", 100L))
+    (zhDocs ++ enDocs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Sampling.sampleDsir(spark, tmp)
+      .join(graft.Tables.documents(spark, tmp).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).agg(avg(col("accept_prob")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("zh") > 0.99, s"target-domain docs must pass (${out("zh")})")
+    assert(out("en") < 0.1, s"off-domain docs must be heavily downweighted (${out("en")})")
+  }
+
   test("split is exhaustive, deterministic, and near the 90/5/5 target") {
     val s = Sampling.splitTrainVal(spark, sfDir).cache()
     val n = s.count()
