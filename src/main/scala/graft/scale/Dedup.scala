@@ -742,6 +742,93 @@ object Dedup {
        |LEFT JOIN corp c ON c.content_hash = n.content_hash
        |LEFT JOIN near nr ON nr.new_id = n.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- containment
+  /** Asymmetric near-dup via CONTAINMENT — |A∩B| / min(|A|,|B|) ≥ 0.8:
+    * the quote/wrapper case (a small doc embedded in a larger one) that
+    * Jaccard structurally misses (a 10-shingle doc inside a 200-shingle
+    * doc has J ≈ 0.05) and that MinHash bands therefore cannot
+    * candidate.
+    *
+    * Candidate generation is PREFIX FILTERING (the SSJoin family,
+    * Chaudhuri et al. 2006): order shingles globally by (document
+    * frequency, shingle) — rarest first — and index only each doc's
+    * first floor(0.2·n)+1 shingles. Pigeonhole: a contained doc has at
+    * most floor(0.2·n) shingles outside the intersection, so at least
+    * one PREFIX shingle lands in it → joining prefixes against full
+    * shingle rows is lossless for the 0.8 threshold. Prefix shingles
+    * are rare by construction, so the per-shingle join fan-out stays
+    * bounded even when boilerplate shingles are corpus-wide — the
+    * reason this scales where a raw shingle self-join explodes.
+    * Exact verify per candidate, same row-count shape as
+    * [[minhashLshPairs]]. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleReps(spark, dir)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = s.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = s.join(df, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .join(broadcast(sizes), "doc_id")
+      .filter(col("rk") <= floor(col("n") * 0.2).cast("long") + 1)
+    val cand = ranked.select(col("doc_id").as("pa"), col("s"))
+      .join(s.select(col("doc_id").as("pb"), col("s")), "s")
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"))
+      .distinct()
+    val inter = broadcast(cand)
+      .join(s.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_doc"),
+        round(col("containment"), 6).as("containment"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH reps AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+        |  FROM documents GROUP BY md5(text)),
+        |toks AS (
+        |  SELECT doc_id, $tokensSql AS ts FROM reps),
+        |srows AS (
+        |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM srows GROUP BY doc_id),
+        |dfreq AS (SELECT s, count(*) AS df FROM srows GROUP BY s),
+        |ranked AS (
+        |  SELECT r.doc_id, r.s,
+        |         row_number() OVER (PARTITION BY r.doc_id ORDER BY d.df, r.s) AS rk,
+        |         z.n
+        |  FROM srows r JOIN dfreq d USING (s) JOIN sizes z USING (doc_id)),
+        |cand AS (
+        |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS doc_a,
+        |                  greatest(p.doc_id, f.doc_id) AS doc_b
+        |  FROM ranked p JOIN srows f USING (s)
+        |  WHERE p.rk <= CAST(floor(p.n * 0.2) AS BIGINT) + 1 AND p.doc_id <> f.doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c
+        |  JOIN srows sa ON sa.doc_id = c.doc_a
+        |  JOIN srows sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b,
+        |       CASE WHEN za.n <= zb.n THEN i.doc_a ELSE i.doc_b END AS contained_doc,
+        |       round(i.i * 1.0 / least(za.n, zb.n), 6) + 0 AS containment,
+        |       round(i.i * 1.0 / (za.n + zb.n - i.i), 6) + 0 AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |WHERE i.i * 1.0 / least(za.n, zb.n) >= 0.8""".stripMargin
+
   /** CTE list computing the near-dup connected components in DuckDB —
     * transitive closure over the LSH pair graph (tiny: only near-dups
     * appear), min-id labeling. Shared by the `dedup_clusters` /
@@ -916,6 +1003,7 @@ object Dedup {
     "dedup_incremental"    -> (dedupIncremental _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_paragraphs"     -> (dedupParagraphs _),
+    "dedup_containment"    -> (containmentPairs _),
     "dedup_keep_best"      -> (dedupKeepBest _),
     "dedup_semantic"       -> (dedupSemantic _),
     "dedup_exact"          -> (dedupExact _),
@@ -931,6 +1019,7 @@ object Dedup {
     "dedup_incremental"    -> dedupIncrementalSql,
     "dedup_clusters"       -> dedupClustersSql,
     "dedup_paragraphs"     -> dedupParagraphsSql,
+    "dedup_containment"    -> containmentPairsSql,
     "dedup_keep_best"      -> dedupKeepBestSql,
     "dedup_semantic"       -> dedupSemanticSql,
     "dedup_exact"          -> dedupExactSql,

@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(!col("keep")).count() > 0, "fixture has semantic dups")
   }
 
+  test("containment catches a quoted doc that Jaccard-tuned MinHash misses") {
+    import spark.implicits._
+    // doc 1 (12 tokens) is quoted wholesale inside doc 2 (120 tokens):
+    // containment = 1.0 but Jaccard ≈ 0.09 — below the 0.5 MinHash gate
+    val quote = (1 to 12).map(i => s"quoted$i").mkString(" ")
+    val filler = (1 to 108).map(i => s"host$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    Seq(
+      (1L, quote, "en", "web", 100L),
+      (2L, s"$filler $quote", "en", "web", 900L),
+      (3L, "an unrelated document with entirely different words", "en", "web", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.containmentPairs(spark, tmp).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L && p.getLong(2) == 1L)
+    assert(p.getDouble(3) == 1.0, "the quote is fully contained")
+    assert(p.getDouble(4) < 0.5, "below the Jaccard gate MinHash bands are tuned for")
+    assert(Dedup.minhashLshPairs(spark, tmp).count() == 0,
+      "MinHash (Jaccard >= 0.5) must structurally miss this pair")
+  }
+
   test("a clean corpus (no near-dup pairs) yields an empty cluster set, not an NPE") {
     import spark.implicits._
     // unique texts with no shared shingles → zero LSH pairs → the
