@@ -372,31 +372,65 @@ object TextAnalysis {
     * Output: the learned merge table (step, left_tok, right_tok,
     * n_pair). At 100 TB each step is one shuffle over pair rows; the
     * driver sees 4 single-row results. */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    var txt = Tables.documents(spark, dir).select(col("doc_id"),
-      concat(lit(" "), concat_ws(" ", Dedup.tokens(col("text"))), lit(" ")).as("t"))
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (step <- 1 to 4) {
-      val top = txt
-        .select(col("doc_id"),
-          posexplode(filter(split(col("t"), " "), x => x =!= "")).as(Seq("pos", "tok")))
-        .withColumn("nx", lead(col("tok"), 1).over(w))
-        .filter(col("nx").isNotNull)
-        .groupBy(col("tok"), col("nx")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("tok"), col("nx"))
-        .limit(1).collect()(0)
-      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      out += ((step, l, r, n))
-      txt = txt.withColumn("t",
-        expr(s"replace(t, ' $l $r ', ' ${l}_$r ')"))
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute(spark, "bpe_merges", dir) {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      var txt = Tables.documents(spark, dir).select(col("doc_id"),
+        concat(lit(" "), concat_ws(" ", Dedup.tokens(col("text"))), lit(" ")).as("t"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to 4) {
+        val top = txt
+          .select(col("doc_id"),
+            posexplode(filter(split(col("t"), " "), x => x =!= "")).as(Seq("pos", "tok")))
+          .withColumn("nx", lead(col("tok"), 1).over(w))
+          .filter(col("nx").isNotNull)
+          .groupBy(col("tok"), col("nx")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"), col("nx"))
+          .limit(1).collect()(0)
+        val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        out += ((step, l, r, n))
+        txt = txt.withColumn("t",
+          expr(s"replace(t, ' $l $r ', ' ${l}_$r ')"))
+      }
+      out.toSeq.toDF("step", "left_tok", "right_tok", "n_pair")
     }
-    out.toSeq.toDF("step", "left_tok", "right_tok", "n_pair")
+
+  /** Tokenizer APPLY — encode every document with the merge table that
+    * [[bpeMerges]] learned (memoized per (session, dir), so fit runs
+    * once however many queries read it): the same delimiter-guarded
+    * `replace` per merge step, in merge order, then per-doc stats —
+    * pre-merge word count, post-merge token count, compression ratio,
+    * and the head of the encoded stream for inspection. This is the
+    * shape a 100 TB tokenize stage has: the merge table is a tiny
+    * driver-side constant folded into the row expression (no join, no
+    * shuffle — a pure map stage over documents). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    var enc = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit(" "), concat_ws(" ", Dedup.tokens(col("text"))), lit(" ")).as("t"))
+    merges.foreach { case (l, r) =>
+      enc = enc.withColumn("t", expr(s"replace(t, ' $l $r ', ' ${l}_$r ')"))
+    }
+    enc
+      .withColumn("toks", filter(split(col("t"), " "), x => x =!= ""))
+      .select(col("doc_id"),
+        size(filter(split(col("t"), "_| "), x => x =!= "")).as("n_words"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), x => x.contains("_"))).as("n_merged"),
+        round(size(col("toks")).cast("double") /
+          greatest(size(filter(split(col("t"), "_| "), x => x =!= "")), lit(1)), 6)
+          .as("ratio"),
+        substring(trim(col("t")), 1, 80).as("head"))
   }
 
-  val bpeMergesSql: String = {
+  /** The shared 4-step fit CTE chain: `m0` is the space-delimited word
+    * stream, `tok$k`/`cnt$k`/`top$k` replay step k's pair count and
+    * winner, `m4` is the fully-encoded stream. Opened by both the
+    * `text_bpe_merges` and `text_bpe_encode` oracles. */
+  private val bpeChainSql: String = {
     def stage(k: Int): String =
       s"""tok$k AS (
          |  SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ts FROM m$k),
@@ -411,22 +445,38 @@ object TextAnalysis {
          |         replace(t, ' ' || tp.l || ' ' || tp.r || ' ',
          |                    ' ' || tp.l || '_' || tp.r || ' ') AS t
          |  FROM m$k, top$k tp)""".stripMargin
-    s"""WITH m0 AS (
+    s"""m0 AS (
        |  SELECT doc_id, ' ' || array_to_string(${Dedup.tokensSql}, ' ') || ' ' AS t
        |  FROM documents),
        |${stage(0)},
        |${stage(1)},
        |${stage(2)},
-       |${stage(3)}
+       |${stage(3)}""".stripMargin
+  }
+
+  val bpeMergesSql: String =
+    s"""WITH $bpeChainSql
        |SELECT 1 AS step, l AS left_tok, r AS right_tok, n AS n_pair FROM top0
        |UNION ALL SELECT 2, l, r, n FROM top1
        |UNION ALL SELECT 3, l, r, n FROM top2
        |UNION ALL SELECT 4, l, r, n FROM top3""".stripMargin
-  }
+
+  val bpeEncodeSql: String =
+    s"""WITH $bpeChainSql
+       |SELECT m.doc_id,
+       |  len(t0.ts) AS n_words,
+       |  len(list_filter(string_split(m.t, ' '), x -> x <> '')) AS n_tokens,
+       |  len(list_filter(string_split(m.t, ' '),
+       |      x -> x <> '' AND contains(x, '_'))) AS n_merged,
+       |  round(len(list_filter(string_split(m.t, ' '), x -> x <> '')) * 1.0
+       |        / greatest(len(t0.ts), 1), 6) + 0 AS ratio,
+       |  substr(trim(m.t), 1, 80) AS head
+       |FROM m4 m JOIN tok0 t0 USING (doc_id)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub"   -> (piiScrub _),
     "text_bpe_merges"  -> (bpeMerges _),
+    "text_bpe_encode"  -> (bpeEncode _),
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
@@ -438,6 +488,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "text_pii_scrub"   -> piiScrubSql,
     "text_bpe_merges"  -> bpeMergesSql,
+    "text_bpe_encode"  -> bpeEncodeSql,
     "text_lang_id"     -> langIdSql,
     "text_quality"     -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,

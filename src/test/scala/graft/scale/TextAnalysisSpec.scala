@@ -31,6 +31,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4) == (("x_y", "z", 1L)))
   }
 
+  test("BPE encode applies the fitted merges and reports compression") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-enc").toString
+    Seq(
+      (1L, "x y x y x y", "en", "web", 11L),
+      (2L, "x y z", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.bpeEncode(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getString(5)))).toMap
+    // after the 4 fitted merges (see the fit spec): doc1 " x_y_x_y x_y "
+    // doc2 " x_y_z " — encode replays them in order on the raw stream
+    assert(out(1L) == ((6, 2, 2, 0.333333, "x_y_x_y x_y")))
+    assert(out(2L) == ((3, 1, 1, 0.333333, "x_y_z")))
+  }
+
   test("PII scrub counts and redacts emails, IPs, and phone numbers") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-pii").toString
