@@ -789,7 +789,87 @@ object Similarity {
       |SELECT query_id, rank, vec_id AS neighbor_id, round(adist, 6) + 0 AS adist
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- k-means
+  /** K-MEANS FIT — the index-training step the IVF family assumes
+    * (`annIvfAssign` takes its centroid set as given): k=8, init =
+    * the first 8 vectors, 3 unrolled Lloyd iterations. Each iteration
+    * is (a) assignment — broadcast the 8 centroids, 64-term ascending-
+    * dimension squared-L2, rank-1 pick on (dist, cid), exactly the
+    * [[annIvfAssign]] plan — and (b) update — per-(cluster, dim) mean
+    * via posexplode + one hash aggregate, re-assembled into an array
+    * ordered by dim. Centroids are QUANTIZED to 6 decimals after every
+    * update, in the engine and the oracle alike: cross-engine mean
+    * summation order can differ in the last ulp, and an unquantized
+    * ulp would flip boundary assignments in the next iteration and
+    * diverge the whole fit. The fixed iteration count keeps the plan a
+    * static 3-deep chain (no driver-side convergence loop) — at 100 TB
+    * each iteration is one broadcast join + two shuffles over (cid,
+    * dim) rows, and the centroid table never leaves the executors.
+    * Output grain: (cid, dim, c, n_members) — the fitted codebook plus
+    * final cluster occupancy. */
+  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val dist = (0 until 64)
+      .map { d =>
+        val diff = element_at(col("v"), d + 1) - element_at(col("cv"), d + 1)
+        diff * diff
+      }.reduce(_ + _)
+    def assign(cents: DataFrame): DataFrame =
+      c.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+        .filter(col("rk") === 1)
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(round(avg(col("x")), 6).as("cx"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
+        .select(col("cid"), transform(col("s"), p => p("cx")).as("cv"))
+    val init = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val a3 = assign(update(assign(update(assign(init)))))
+    val counts = a3.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    update(a3)
+      .select(col("cid"), posexplode(col("cv")).as(Seq("d0", "c")))
+      .select(col("cid"), (col("d0") + 1).as("dim"), col("c"))
+      .join(broadcast(counts), "cid")
+  }
+
+  val kmeansFitSql: String = {
+    def assign(cents: String, tag: String): String =
+      s"""$tag AS (
+         |  SELECT vec_id, cid, v FROM (
+         |    SELECT e.vec_id, c.cid, e.v,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             list_sum(list_transform(list_zip(e.v, c.cv),
+         |                      p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rk
+         |    FROM e CROSS JOIN $cents c)
+         |  WHERE rk = 1)""".stripMargin
+    def update(assigned: String, tag: String): String =
+      s"""$tag AS (
+         |  SELECT cid, list(cx ORDER BY dim) AS cv FROM (
+         |    SELECT cid, i AS dim, round(avg(v[i]), 6) AS cx
+         |    FROM $assigned, unnest(generate_series(1, 64)) g(i)
+         |    GROUP BY cid, i)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("c2", "a3")},
+       |${update("a3", "c3")},
+       |nm AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid)
+       |SELECT c3.cid, CAST(g.i AS INT) AS dim, c3.cv[g.i] + 0 AS c, nm.n_members
+       |FROM c3, unnest(generate_series(1, 64)) g(i)
+       |JOIN nm ON nm.cid = c3.cid""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_fit"      -> (kmeansFit _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_pq_encode"   -> (annPqEncode _),
     "ann_pq_search"   -> (annPqSearch _),
@@ -803,6 +883,7 @@ object Similarity {
     "ts_similar_windows" -> (tsSimilarWindows _))
 
   def oracles: Map[String, String] = Map(
+    "kmeans_fit"      -> kmeansFitSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_pq_encode"   -> annPqEncodeSql,
     "ann_pq_search"   -> annPqSearchSql,
