@@ -868,8 +868,67 @@ object Similarity {
        |JOIN nm ON nm.cid = c3.cid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- int8 quantization
+  /** Scalar INT8 quantization of the embedding column — the storage
+    * format a 100 TB vector corpus actually ships (64 float32 dims →
+    * 64 bytes, 4×, composable with PQ's 32×): per-dimension [min, max]
+    * from one tiny stats aggregate (64 rows to the driver, the same
+    * fit-then-fold shape as the BPE/RFE loops), then
+    * `code_d = min(255, floor((x_d − min_d)/(max_d − min_d)·256))`
+    * folded into the row expression as EXACT literal constants — min/
+    * max are order-insensitive so both engines see bit-identical
+    * bounds, and floor (not round) sidesteps cross-engine half-up/
+    * half-even divergence. Midpoint reconstruction; output per vector:
+    * the code checksum plus ascending-dimension MSE and max-abs
+    * reconstruction error. Pure map stage — no join, no shuffle. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val stats = c.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    def codeCol(d: Int): Column = {
+      val (mn, mx) = stats(d)
+      if (mx == mn) lit(0L)
+      else least(lit(255L),
+        floor((element_at(col("v"), d + 1) - lit(mn)) / lit(mx - mn) * 256))
+    }
+    def errCol(d: Int): Column = {
+      val (mn, mx) = stats(d)
+      val rec = lit(mn) + (codeCol(d).cast("double") + 0.5) / 256.0 * lit(mx - mn)
+      element_at(col("v"), d + 1) - rec
+    }
+    val mse = (0 until 64).map(d => errCol(d) * errCol(d)).reduce(_ + _) / 64.0
+    val maxErr = greatest((0 until 64).map(d => abs(errCol(d))): _*)
+    val checksum = (0 until 64).map(codeCol).reduce(_ + _)
+    c.select(col("vec_id"), checksum.as("code_sum"),
+      round(mse, 6).as("mse"), round(maxErr, 6).as("max_err"))
+  }
+
+  val embQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |st AS (
+      |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      |  FROM e, unnest(generate_series(1, 64)) g(i) GROUP BY i),
+      |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+      |q AS (
+      |  SELECT e.vec_id,
+      |    list_transform(generate_series(1, 64), i ->
+      |      CASE WHEN mxs[i] = mns[i] THEN 0
+      |           ELSE least(255, floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 256))::BIGINT
+      |      END) AS codes,
+      |    list_transform(generate_series(1, 64), i ->
+      |      v[i] - (mns[i] + (CASE WHEN mxs[i] = mns[i] THEN 0
+      |                             ELSE least(255, floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 256))::BIGINT
+      |                        END + 0.5) / 256.0 * (mxs[i] - mns[i]))) AS errs
+      |  FROM e, mm)
+      |SELECT vec_id, list_sum(codes)::BIGINT AS code_sum,
+      |  round(list_sum(list_transform(errs, x -> x * x)) / 64.0, 6) + 0 AS mse,
+      |  round(list_max(list_transform(errs, x -> abs(x))), 6) + 0 AS max_err
+      |FROM q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_fit"      -> (kmeansFit _),
+    "emb_quantize"    -> (embQuantize _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_pq_encode"   -> (annPqEncode _),
     "ann_pq_search"   -> (annPqSearch _),
@@ -884,6 +943,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "kmeans_fit"      -> kmeansFitSql,
+    "emb_quantize"    -> embQuantizeSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_pq_encode"   -> annPqEncodeSql,
     "ann_pq_search"   -> annPqSearchSql,
