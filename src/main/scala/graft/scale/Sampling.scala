@@ -396,7 +396,44 @@ object Sampling {
        |    round(least(1.0, exp(log_ratio)), 6) AS sampled
        |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------- shard manifest
+  /** SHARD WRITER MANIFEST — the artifact a training job consumes: docs
+    * assigned to 16 shards by a pure key hash (idempotent backfills,
+    * resumable writes, every re-run and every engine lands each doc in
+    * the same shard — the property a 100 TB shard layout cannot live
+    * without), one manifest row per shard with occupancy (docs, chars,
+    * whitespace tokens), the doc_id range, and an ORDER-FREE integer
+    * content checksum (sum of per-doc md5 prefixes) so a reader can
+    * audit a shard without rescanning text. One map stage + one 16-group
+    * aggregate; at scale this IS the write plan — `partitionBy(shard)`
+    * with the manifest as the job's side output. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("shard", hashBucket(col("doc_id")) % 16)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(toks).cast("long")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+  }
+
+  val shardManifestSql: String =
+    s"""SELECT ($hashBucketSql) % 16 AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(len(${Dedup.tokensSql})) AS BIGINT) AS total_tokens,
+       |  min(doc_id) AS min_doc_id,
+       |  max(doc_id) AS max_doc_id,
+       |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum
+       |FROM documents GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_manifest"    -> (shardManifest _),
     "sample_dsir"       -> (sampleDsir _),
     "split_train_val"   -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
@@ -409,6 +446,7 @@ object Sampling {
     "pairs_contrastive" -> (pairsContrastive _))
 
   def oracles: Map[String, String] = Map(
+    "shard_manifest"    -> shardManifestSql,
     "sample_dsir"       -> sampleDsirSql,
     "split_train_val"   -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
