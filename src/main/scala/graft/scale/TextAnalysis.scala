@@ -265,6 +265,45 @@ object TextAnalysis {
        |       round(sum(oov) * 1.0 / count(*), 6) + 0 AS oov_rate
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- bigram LM
+  /** Bigram language-model scoring — one order up from [[unigramNll]]:
+    * fit P(r|l) = c(l,r)/c(l·) on the corpus (two count aggregates,
+    * both vocab- not corpus-sized, so both broadcast at any scale),
+    * score every doc by mean bigram negative-log-likelihood and its
+    * perplexity. A doc whose TOKENS are plausible but whose TRANSITIONS
+    * are not (shuffled text, keyword stuffing, template spam) scores
+    * high here while passing the unigram filter — the reason curation
+    * stacks both. Perplexity exponentiates the 6-dp-rounded mean so the
+    * oracle reproduces it bit-for-bit. */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "l")))
+      .withColumn("r", lead(col("l"), 1).over(w))
+      .filter(col("r").isNotNull)
+    val uni = bg.groupBy(col("l")).agg(count(lit(1)).as("cl"))
+    val bic = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("clr"))
+    bg.join(broadcast(bic), Seq("l", "r")).join(broadcast(uni), Seq("l"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("clr") / col("cl"))), 6).as("mean_nll"))
+      .withColumn("ppl", round(exp(col("mean_nll")), 6))
+  }
+
+  val bigramNllSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |bg AS (
+       |  SELECT doc_id, ts[i] AS l, ts[i + 1] AS r
+       |  FROM t, unnest(generate_series(1, len(ts) - 1)) g(i)),
+       |uni AS (SELECT l, count(*) AS cl FROM bg GROUP BY l),
+       |bic AS (SELECT l, r, count(*) AS clr FROM bg GROUP BY l, r)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(-ln(clr * 1.0 / cl)), 6) + 0 AS mean_nll,
+       |  round(exp(round(avg(-ln(clr * 1.0 / cl)), 6)), 6) + 0 AS ppl
+       |FROM bg JOIN bic USING (l, r) JOIN uni USING (l)
+       |GROUP BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- unigram LM
   /** Unigram language-model scoring — the simplified CCNet-style LM
     * filter: fit P(token) on the corpus itself (one count aggregate),
@@ -483,6 +522,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_vocab_oov"   -> (vocabOov _),
     "text_unigram_nll" -> (unigramNll _),
+    "text_bigram_nll"  -> (bigramNll _),
     "text_quality_adaptive" -> (qualityAdaptive _))
 
   def oracles: Map[String, String] = Map(
@@ -495,5 +535,6 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprintSql,
     "text_vocab_oov"   -> vocabOovSql,
     "text_unigram_nll" -> unigramNllSql,
+    "text_bigram_nll"  -> bigramNllSql,
     "text_quality_adaptive" -> qualityAdaptiveSql)
 }
