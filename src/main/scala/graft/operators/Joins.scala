@@ -159,7 +159,110 @@ object Joins {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- as-of join
+  /** J6 — AS-OF JOIN: every tick picks the most recent hourly bar open
+    * at or before its timestamp, per key — the reference's
+    * enrich-tick-with-last-indicator lookup generalized to the operator
+    * Spark famously lacks. Implemented the Spark-native way: UNION the
+    * two streams with a kind tag (bar=0, tick=1 — a bar AT the tick's
+    * instant is visible to it), one `last(_, ignoreNulls)` running
+    * window per key over (ts, kind), then keep the tick rows. One
+    * shuffle on the key, zero join fan-out, no per-key state — at
+    * 100 TB this is strictly cheaper than the windowed equi-join
+    * rewrite (no duplicate-bucket explosion) and never materializes a
+    * pair that loses the as-of race. Staleness is microsecond-exact
+    * (`unix_micros`), matching DuckDB's `epoch_us`. */
+  def j6AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("value"),
+        lit(null).cast("double").as("bar_open"))
+    val bars = Tables.candles(spark, dir)
+      .select(col("user_id"), col("bucket").as("ts"), lit(0).as("kind"),
+        lit(null).cast("double").as("value"), col("open").as("bar_open"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ticks.unionByName(bars)
+      .withColumn("last_open", last(col("bar_open"), ignoreNulls = true).over(w))
+      .withColumn("last_bar_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("ts"), col("value"),
+        col("last_open").as("bar_open"),
+        (unix_micros(col("ts")) - unix_micros(col("last_bar_ts"))).as("staleness_us"))
+  }
+
+  val j6Sql: String =
+    Tables.candlesSql + """,
+      |merged AS (
+      |  SELECT user_id, ts, 1 AS kind, value, NULL::DOUBLE AS bar_open
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, bucket, 0, NULL, open FROM candles),
+      |f AS (
+      |  SELECT user_id, ts, kind, value,
+      |    last_value(bar_open IGNORE NULLS) OVER wj6 AS last_open,
+      |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER wj6 AS last_bar_ts
+      |  FROM merged
+      |  WINDOW wj6 AS (PARTITION BY user_id ORDER BY ts, kind
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, ts, value, last_open AS bar_open,
+      |       epoch_us(ts) - epoch_us(last_bar_ts) AS staleness_us
+      |FROM f WHERE kind = 1""".stripMargin
+
+  // ---------------------------------------------------------------- range join
+  /** J7 — RANGE (interval) JOIN: events falling inside each volatile
+    * window — per key, days whose value range exceeds 100 open a
+    * 6-hour interval from the day's first event, and every event with
+    * `start ≤ ts ≤ end` lands in it. A naive theta-join is O(events ×
+    * intervals) — Spark would nested-loop it; instead each interval
+    * EXPLODES into its ≤7 covering hour buckets and the join is an
+    * EQUI join on (key, hour bucket) + residual range filter: the
+    * standard banding rewrite that turns an unbounded cross product
+    * into bounded fan-out (intervals × 7 rows), shuffle-partitioned by
+    * the same key as the events. Intervals are per (key, day) and 6 h
+    * < 24 h, so they never overlap and no post-join dedup is needed.
+    * Output: per-interval occupancy census. */
+  def j7RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val iv = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(col("ts")).as("start_ts"),
+        (max(col("value")) - min(col("value"))).as("rng"))
+      .filter(col("rng") > 100)
+      .select(col("user_id"), col("start_ts"),
+        (col("start_ts") + expr("INTERVAL 6 HOURS")).as("end_ts"))
+    val ivBuckets = iv.withColumn("hb",
+      explode(sequence(date_trunc("hour", col("start_ts")),
+        date_trunc("hour", col("end_ts")), expr("INTERVAL 1 HOUR"))))
+    ev.withColumn("hb", date_trunc("hour", col("ts")))
+      .join(ivBuckets, Seq("user_id", "hb"))
+      .filter(col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .groupBy(col("user_id"), col("start_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+  }
+
+  val j7Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |         min(ts) AS start_ts, max(value) - min(value) AS rng
+      |  FROM events GROUP BY 1, 2),
+      |iv AS (
+      |  SELECT user_id, start_ts, start_ts + INTERVAL 6 HOUR AS end_ts
+      |  FROM daily WHERE rng > 100)
+      |SELECT e.user_id, i.start_ts, count(*) AS n_events,
+      |       round(avg(e.value), 6) + 0 AS avg_value,
+      |       min(e.ts) AS first_ts, max(e.ts) AS last_ts
+      |FROM events e JOIN iv i
+      |  ON e.user_id = i.user_id AND e.ts >= i.start_ts AND e.ts <= i.end_ts
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j7_range_join"  -> (j7RangeJoin _),
+    "j6_asof_join"   -> (j6AsofJoin _),
     "j5_skew_salted" -> (j5SkewSalted _),
     "j1_enrich_join" -> (j1Enrich _),
     "j2_anti_join"   -> (j2Anti _),
@@ -168,6 +271,8 @@ object Joins {
     "u3_union_current" -> (u3UnionCurrent _))
 
   def oracles: Map[String, String] = Map(
+    "j7_range_join"  -> j7Sql,
+    "j6_asof_join"   -> j6Sql,
     "j5_skew_salted" -> j5Sql,
     "j1_enrich_join" -> j1Sql,
     "j2_anti_join"   -> j2Sql,
