@@ -17,6 +17,7 @@ object SparkEntry {
       operators.EmaFamily.queries ++
       operators.QualityOps.queries ++
       operators.Pipeline.queries ++
+      operators.Sessions.queries ++
       analysis.Stateful.queries ++
       scale.Dedup.queries ++
       scale.Similarity.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       operators.EmaFamily.oracles ++
       operators.QualityOps.oracles ++
       operators.Pipeline.oracles ++
+      operators.Sessions.oracles ++
       analysis.Stateful.oracles ++
       scale.Dedup.oracles ++
       scale.Similarity.oracles ++

@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators — the standard clickstream suite a lakehouse
+  * engine is expected to ship alongside the reference's time-series surface
+  * (the reference's stream channels are per-client event feeds,
+  * `app/services/websocket_manager.py:200-267`; these are the batch
+  * analytics those feeds imply): sessionization, ordered funnels, cohort
+  * retention, a pivoted activity matrix, CUBE totals, and an SCD2
+  * dimension-history build.
+  *
+  * Scale shape: every query here shuffles at most once on `user_id` (or
+  * the group key) — sessionization uses Spark's native `session_window`
+  * aggregate (state-store-backed in streaming, sort-merge in batch), the
+  * funnel and cohort passes reuse one per-user window exchange, and the
+  * pivot pins its column set so Catalyst emits a single-pass aggregate
+  * with no distinct-values pre-job.
+  */
+object Sessions {
+
+  // ------------------------------------------------------------ sessionize
+  /** Sessionization via `session_window(ts, gap)` — the Spark-native
+    * operator: a session ends only after MORE than 12 h of inactivity
+    * (the merge bound is inclusive — see SessionsSpec); end = last
+    * ts + gap.
+    * Identical semantics to the streaming form with a watermark, so this
+    * one definition serves batch backfill and the live channel. One
+    * shuffle on user_id; session merging is per-key and never compares
+    * events across keys. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"), col("duration_us"))
+
+  /** Gaps-and-islands oracle: break only when the inter-event gap EXCEEDS
+    * 12 h — session_window's merge bound is inclusive (an event exactly
+    * gap after the previous one still merges; pinned in SessionsSpec).
+    * Island id = running sum of breaks, session_end = last ts + gap. */
+  val sessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id,
+      |       min(ts) AS session_start,
+      |       max(ts) + INTERVAL 12 HOUR AS session_end,
+      |       count(*) AS n_events,
+      |       round(sum(value), 6) + 0 AS sum_value,
+      |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  // ---------------------------------------------------------------- funnel
+  /** Ordered funnel view → click → purchase: each step must occur STRICTLY
+    * after the user's first completion of the previous step. Running
+    * per-user `min(when(...))` windows carry the first-view and first-
+    * qualified-click timestamps forward, so the whole funnel is two window
+    * passes over one user_id exchange and a final 3-row rollup — no
+    * self-joins (the naive per-step join chain is k−1 shuffles and
+    * explodes on users with many events). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val s1 = Tables.events(spark, dir)
+      .withColumn("cv", min(when(col("event_type") === "view", col("ts"))).over(run))
+    val s2 = s1.withColumn("ck",
+      min(when(col("event_type") === "click" && col("cv") < col("ts"), col("ts"))).over(run))
+    val perUser = s2.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("s_view"),
+      max(when(col("event_type") === "click" && col("cv") < col("ts"), 1).otherwise(0)).as("s_click"),
+      max(when(col("event_type") === "purchase" && col("ck") < col("ts"), 1).otherwise(0)).as("s_purchase"))
+    val steps = perUser.agg(
+      sum(col("s_view")).as("n_view"),
+      sum(col("s_click")).as("n_click"),
+      sum(col("s_purchase")).as("n_purchase"))
+    steps.select(expr(
+      "stack(3, 1, 'view', n_view, 2, 'click', n_click, 3, 'purchase', n_purchase) " +
+        "AS (step, step_name, n_users)"))
+      .withColumn("pct_of_first",
+        round(col("n_users") / first(col("n_users")).over(
+          Window.orderBy(col("step")).rowsBetween(Window.unboundedPreceding, 0)), 6))
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS cv
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND cv < ts THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS ck
+      |  FROM s1),
+      |u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view,
+      |    max(CASE WHEN event_type = 'click' AND cv < ts THEN 1 ELSE 0 END) AS s_click,
+      |    max(CASE WHEN event_type = 'purchase' AND ck < ts THEN 1 ELSE 0 END) AS s_purchase
+      |  FROM s2 GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(s_view) AS BIGINT) AS n_view,
+      |         CAST(sum(s_click) AS BIGINT) AS n_click,
+      |         CAST(sum(s_purchase) AS BIGINT) AS n_purchase
+      |  FROM u),
+      |f AS (
+      |  SELECT 1 AS step, 'view' AS step_name, n_view AS n_users FROM t
+      |  UNION ALL SELECT 2, 'click', n_click FROM t
+      |  UNION ALL SELECT 3, 'purchase', n_purchase FROM t)
+      |SELECT step, step_name, n_users,
+      |       round(n_users / first_value(n_users) OVER
+      |         (ORDER BY step ROWS UNBOUNDED PRECEDING), 6) + 0 AS pct_of_first
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------------ cohort retention
+  /** Weekly cohort-retention matrix: cohort = Monday of each user's first
+    * event week, offset = whole weeks since first DAY, cell = distinct
+    * active users. `first_ts` comes from a running window min on the SAME
+    * user_id exchange the other event queries use — no join against a
+    * first-seen table (the join would shuffle the fact twice at 100 TB). */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .withColumn("first_ts", min(col("ts")).over(wAll))
+      .select(
+        date_trunc("week", col("first_ts")).as("cohort_week"),
+        floor(datediff(to_date(col("ts")), to_date(col("first_ts"))) / 7).as("week_offset"),
+        col("user_id"), col("event_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val retentionSql: String =
+    """WITH f AS (
+      |  SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events)
+      |SELECT date_trunc('week', first_ts) AS cohort_week,
+      |       date_diff('day', first_ts::DATE, ts::DATE) // 7 AS week_offset,
+      |       count(DISTINCT user_id) AS n_users,
+      |       count(*) AS n_events
+      |FROM f GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------- pivot
+  /** Daily activity matrix: one row per day, one count column per event
+    * type. The pivot values are PINNED (`Seq("click",...)`) so Catalyst
+    * plans a single-pass pivot aggregate — an unpinned pivot first runs a
+    * distinct-values job over the whole table, a hidden extra scan at
+    * 100 TB (and nondeterministic columns if a new type appears). */
+  def pivotDailyMix(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .select(col("day") +: types.map(t => col(t).as(s"n_$t")): _*)
+  }
+
+  val pivotSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  count(*) FILTER (event_type = 'click')    AS n_click,
+      |  count(*) FILTER (event_type = 'error')    AS n_error,
+      |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (event_type = 'signup')   AS n_signup,
+      |  count(*) FILTER (event_type = 'view')     AS n_view
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------ cube
+  /** CUBE over (lang, source) on documents — all four grouping-set
+    * combinations in ONE pass (Catalyst's Expand: 4× row replication into
+    * the same hash aggregate, vs 4 scans for the UNION rewrite).
+    * `grouping()` flags disambiguate real NULLs from subtotal rows;
+    * labels are coalesced so the report schema is non-null. Companion to
+    * `a5_rollup` (time hierarchy) — this is the ad-hoc-slice flavor. */
+  def cubeDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("source")).as("g_source"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("g_lang"), col("g_source"), col("n_docs"), col("sum_chars"))
+
+  val cubeSql: String =
+    """SELECT coalesce(lang, '(all)') AS lang,
+      |       coalesce(source, '(all)') AS source,
+      |       GROUPING(lang) AS g_lang, GROUPING(source) AS g_source,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE(lang, source)""".stripMargin
+
+  // ------------------------------------------------------------------ scd2
+  /** SCD2 dimension-history build: each user's tier (value band at their
+    * `signup` events) becomes validity intervals [eff_from, eff_to) with
+    * an is_current flag — the change-data-capture → dimension-table
+    * compaction every warehouse runs. Change detection (`tier ≠ lag`)
+    * and interval close (`lead`) are two windows on one user_id exchange;
+    * consecutive same-tier records compact away, so output size is the
+    * number of CHANGES, not events. eff_to is epoch-µs (NULL for open
+    * intervals) to keep the report schema join-friendly. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val tiers = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .withColumn("tier",
+        when(col("value") < 50, "bronze")
+          .when(col("value") < 150, "silver")
+          .otherwise("gold"))
+    val changes = tiers
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+    changes
+      .withColumn("eff_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("tier"),
+        col("ts").as("eff_from"),
+        unix_micros(col("eff_to")).as("eff_to_us"),
+        col("eff_to").isNull.as("is_current"))
+  }
+
+  val scd2Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN value < 50 THEN 'bronze'
+      |         WHEN value < 150 THEN 'silver' ELSE 'gold' END AS tier
+      |  FROM events WHERE event_type = 'signup'),
+      |c AS (
+      |  SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev_tier
+      |  FROM t),
+      |ch AS (
+      |  SELECT user_id, ts, tier FROM c
+      |  WHERE prev_tier IS NULL OR prev_tier <> tier)
+      |SELECT user_id, tier, ts AS eff_from,
+      |       epoch_us(lead(ts) OVER w) AS eff_to_us,
+      |       lead(ts) OVER w IS NULL AS is_current
+      |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sess_sessionize"   -> (sessionize _),
+    "sess_funnel"       -> (funnel _),
+    "retention_cohorts" -> (retentionCohorts _),
+    "pivot_daily_mix"   -> (pivotDailyMix _),
+    "cube_docs"         -> (cubeDocs _),
+    "scd2_history"      -> (scd2History _))
+
+  def oracles: Map[String, String] = Map(
+    "sess_sessionize"   -> sessionizeSql,
+    "sess_funnel"       -> funnelSql,
+    "retention_cohorts" -> retentionSql,
+    "pivot_daily_mix"   -> pivotSql,
+    "cube_docs"         -> cubeSql,
+    "scd2_history"      -> scd2Sql)
+}
