@@ -314,7 +314,58 @@ object Aggregations {
       |       max(bucket) AS last_seen
       |FROM s WHERE detected GROUP BY pattern""".stripMargin
 
+  /** Incremental rollup maintenance — the 100 TB pattern for keeping a
+    * daily stats table fresh WITHOUT rescanning history: store mergeable
+    * partials (count, sum, sum-of-squares, min, max), then fold each new
+    * batch in by re-aggregating state ∪ delta on the group key. Here the
+    * table splits at a cutoff into "stored state" and "today's delta",
+    * the two partial sets union-merge (a shuffle over days × types — the
+    * STATE size, not the event count), and the report derives avg/std
+    * from merged moments. The oracle aggregates the raw table directly,
+    * so the hash match IS the proof that merge ≡ full recompute (the
+    * invariant that makes sum/count/min/max/M2 "algebraic" aggregates
+    * safe to maintain incrementally; avg/std stay derived, never stored).
+    */
+  def rollupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-25").cast("timestamp")
+    val ev = Tables.events(spark, dir)
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("s"),
+        sum(col("value") * col("value")).as("s2"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+    val state = partials(ev.filter(col("ts") < cutoff))  // yesterday's rollup
+    val delta = partials(ev.filter(col("ts") >= cutoff)) // today's increment
+    state.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("s2")).as("s2"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("s") / col("n"), 6).as("avg_value"),
+        round(col("mn"), 6).as("min_value"),
+        round(col("mx"), 6).as("max_value"),
+        when(col("n") > 1,
+          round(sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1)), 6))
+          .as("std_value"))
+  }
+
+  val rollupIncrementalSql: String =
+    """WITH p AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type,
+      |         count(*) AS n, sum(value) AS s, sum(value * value) AS s2,
+      |         min(value) AS mn, max(value) AS mx
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n,
+      |  round(s / n, 6) + 0 AS avg_value,
+      |  round(mn, 6) + 0 AS min_value,
+      |  round(mx, 6) + 0 AS max_value,
+      |  CASE WHEN n > 1 THEN round(sqrt((s2 - s * s / n) / (n - 1)), 6) + 0 END AS std_value
+      |FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rollup_incremental"  -> (rollupIncremental _),
     "a1_stats"            -> (a1Stats _),
     "a2_group_counts"     -> (a2GroupCounts _),
     "a3_docs_by_lang"     -> (a3DocsByLang _),
@@ -330,6 +381,7 @@ object Aggregations {
     "a5_rollup"           -> (a5Rollup _))
 
   def oracles: Map[String, String] = Map(
+    "rollup_incremental"  -> rollupIncrementalSql,
     "a1_stats"            -> a1Sql,
     "a2_group_counts"     -> a2Sql,
     "a3_docs_by_lang"     -> a3Sql,

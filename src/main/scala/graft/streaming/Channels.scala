@@ -250,6 +250,43 @@ object Channels {
       (sin(col("value") / 3.0) * 0.5).as("surprise"),
       concat(lit("EVT"), col("value")).as("event_id"))
 
+  /** Stream-stream interval join — the Structured Streaming capability
+    * the channel suite still lacked: each high-impact economic event
+    * joins every tick in the 2 minutes AFTER it, measuring post-event
+    * price drift per symbol (the reference pushes both feeds to clients
+    * and leaves correlation to them; a real engine does it in-stream).
+    * BOTH sides are watermarked and the join predicate bounds the tick
+    * time from both ends relative to the event time — the two conditions
+    * Spark needs to size the join state and EXPIRE rows as the watermark
+    * advances (an unbounded stream-stream join never GCs its buffers).
+    * Spark additionally requires an EQUALITY predicate, so the interval
+    * condition gets the same banding rewrite as the batch range join
+    * (`Joins.j7RangeJoin`): both sides carry a 2-minute time band, the
+    * event side explodes into its ≤2 covering bands, and the join is an
+    * equi join on the band plus the residual range filter. State at
+    * scale = 2 minutes of ticks + 2 minutes of events per band
+    * partition, independent of stream length. */
+  def eventImpactStream(ticks: DataFrame, econ: DataFrame): DataFrame = {
+    def band(c: org.apache.spark.sql.Column) =
+      timestamp_seconds((unix_seconds(c) / 120).cast("long") * 120)
+    val t = ticks.withWatermark("ts", "2 minutes")
+      .select(col("ts").as("tick_ts"), col("symbol"), col("mid"),
+        band(col("ts")).as("band"))
+    val e = econ.withWatermark("ts", "2 minutes")
+      .filter(col("impact") === "high")
+      .select(col("ts").as("event_ts"), col("event_id"),
+        col("event_type").as("econ_type"), col("surprise"),
+        explode(array(band(col("ts")),
+          band(col("ts")) + expr("INTERVAL 2 MINUTES"))).as("band"))
+    t.join(e,
+        t("band") === e("band") &&
+        col("tick_ts") >= col("event_ts") &&
+        col("tick_ts") <= col("event_ts") + expr("INTERVAL 2 MINUTES"))
+      .select(col("event_id"), col("econ_type"), col("surprise"),
+        col("symbol"), col("tick_ts"), col("mid"),
+        (unix_millis(col("tick_ts")) - unix_millis(col("event_ts"))).as("ms_after_event"))
+  }
+
   /** K6/T2/T9 — broadcast sink with ring-buffer retention
     * (`websocket_manager.py:565-597`, buffer `:249-252`): `foreachBatch`
     * envelopes each row (channel, sequence, emit latency) and appends to

@@ -274,4 +274,42 @@ class ChannelsSpec extends SparkSpec {
       Seq("high", "low", "medium"))
     ev.foreach(r => assert(math.abs(r.getDouble(3)) <= 0.5))
   }
+
+  test("stream-stream interval join: each high-impact event collects exactly the ticks in its 2-minute window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tickMem = MemoryStream[(java.sql.Timestamp, Long)]
+    val econMem = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = Channels.eventImpactStream(
+      Channels.decorateTicks(tickMem.toDF().toDF("timestamp", "value")),
+      Channels.decorateEconomicEvents(econMem.toDF().toDF("timestamp", "value")))
+    val q = joined.writeStream.format("memory").queryName("impact_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one tick per second for 5 minutes; events at t=0s..11s (mixed impact)
+      tickMem.addData((0L until 300L).map(i => (ts(i), i)): _*)
+      econMem.addData((0L until 12L).map(i => (ts(i), i)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("impact_t").collect()
+      // expected: per high-impact event, ticks in [event_ts, event_ts+120s]
+      val evs = Channels.decorateEconomicEvents(
+        (0L until 12L).map(i => (ts(i), i)).toDF("timestamp", "value"))
+        .filter(col("impact") === "high").select("event_id", "ts").collect()
+      assert(evs.nonEmpty)
+      val expected = evs.map { e =>
+        val et = e.getTimestamp(1).getTime
+        val n = (0L until 300L).count { i =>
+          val tt = ts(i).getTime; tt >= et && tt <= et + 120000
+        }
+        e.getString(0) -> n
+      }.toMap
+      val actual = rows.groupBy(_.getString(0)).map { case (k, v) => k -> v.length }
+      assert(actual == expected, s"actual=$actual expected=$expected")
+      // drift bounds: every joined tick is within [0, 120s] after its event
+      rows.foreach { r =>
+        val ms = r.getLong(6)
+        assert(ms >= 0 && ms <= 120000)
+      }
+    } finally q.stop()
+  }
 }
