@@ -432,7 +432,114 @@ object Sampling {
        |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum
        |FROM documents GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- rolling-origin CV folds
+  /** Rolling-origin cross-validation folds — the time-series-safe CV a
+    * backtest/forecast pipeline needs (random K-fold leaks the future
+    * into training): fold k trains on everything before boundary B_k and
+    * tests on the following 5 days, boundaries advancing 5 days per
+    * fold. The 4-row fold table broadcasts; events fan out to at most
+    * the folds whose test window hasn't closed (bounded ×4, one scan,
+    * no shuffle beyond the final 8-group rollup). Census per
+    * (fold, role) so the split is auditable — row counts, user reach,
+    * and the time extents that PROVE train < test temporally. */
+  def splitTimeFolds(spark: SparkSession, dir: String): DataFrame = {
+    val folds = spark.range(1, 5).select(col("id").as("fold"),
+      expr("timestampadd(DAY, (id - 1) * 5, TIMESTAMP '2024-01-10')").as("b"))
+    Tables.events(spark, dir)
+      .join(broadcast(folds), col("ts") < col("b") + expr("INTERVAL 5 DAYS"))
+      .select(col("fold"),
+        when(col("ts") < col("b"), "train").otherwise("test").as("role"),
+        col("user_id"), col("ts"))
+      .groupBy(col("fold"), col("role"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"))
+  }
+
+  val splitTimeFoldsSql: String =
+    """WITH folds AS (
+      |  SELECT * FROM (VALUES
+      |    (1, TIMESTAMP '2024-01-10'), (2, TIMESTAMP '2024-01-15'),
+      |    (3, TIMESTAMP '2024-01-20'), (4, TIMESTAMP '2024-01-25')) AS t(fold, b)),
+      |a AS (
+      |  SELECT fold, CASE WHEN ts < b THEN 'train' ELSE 'test' END AS role,
+      |         user_id, ts
+      |  FROM events JOIN folds ON ts < b + INTERVAL 5 DAY)
+      |SELECT fold, role, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       min(ts) AS ts_min, max(ts) AS ts_max
+      |FROM a GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------- drift detection
+  /** Feature-drift detection via Population Stability Index, per
+    * event_type: decile edges fit on the REFERENCE window (first half of
+    * the month, exact `percentile` ≙ DuckDB `quantile_cont` — at 100 TB
+    * swap for `percentile_approx`), both windows binned on those edges
+    * in ONE scan (side flag, no second pass), PSI = Σ (p_cur − p_ref) ·
+    * ln(p_cur / p_ref) over the 10 bins with ε-smoothing so empty bins
+    * don't blow up. The fit result is 5 rows × 9 edges — broadcast back
+    * over the fact scan, the standard fit-then-apply shape. PSI > 0.2 is
+    * the conventional retrain trigger; the oracle pins the whole
+    * numeric pipeline, not just the verdict. */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        when(col("ts") < cut, "ref").otherwise("cur").as("side"))
+    val edges = ev.filter(col("side") === "ref")
+      .groupBy(col("event_type"))
+      .agg((1 to 9).map(k => expr(s"percentile(value, 0.$k)").as(s"e$k")): _*)
+    val bin = (1 to 9).map(k =>
+      when(col("value") > col(s"e$k"), 1).otherwise(0)).reduce(_ + _)
+    val perBin = ev.join(broadcast(edges), "event_type")
+      .withColumn("bin", bin)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val pr = (col("n_ref") + lit(1e-6)) / (col("tr") + lit(1e-5))
+    val pc = (col("n_cur") + lit(1e-6)) / (col("tc") + lit(1e-5))
+    perBin
+      .withColumn("tr", sum(col("n_ref")).over(wt))
+      .withColumn("tc", sum(col("n_cur")).over(wt))
+      .withColumn("term", (pc - pr) * log(pc / pr))
+      .groupBy(col("event_type"))
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        round(sum(col("term")), 6).as("psi"))
+  }
+
+  val driftPsiSql: String = {
+    val edgeAggs = (1 to 9).map(k => s"quantile_cont(value, 0.$k) AS e$k").mkString(", ")
+    val binExpr = (1 to 9).map(k => s"(value > e$k)::INT").mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS side
+       |  FROM events),
+       |edges AS (
+       |  SELECT event_type, $edgeAggs
+       |  FROM ev WHERE side = 'ref' GROUP BY event_type),
+       |b AS (
+       |  SELECT ev.event_type, side, $binExpr AS bin
+       |  FROM ev JOIN edges USING (event_type)),
+       |c AS (
+       |  SELECT event_type, bin,
+       |         CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |         CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM b GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *, CAST(sum(n_ref) OVER (PARTITION BY event_type) AS BIGINT) AS tr,
+       |            CAST(sum(n_cur) OVER (PARTITION BY event_type) AS BIGINT) AS tc
+       |  FROM c)
+       |SELECT event_type, max(tr) AS n_ref, max(tc) AS n_cur,
+       |       round(sum(((n_cur + 1e-6) / (tc + 1e-5) - (n_ref + 1e-6) / (tr + 1e-5))
+       |             * ln(((n_cur + 1e-6) / (tc + 1e-5)) / ((n_ref + 1e-6) / (tr + 1e-5)))), 6) + 0 AS psi
+       |FROM t GROUP BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_time_folds"  -> (splitTimeFolds _),
+    "drift_psi"         -> (driftPsi _),
     "shard_manifest"    -> (shardManifest _),
     "sample_dsir"       -> (sampleDsir _),
     "split_train_val"   -> (splitTrainVal _),
@@ -446,6 +553,8 @@ object Sampling {
     "pairs_contrastive" -> (pairsContrastive _))
 
   def oracles: Map[String, String] = Map(
+    "split_time_folds"  -> splitTimeFoldsSql,
+    "drift_psi"         -> driftPsiSql,
     "shard_manifest"    -> shardManifestSql,
     "sample_dsir"       -> sampleDsirSql,
     "split_train_val"   -> splitTrainValSql,
