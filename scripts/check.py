@@ -44,6 +44,12 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    # a requested name missing from oracle_sql.json is a FAILURE, not a
+    # silent skip — a stale dump (e.g. after a compile error) would
+    # otherwise report "0 failed" for queries that were never checked
+    for name in sorted(only - set(oracle)):
+        failures.append(name)
+        print(f"FAIL {name}: not in oracle_sql.json (stale Verify dump?)")
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue

@@ -487,9 +487,10 @@ object Sampling {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value"),
         when(col("ts") < cut, "ref").otherwise("cur").as("side"))
+    val edgeCols = (1 to 9).map(k => expr(s"percentile(value, 0.$k)").as(s"e$k"))
     val edges = ev.filter(col("side") === "ref")
       .groupBy(col("event_type"))
-      .agg((1 to 9).map(k => expr(s"percentile(value, 0.$k)").as(s"e$k")): _*)
+      .agg(edgeCols.head, edgeCols.tail: _*)
     val bin = (1 to 9).map(k =>
       when(col("value") > col(s"e$k"), 1).otherwise(0)).reduce(_ + _)
     val perBin = ev.join(broadcast(edges), "event_type")
