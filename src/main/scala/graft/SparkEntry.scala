@@ -26,6 +26,7 @@ object SparkEntry {
       scale.Sketches.queries ++
       scale.Sampling.queries ++
       scale.Profile.queries ++
+      scale.Ranking.queries ++
       scale.Curation.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       scale.Sketches.oracles ++
       scale.Sampling.oracles ++
       scale.Profile.oracles ++
+      scale.Ranking.oracles ++
       scale.Curation.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++

@@ -32,8 +32,15 @@ object Sessions {
     * shuffle on user_id; session merging is per-key and never compares
     * events across keys. */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+    sessionAggregate(Tables.events(spark, dir), "12 hours")
+
+  /** The session aggregation itself, shared VERBATIM by the batch query
+    * above and the streaming form (pass a watermarked streaming frame —
+    * `SessionStreamSpec` pins that both paths emit identical sessions):
+    * one declarative plan, two execution modes. */
+  def sessionAggregate(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 6).as("sum_value"),
@@ -250,13 +257,111 @@ object Sessions {
       |       lead(ts) OVER w IS NULL AS is_current
       |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
 
+  // ----------------------------------------------------------- path mining
+  /** Top-10 event trigram paths: the per-user ordered lead×2 sequence
+    * assembly (one user_id window exchange, the same one the funnel uses)
+    * followed by a global count + top-k. Ordering within a user is
+    * (ts, event_id) so simultaneous events can't flip paths between runs
+    * or engines. At 100 TB the trigram table is the only shuffle after
+    * the window and is bounded by |event_type|³ distinct keys. */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  val pathTrigramsSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM s WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------ attribution
+  /** Multi-touch attribution: each purchase is a conversion; the touches
+    * (view/click/signup) since the user's previous purchase share its
+    * credit under four standard models — first-touch, last-touch, linear,
+    * and position-based (40/20/40). Conversion grouping is a REVERSE
+    * running count of purchases (`rows current→unbounded following`) on
+    * the per-user exchange: every row with the same (user, conv_after≥1)
+    * belongs to the purchase that closes the group — no self-join against
+    * a conversions table, which would shuffle the event stream twice. */
+  def attrTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val after = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val touches = Tables.events(spark, dir)
+      .withColumn("conv_after",
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(after))
+      .filter(col("event_type").isin("view", "click", "signup") && col("conv_after") >= 1)
+    val grp = Window.partitionBy(col("user_id"), col("conv_after"))
+    val grpOrd = grp.orderBy(col("ts"), col("event_id"))
+    touches
+      .withColumn("pos", row_number().over(grpOrd))
+      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("first_credit", when(col("pos") === 1, 1.0).otherwise(0.0))
+      .withColumn("last_credit", when(col("pos") === col("n"), 1.0).otherwise(0.0))
+      .withColumn("linear_credit", lit(1.0) / col("n"))
+      .withColumn("pos_credit",
+        when(col("n") === 1, 1.0)
+          .when(col("n") === 2, 0.5)
+          .when(col("pos") === 1 || col("pos") === col("n"), 0.4)
+          .otherwise(lit(0.2) / (col("n") - 2)))
+      .groupBy(col("event_type").as("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        round(sum(col("first_credit")), 6).as("first_touch"),
+        round(sum(col("last_credit")), 6).as("last_touch"),
+        round(sum(col("linear_credit")), 6).as("linear"),
+        round(sum(col("pos_credit")), 6).as("position_based"))
+  }
+
+  val attrTouchSql: String =
+    """WITH c AS (
+      |  SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_after
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, conv_after, event_type,
+      |    row_number() OVER (PARTITION BY user_id, conv_after ORDER BY ts, event_id) AS pos,
+      |    count(*) OVER (PARTITION BY user_id, conv_after) AS n
+      |  FROM c
+      |  WHERE event_type IN ('view', 'click', 'signup') AND conv_after >= 1),
+      |cr AS (
+      |  SELECT event_type AS channel,
+      |    CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS first_credit,
+      |    CASE WHEN pos = n THEN 1.0 ELSE 0.0 END AS last_credit,
+      |    1.0 / n AS linear_credit,
+      |    CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+      |         WHEN pos = 1 OR pos = n THEN 0.4
+      |         ELSE 0.2 / (n - 2) END AS pos_credit
+      |  FROM t)
+      |SELECT channel, count(*) AS n_touches,
+      |  round(sum(first_credit), 6) + 0 AS first_touch,
+      |  round(sum(last_credit), 6) + 0  AS last_touch,
+      |  round(sum(linear_credit), 6) + 0 AS linear,
+      |  round(sum(pos_credit), 6) + 0   AS position_based
+      |FROM cr GROUP BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sess_sessionize"   -> (sessionize _),
     "sess_funnel"       -> (funnel _),
     "retention_cohorts" -> (retentionCohorts _),
     "pivot_daily_mix"   -> (pivotDailyMix _),
     "cube_docs"         -> (cubeDocs _),
-    "scd2_history"      -> (scd2History _))
+    "scd2_history"      -> (scd2History _),
+    "path_trigrams"     -> (pathTrigrams _),
+    "attr_touch"        -> (attrTouch _))
 
   def oracles: Map[String, String] = Map(
     "sess_sessionize"   -> sessionizeSql,
@@ -264,5 +369,7 @@ object Sessions {
     "retention_cohorts" -> retentionSql,
     "pivot_daily_mix"   -> pivotSql,
     "cube_docs"         -> cubeSql,
-    "scd2_history"      -> scd2Sql)
+    "scd2_history"      -> scd2Sql,
+    "path_trigrams"     -> pathTrigramsSql,
+    "attr_touch"        -> attrTouchSql)
 }

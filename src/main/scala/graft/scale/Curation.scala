@@ -197,13 +197,87 @@ object Curation {
        |LEFT JOIN fr ON fr.doc_id = q.doc_id
        |WHERE coalesce(fr.frac, 0) < 0.2""".stripMargin
 
+  // ------------------------------------------------- substring-run dedup
+  /** Substring-level duplication profile (the Lee-et-al "deduplicating
+    * training data" signal, at shingle granularity): a POSITIONAL shingle
+    * is duplicated when its text occurs in ≥ 2 distinct documents; per doc
+    * report the duplicated fraction and the LONGEST consecutive duplicated
+    * run — long runs are verbatim-copied passages that survive doc-level
+    * near-dup thresholds.
+    *
+    * Scale shape: positional shingles shuffle once on the shingle text
+    * (count-distinct docs), the ≥2-doc set joins back on the SAME key (a
+    * co-partitioned exchange Catalyst reuses), and the run-length pass is
+    * gaps-and-islands on the per-doc exchange. Never docs² — duplication
+    * is decided per shingle string, not per pair. */
+  def substringRuns(spark: SparkSession, dir: String): DataFrame = {
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(wPos))
+      .withColumn("t2", lead(col("tok"), 2).over(wPos))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+    val dupSet = sh.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("s"), lit(true).as("dup"))
+    val flagged = sh.join(dupSet, Seq("s"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(false)))
+    val totals = flagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+    val runs = flagged.filter(col("dup"))
+      .withColumn("island", col("pos") - row_number().over(wPos))
+      .groupBy(col("doc_id"), col("island")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_dup_run"))
+    totals.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_shingles"), 6).as("dup_frac"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
+  val substringRunsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ts) - 2)) AS pos, ts
+       |  FROM toks WHERE len(ts) >= 3),
+       |sh AS (
+       |  SELECT doc_id, pos, ts[pos] || ' ' || ts[pos+1] || ' ' || ts[pos+2] AS s
+       |  FROM pos),
+       |dups AS (
+       |  SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+       |flagged AS (
+       |  SELECT sh.doc_id, sh.pos, d.s IS NOT NULL AS dup
+       |  FROM sh LEFT JOIN dups d USING (s)),
+       |totals AS (
+       |  SELECT doc_id, count(*) AS n_shingles,
+       |         CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM flagged GROUP BY doc_id),
+       |islands AS (
+       |  SELECT doc_id,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM flagged WHERE dup),
+       |runs AS (
+       |  SELECT doc_id, max(cnt) AS max_dup_run FROM (
+       |    SELECT doc_id, island, count(*) AS cnt FROM islands GROUP BY 1, 2) g
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_shingles, t.n_dup,
+       |  round(t.n_dup * 1.0 / t.n_shingles, 6) + 0 AS dup_frac,
+       |  coalesce(r.max_dup_run, 0) AS max_dup_run
+       |FROM totals t LEFT JOIN runs r USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_overlap" -> (decontamOverlap _),
     "text_repetition"  -> (textRepetition _),
-    "corpus_pipeline"  -> (corpusPipeline _))
+    "corpus_pipeline"  -> (corpusPipeline _),
+    "dedup_substring_runs" -> (substringRuns _))
 
   def oracles: Map[String, String] = Map(
     "decontam_overlap" -> decontamOverlapSql,
     "text_repetition"  -> textRepetitionSql,
-    "corpus_pipeline"  -> corpusPipelineSql)
+    "corpus_pipeline"  -> corpusPipelineSql,
+    "dedup_substring_runs" -> substringRunsSql)
 }

@@ -1,0 +1,128 @@
+package graft.scale
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking over the documents corpus: TF-IDF term
+  * weighting and BM25 retrieval — the two standard scoring functions a
+  * training-data pipeline needs for corpus search, query-based filtering,
+  * and boilerplate-aware term weighting.
+  *
+  * Scale shape (100 TB): both queries are token-explode map stages feeding
+  * hash aggregates. TF-IDF shuffles token rows twice (doc-term tf, then
+  * term df) and joins tf⋈df on the token — the vocabulary-sized side is
+  * the small one at web scale, so AQE picks a broadcast there; corpus
+  * stats (N, avgdl) are single-row aggregates broadcast via crossJoin.
+  * BM25 filters to the query's terms BEFORE the shuffle, so the heavy
+  * token stream is pruned at the map side and per-term tf columns are
+  * conditional aggregates (fixed addition order — deterministic doubles
+  * across engines).
+  */
+object Ranking {
+
+  /** TF-IDF top-3 terms per document. idf = ln((N+1)/(df+1)) + 1 (the
+    * smoothed form that never zeroes a term present everywhere); ties on
+    * score break by token so the cutoff is deterministic. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Dedup.tokensSql}) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf,
+       |    tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) AS tfidf,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |                       ORDER BY tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) DESC,
+       |                                tf.tok) AS rank
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf,
+       |  round(tfidf, 6) + 0 AS tfidf
+       |FROM scored WHERE rank <= 3""".stripMargin
+
+  /** BM25 (k1=1.2, b=0.75) of the fixed query "hash join window" — top-20
+    * documents. Per-term tf columns are conditional aggregates so the
+    * 3-term score is summed in a fixed order (bit-identical across
+    * engines); idf is the standard ln(1 + (N-df+0.5)/(df+0.5)). */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "window")
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val tfCols = count(lit(1)).as("dl") +:
+      terms.map(t => sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+    val corpusCols = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val corpus = perDoc.agg(corpusCols.head, corpusCols.tail: _*)
+    val withStats = perDoc.crossJoin(broadcast(corpus))
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * tf * lit(k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    val score = terms.map(termScore).reduceLeft(_ + _)
+    withStats
+      .withColumn("bm25", round(score, 6))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("dl"),
+        col("tf_hash"), col("tf_join"), col("tf_window"), col("bm25"))
+  }
+
+  val bm25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Dedup.tokensSql}) AS tok FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS dl,
+       |    CAST(sum(CASE WHEN tok = 'hash'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash,
+       |    CAST(sum(CASE WHEN tok = 'join'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+       |    CAST(sum(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+       |  FROM toks GROUP BY 1),
+       |corpus AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+       |    sum(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS df_hash,
+       |    sum(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS df_join,
+       |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+       |  FROM per_doc),
+       |scored AS (
+       |  SELECT doc_id, dl, tf_hash, tf_join, tf_window,
+       |    round(
+       |      ln(1.0 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+       |        * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      + ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+       |        * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      + ln(1.0 + (n_docs - df_window + 0.5) / (df_window + 0.5))
+       |        * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+       |      6) + 0 AS bm25
+       |  FROM per_doc CROSS JOIN corpus)
+       |SELECT doc_id, dl, tf_hash, tf_join, tf_window, bm25
+       |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_topterms" -> (tfidfTopTerms _),
+    "text_bm25_search"    -> (bm25Search _))
+
+  def oracles: Map[String, String] = Map(
+    "text_tfidf_topterms" -> tfidfSql,
+    "text_bm25_search"    -> bm25Sql)
+}

@@ -2,6 +2,7 @@ package graft.scale
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling/splitting — the operations a training
@@ -61,6 +62,32 @@ object Sampling {
        |       CAST(sum(CASE WHEN $hashBucketSql < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        |       round(avg(CASE WHEN $hashBucketSql < 20 THEN 1.0 ELSE 0.0 END), 6) + 0 AS sample_rate
        |FROM documents GROUP BY lang""".stripMargin
+
+  /** EXACT-k per-stratum sample (k=5 per lang) — reservoir-sampling
+    * semantics, derandomized: rank each stratum by the md5 of the doc key
+    * (a uniform, engine-reproducible permutation) and keep the first k.
+    * Unlike the hash-threshold sample above, the count per stratum is
+    * exact, not expected — what eval-set construction needs. One window
+    * over the stratum exchange; at 100 TB replace row_number with a
+    * per-partition top-k heap (TakeOrderedAndProject does this for global
+    * top-k; per-group, min(struct) over k slots) — the ORDER stays the
+    * md5 permutation either way. */
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+  }
+
+  val sampleReservoirSql: String =
+    """SELECT lang, CAST(rk AS INT) AS rk, doc_id, source FROM (
+      |  SELECT lang, doc_id, source,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 5""".stripMargin
 
   /** Split-leakage audit — the check that motivates group-aware splits:
     * near-duplicate pairs ([[Dedup.minhashLshPairs]], Jaccard ≥ 0.5)
@@ -545,6 +572,7 @@ object Sampling {
     "sample_dsir"       -> (sampleDsir _),
     "split_train_val"   -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_reservoir"  -> (sampleReservoir _),
     "pack_sequences"    -> (packSequences _),
     "sample_mixture"    -> (sampleMixture _),
     "split_leakage"     -> (splitLeakage _),
@@ -560,6 +588,7 @@ object Sampling {
     "sample_dsir"       -> sampleDsirSql,
     "split_train_val"   -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_reservoir"  -> sampleReservoirSql,
     "pack_sequences"    -> packSequencesSql,
     "sample_mixture"    -> sampleMixtureSql,
     "split_leakage"     -> splitLeakageSql,

@@ -926,7 +926,106 @@ object Similarity {
       |  round(list_max(list_transform(errs, x -> abs(x))), 6) + 0 AS max_err
       |FROM q""".stripMargin
 
+  // ---------------------------------------------------------------- PCA
+  /** Top principal component of the embedding corpus via 3 unrolled power
+    * iterations on the centered Gram matrix — the fit every whitening /
+    * dimensionality-reduction stage needs, in the same fit-then-fold
+    * shape as [[kmeansFit]] and [[embQuantize]]: each iteration is ONE
+    * aggregate over (dim, x·v) rows, the 64-double iterate comes back to
+    * the driver (O(dim), scale-free) and folds into the next iteration's
+    * row expression as literals. The iterate is re-normalized and
+    * QUANTIZED to 6 decimals after every step (cross-engine sum order
+    * differs in the last ulp; unquantized that noise would compound
+    * through the recurrence — the kmeans lesson). Sign is fixed by making
+    * the largest-|loading| dimension positive (lowest dim on ties), so
+    * both engines agree even when dim 0's loading is near zero. Output:
+    * (dim, mean_d, loading, explained_var) — the fitted component plus
+    * the Rayleigh-quotient variance it explains. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val dims = 0 until 64
+    val nRows = c.count()
+    val mean: Array[Double] = c
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(avg(col("x")).as("m"))
+      .collect().map(r => r.getInt(0) -> (math.rint(r.getDouble(1) * 1e6) / 1e6 + 0.0))
+      .sortBy(_._1).map(_._2)
+    val cx = c.select(col("vec_id"),
+      array(dims.map(d => element_at(col("v"), d + 1) - lit(mean(d))): _*).as("cx"))
+    // one power step: u[d] = Σ_rows cx[d]·(cx·vk), as (dim → u) rows
+    def step(vk: Array[Double]): DataFrame = {
+      val s = dims.map(d => element_at(col("cx"), d + 1) * lit(vk(d))).reduce(_ + _)
+      cx.withColumn("s", s)
+        .select(col("s"), posexplode(col("cx")).as(Seq("d", "x")))
+        .groupBy(col("d")).agg(sum(col("x") * col("s")).as("u"))
+    }
+    def normQuant(u: DataFrame): Array[Double] = {
+      val raw = u.collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => math.rint(x / nrm * 1e6) / 1e6)
+    }
+    val e1 = Array.tabulate(64)(d => if (d == 0) 1.0 else 0.0)
+    val v1 = normQuant(step(e1))
+    val v2 = normQuant(step(v1))
+    val u3 = step(v2) // final iterate stays a plan: normalize/flip in-query
+    val nrm3 = u3.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
+    val lam = u3.agg(round(
+      sum(col("u") * element_at(typedLit(v2.toSeq), col("d") + 1)) / (nRows - 1), 6)
+      .as("explained_var"))
+    val v3 = u3.crossJoin(broadcast(nrm3))
+      .select(col("d"), round(col("u") / col("nrm"), 6).as("loading"))
+    val flip = v3.orderBy(abs(col("loading")).desc, col("d")).limit(1)
+      .select(when(col("loading") < 0, -1.0).otherwise(1.0).as("flip"))
+    v3.crossJoin(broadcast(flip)).crossJoin(broadcast(lam))
+      .select((col("d") + 1).as("dim"),
+        element_at(typedLit(mean.toSeq), col("d") + 1).as("mean_d"),
+        (col("loading") * col("flip") + lit(0.0)).as("loading"),
+        col("explained_var"))
+  }
+
+  val pcaPowerSql: String = {
+    // one lockstep power step over centered rows; vk = CTE(d, vc)
+    def step(vk: String, tag: String): String =
+      s"""s_$tag AS (
+         |  SELECT cx.vec_id, sum(cx.x * $vk.vc) AS s
+         |  FROM cx JOIN $vk USING (d) GROUP BY cx.vec_id),
+         |$tag AS (
+         |  SELECT cx.d, sum(cx.x * s_$tag.s) AS u
+         |  FROM cx JOIN s_$tag USING (vec_id) GROUP BY cx.d)""".stripMargin
+    def quant(u: String, tag: String): String =
+      s"""$tag AS (
+         |  SELECT d, round(u / sqrt((SELECT sum(u * u) FROM $u)), 6) AS vc
+         |  FROM $u)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (
+       |  SELECT i AS d, round(avg(v[i]), 6) AS m
+       |  FROM e, unnest(generate_series(1, 64)) g(i) GROUP BY i),
+       |cx AS (
+       |  SELECT e.vec_id, g.i AS d, e.v[g.i] - m.m AS x
+       |  FROM e, unnest(generate_series(1, 64)) g(i) JOIN m ON m.d = g.i),
+       |v0 AS (SELECT i AS d, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS vc
+       |       FROM unnest(generate_series(1, 64)) g(i)),
+       |${step("v0", "u1")},
+       |${quant("u1", "v1")},
+       |${step("v1", "u2")},
+       |${quant("u2", "v2")},
+       |${step("v2", "u3")},
+       |lam AS (
+       |  SELECT round(sum(u3.u * v2.vc) / ((SELECT count(*) FROM e) - 1), 6)
+       |    AS explained_var
+       |  FROM u3 JOIN v2 USING (d)),
+       |${quant("u3", "v3")},
+       |flip AS (
+       |  SELECT CASE WHEN vc < 0 THEN -1.0 ELSE 1.0 END AS flip
+       |  FROM v3 ORDER BY abs(vc) DESC, d LIMIT 1)
+       |SELECT v3.d AS dim, m.m + 0 AS mean_d,
+       |  v3.vc * flip.flip + 0 AS loading,
+       |  lam.explained_var + 0 AS explained_var
+       |FROM v3 JOIN m ON m.d = v3.d CROSS JOIN flip CROSS JOIN lam""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_power"   -> (pcaPower _),
     "kmeans_fit"      -> (kmeansFit _),
     "emb_quantize"    -> (embQuantize _),
     "ann_brute_force" -> (annBruteForce _),
@@ -942,6 +1041,7 @@ object Similarity {
     "ts_similar_windows" -> (tsSimilarWindows _))
 
   def oracles: Map[String, String] = Map(
+    "emb_pca_power"   -> pcaPowerSql,
     "kmeans_fit"      -> kmeansFitSql,
     "emb_quantize"    -> embQuantizeSql,
     "ann_brute_force" -> annBruteForceSql,

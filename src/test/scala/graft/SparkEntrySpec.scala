@@ -15,6 +15,7 @@ class SparkEntrySpec extends SparkSpec {
     "EmaFamily"       -> operators.EmaFamily.queries,
     "QualityOps"      -> operators.QualityOps.queries,
     "Pipeline"        -> operators.Pipeline.queries,
+    "Sessions"        -> operators.Sessions.queries,
     "Stateful"        -> analysis.Stateful.queries,
     "Dedup"           -> scale.Dedup.queries,
     "Similarity"      -> scale.Similarity.queries,
@@ -23,6 +24,7 @@ class SparkEntrySpec extends SparkSpec {
     "Sketches"        -> scale.Sketches.queries,
     "Sampling"        -> scale.Sampling.queries,
     "Profile"         -> scale.Profile.queries,
+    "Ranking"         -> scale.Ranking.queries,
     "Curation"        -> scale.Curation.queries,
     "Sources"         -> operators.Sources.queries,
     "Sinks"           -> sources.Sinks.queries,
