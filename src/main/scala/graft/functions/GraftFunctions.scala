@@ -21,15 +21,25 @@ object GraftFunctions {
   def dotBuilder(exprs: Seq[Expression]): DotProduct =
     DotProduct(exprs.head, exprs(1))
 
+  def intersectCountBuilder(exprs: Seq[Expression]): IntersectCount =
+    IntersectCount(exprs.head, exprs(1))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm_avg", ewmAvgBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_intersect_count", intersectCountBuilder, "built-in")
   }
 
   /** Codegen'd dense dot product ([[DotProduct]]). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Codegen'd sorted-merge intersection count ([[IntersectCount]]):
+    * both arrays must be sorted ascending and distinct. */
+  def intersectCount(a: Column, b: Column): Column =
+    call_function("graft_intersect_count", a, b)
 
   /** pandas `ewm(alpha=α, adjust=True).mean()` as a window aggregate. */
   def ewmAvg(c: Column, alpha: Double): Column =

@@ -24,5 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.dotBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[graft.functions.IntersectCount].getName,
+        "graft_intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.intersectCountBuilder(exprs)))
   }
 }

@@ -766,15 +766,19 @@ object Dedup {
     * Per-doc state (size, df-ordered prefix, sorted full shingle set)
     * is built in ONE hash aggregation over the cached shingle rows —
     * a window-rank formulation costs the same information two extra
-    * shuffles — and the exact verify is `array_intersect` on the two
-    * sorted arrays per candidate pair (O(n_a+n_b) hash probes), not a
-    * candidate×shingle row explosion: verifying 150k candidates of
-    * ~100 shingles each touches 300k array cells where the row-join
-    * form shuffles 14M rows. Measured at sf0.1: 9.1 s → 3.8 s warm.
+    * shuffles — and the exact verify is the codegen'd
+    * [[graft.functions.IntersectCount]] two-pointer merge over the two
+    * SORTED arrays per candidate pair (O(n_a+n_b) comparisons, zero
+    * allocation — `size(array_intersect(..))` builds a hash set plus the
+    * intersection array per pair), not a candidate×shingle row explosion:
+    * verifying 150k candidates of ~100 shingles each touches 300k array
+    * cells where the row-join form shuffles 14M rows. Measured at sf0.1:
+    * 9.1 s → 3.8 s warm (array kernel), → see BENCH for the merge kernel.
     * (Building arrays from the cached EXPLODED rows sidesteps the
     * CollapseProject re-evaluation trap documented at
     * [[shingleRows]].) */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // graft_intersect_count
     val s = shingleReps(spark, dir)
     val df = s.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val docs = s.join(broadcast(df), "s")
@@ -802,7 +806,8 @@ object Dedup {
         col("arr").as("arr_a"), col("n").as("n_a"))), "doc_a")
       .join(broadcast(docs.select(col("doc_id").as("doc_b"),
         col("arr").as("arr_b"), col("n").as("n_b"))), "doc_b")
-      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("inter",
+        graft.functions.GraftFunctions.intersectCount(col("arr_a"), col("arr_b")))
       .withColumn("containment",
         col("inter").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= 0.8)
