@@ -29,7 +29,11 @@ object Ranking {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df = docs-per-token, derived FROM the tf aggregate: one row per
+    // (doc, tok) already exists there, so this reuses tf's exchange
+    // instead of re-scanning + re-distincting the token stream (the
+    // corpus is the 100 TB side; one less full pass over it)
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "tok").crossJoin(broadcast(n))
       .withColumn("tfidf",
