@@ -38,6 +38,11 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # non-UTC session TZ: Spark output is pinned UTC, so any oracle whose
+    # values depend on the session timezone (to_timestamp/TIMESTAMPTZ
+    # round-trips, epoch casts) fails HERE instead of only on the driver
+    # (whose TZ we don't control) — the a4_resample_4h r02 regression class
+    con.execute("SET TimeZone='America/Anchorage'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -58,8 +63,21 @@ def main():
         if not files:
             failures.append(name); print(f"FAIL {name}: no spark output"); continue
         try:
-            spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
-            duck_df = canon(con.execute(sql).df())
+            spark_raw = pd.concat([pd.read_parquet(f) for f in files])
+            duck_raw = con.execute(sql).df()
+            # tz-aware vs naive split is a schema mismatch on the driver;
+            # canon() would silently mask it, so flag before normalizing
+            tz_cols = [c for c in spark_raw.columns if c in duck_raw.columns
+                       and pd.api.types.is_datetime64_any_dtype(spark_raw[c])
+                       and pd.api.types.is_datetime64_any_dtype(duck_raw[c])
+                       and ((getattr(spark_raw[c].dtype, "tz", None) is None)
+                            != (getattr(duck_raw[c].dtype, "tz", None) is None))]
+            if tz_cols:
+                failures.append(name)
+                print(f"FAIL {name}: tz-aware/naive timestamp split in cols {tz_cols}")
+                continue
+            spark_df = canon(spark_raw)
+            duck_df = canon(duck_raw)
         except Exception as e:
             failures.append(name); print(f"FAIL {name}: {type(e).__name__}: {e}"); continue
         if list(spark_df.columns) != list(duck_df.columns):

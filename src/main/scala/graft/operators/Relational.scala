@@ -110,9 +110,13 @@ object Relational {
         count(lit(1)).as("volume"))
   }
 
+  // bucket via date_trunc arithmetic (plain TIMESTAMP), not
+  // to_timestamp()::TIMESTAMP — the TIMESTAMPTZ round-trip lands in a
+  // different type family in the driver's schema compare (r02 schema FAIL);
+  // 4 h divides a day, so hour-trunc minus hour%4 ≡ epoch-floor(14400)
   val a4Resample4hSql: String =
     """SELECT user_id,
-      |  to_timestamp(floor(epoch(ts) / 14400) * 14400)::TIMESTAMP AS bucket,
+      |  date_trunc('hour', ts) - (CAST(extract(hour FROM ts) AS INT) % 4) * INTERVAL 1 HOUR AS bucket,
       |  round(arg_min(value, ts), 6) + 0 AS open, round(max(value), 6) + 0 AS high,
       |  round(min(value), 6) + 0 AS low,  round(arg_max(value, ts), 6) + 0 AS close,
       |  count(*) AS volume
