@@ -28,6 +28,7 @@ object SparkEntry {
       scale.Profile.queries ++
       scale.Ranking.queries ++
       scale.Curation.queries ++
+      scale.CorpusOps.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
       streaming.Subscriptions.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       scale.Profile.oracles ++
       scale.Ranking.oracles ++
       scale.Curation.oracles ++
+      scale.CorpusOps.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++
       streaming.Subscriptions.oracles ++

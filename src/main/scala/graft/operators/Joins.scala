@@ -260,9 +260,43 @@ object Joins {
       |  ON e.user_id = i.user_id AND e.ts >= i.start_ts AND e.ts <= i.end_ts
       |GROUP BY 1, 2""".stripMargin
 
+  /** J6 again, through the custom whole-operator path: the
+    * [[graft.plans.AsOfJoinPlan]] logical node lowered by
+    * [[graft.plans.AsOfJoinStrategy]] to the one-pass merge exec —
+    * same tick→bar attachment as [[j6AsofJoin]]'s union+window
+    * composition, but each side shuffles/sorts once and the walk keeps
+    * O(1) state instead of a full-frame window. The filter on the
+    * result exercises [[graft.plans.PushLeftFilterThroughAsOf]]
+    * (left-only predicates reach the scan — plan-asserted in
+    * AsOfJoinSpec). */
+  def j8AsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val bars = Tables.candles(spark, dir)
+      .select(col("user_id").as("bar_user"), col("bucket").as("bar_ts"),
+        col("open").as("bar_open"))
+    graft.plans.AsOfJoinOps.asof(
+        ticks, bars, Seq("user_id"), Seq("bar_user"), "ts", "bar_ts")
+      .filter(col("user_id") <= 100)
+      .select(col("user_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        round(col("bar_open"), 6).as("bar_open"),
+        (unix_micros(col("ts")) - unix_micros(col("bar_ts"))).as("staleness_us"))
+  }
+
+  val j8Sql: String =
+    Tables.candlesSql + """
+      |SELECT e.user_id, e.ts, round(e.value, 6) + 0 AS value,
+      |       round(c.open, 6) + 0 AS bar_open,
+      |       epoch_us(e.ts) - epoch_us(c.bucket) AS staleness_us
+      |FROM events e ASOF LEFT JOIN candles c
+      |  ON e.user_id = c.user_id AND e.ts >= c.bucket
+      |WHERE e.user_id <= 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j7_range_join"  -> (j7RangeJoin _),
     "j6_asof_join"   -> (j6AsofJoin _),
+    "j8_asof_exec"   -> (j8AsofExec _),
     "j5_skew_salted" -> (j5SkewSalted _),
     "j1_enrich_join" -> (j1Enrich _),
     "j2_anti_join"   -> (j2Anti _),
@@ -273,6 +307,7 @@ object Joins {
   def oracles: Map[String, String] = Map(
     "j7_range_join"  -> j7Sql,
     "j6_asof_join"   -> j6Sql,
+    "j8_asof_exec"   -> j8Sql,
     "j5_skew_salted" -> j5Sql,
     "j1_enrich_join" -> j1Sql,
     "j2_anti_join"   -> j2Sql,

@@ -9,11 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   *
   * Injects graft's custom Catalyst functions at session build time
-  * (SURVEY §4: injectFunction from day 1; no custom rules/strategies are
-  * needed — Catalyst's builtins cover every reference rewrite).
+  * (SURVEY §4: injectFunction from day 1), plus the one whole-operator
+  * extension Catalyst's builtins can't express: the as-of join's
+  * optimizer rule and planner strategy (see [[AsOfJoinPlan]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => PushLeftFilterThroughAsOf)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("ewm_avg"),
       new ExpressionInfo(classOf[EwmAvg].getName, "ewm_avg"),

@@ -54,7 +54,7 @@ object Similarity {
     * materialization boundary stops CollapseProject from inlining the
     * cast-`transform` into each of the 64 `element_at` sites of every
     * unrolled dot product. */
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[scale] def corpus(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // graft_dot for every ANN query
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
@@ -121,7 +121,7 @@ object Similarity {
   // ---------------------------------------------------------------- LSH
   /** Sign-pattern bucket id over the 8 precomputed hyperplanes: unrolled
     * plane dots (literal coefficients) summed into a bit pattern. */
-  private def lshBucket(v: Column): Column =
+  private[scale] def lshBucket(v: Column): Column =
     (0 until 8).map { j =>
       val planeDot = (0 until 64)
         .map(d => element_at(v, d + 1) * lit(planes(j)(d))).reduce(_ + _)

@@ -26,6 +26,7 @@ class SparkEntrySpec extends SparkSpec {
     "Profile"         -> scale.Profile.queries,
     "Ranking"         -> scale.Ranking.queries,
     "Curation"        -> scale.Curation.queries,
+    "CorpusOps"       -> scale.CorpusOps.queries,
     "Sources"         -> operators.Sources.queries,
     "Sinks"           -> sources.Sinks.queries,
     "Subscriptions"   -> streaming.Subscriptions.queries,

@@ -1,0 +1,78 @@
+package graft.scale
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-governance suite (values are pinned by the
+  * DuckDB oracles; these pin the properties the oracle can't express). */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("symspell blocking is lossless vs brute-force levenshtein <= 2") {
+    // ground truth: quadratic self-join over the (tiny) spec-SF vocab
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(length(col("tok")).between(4, 20))
+      .select(col("tok")).as("a")
+    val brute = vocab.crossJoin(vocab.withColumnRenamed("tok", "tok2"))
+      .filter(col("tok") < col("tok2") &&
+        levenshtein(col("tok"), col("tok2")) <= 2)
+      .select(col("tok").as("tok_a"), col("tok2").as("tok_b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val blocked = CorpusOps.vocabSymspell(spark, sfDir)
+      .select(col("tok_a"), col("tok_b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "spec fixture should contain near pairs")
+  }
+
+  test("winsorize: clamped rows flagged, all outputs inside the band") {
+    val out = CorpusOps.featWinsorize(spark, sfDir)
+    assert(out.filter(col("value_winsorized") < col("p05") ||
+      col("value_winsorized") > col("p95")).count() === 0)
+    assert(out.filter(!col("clamped") &&
+      col("value") =!= col("value_winsorized")).count() === 0)
+    assert(out.filter(col("clamped")).count() > 0)
+  }
+
+  test("temperature weights: shares sum to 1, alpha<1 flattens the mixture") {
+    val rows = CorpusOps.sampleTemperature(spark, sfDir).collect()
+    val nat = rows.map(_.getAs[Double]("natural_share")).sum
+    val sca = rows.map(_.getAs[Double]("scaled_share")).sum
+    assert(math.abs(nat - 1.0) < 1e-4 && math.abs(sca - 1.0) < 1e-4)
+    // temperature scaling boosts below-average domains, shrinks the top
+    val top = rows.maxBy(_.getAs[Double]("natural_share"))
+    val bottom = rows.minBy(_.getAs[Double]("natural_share"))
+    assert(top.getAs[Double]("weight") <= 1.0 + 1e-9)
+    assert(bottom.getAs[Double]("weight") >= 1.0 - 1e-9)
+  }
+
+  test("diverse sample: members partition the corpus, reps are members") {
+    val buckets = CorpusOps.sampleDiverse(spark, sfDir)
+    val total = Tables.embeddings(spark, sfDir).count()
+    val summed = buckets.agg(sum(col("n_members"))).head().getLong(0)
+    assert(summed === total)
+    assert(buckets.filter(col("n_removed") =!= col("n_members") - 1).count() === 0)
+  }
+
+  test("novelty: fractions in [0,1], earliest doc fully novel") {
+    val out = CorpusOps.ngramNovelty(spark, sfDir).cache()
+    assert(out.filter(col("novelty_frac") < 0 || col("novelty_frac") > 1).count() === 0)
+    val minDoc = out.agg(min(col("doc_id"))).head().getLong(0)
+    val first = out.filter(col("doc_id") === minDoc).head()
+    assert(first.getAs[Long]("n_novel") === first.getAs[Long]("n_shingles"))
+  }
+
+  test("k-anonymity census: suppression bounded by class counts") {
+    val out = CorpusOps.kAnonymity(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val frac = r.getAs[Double]("suppressed_frac")
+      assert(frac >= 0 && frac <= 1)
+      assert(r.getAs[Long]("rows_suppressed") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_small_classes") <= r.getAs[Long]("n_classes"))
+      if (r.getAs[Boolean]("k_anonymous"))
+        assert(r.getAs[Long]("rows_suppressed") === 0L)
+    }
+  }
+}
