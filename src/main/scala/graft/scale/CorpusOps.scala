@@ -301,12 +301,80 @@ object CorpusOps {
       |  min(class_size) >= 5 AS k_anonymous
       |FROM qi GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------------------ curriculum
+  /** Curriculum export: the global training order (easy/valuable docs
+    * first) as (rank, chunk, position) — the artifact a training run
+    * streams. Score = quality + n-gram novelty (both already
+    * first-class: [[TextAnalysis.qualityScoreCol]], [[ngramNovelty]]);
+    * the SUM of the two 6-decimal-rounded signals, not their rounded
+    * mean — adding identical doubles is bit-identical across engines,
+    * while a second `round()` of the mean lands on 7th-decimal
+    * boundaries where engine rounding algorithms disagree (observed:
+    * 2 cells in 500 at sf0.01). Ordering-equivalent to the mean.
+    *
+    * The interesting part at 100 TB is the GLOBAL rank: a bare
+    * `row_number() OVER (ORDER BY score)` funnels the corpus through one
+    * partition. This uses the standard two-phase form instead — a
+    * 20-bucket score histogram (tiny, broadcast) supplies each bucket's
+    * global offset, and the within-bucket `row_number` runs partitioned
+    * by bucket, so the sort is distributed and no task sees more than
+    * one bucket's rows. The oracle pins it against DuckDB's plain
+    * global row_number — same order, bucket-free. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("score").desc, col("doc_id"))
+    val wHi = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"), round(TextAnalysis.qualityScoreCol, 6).as("q"))
+    val novelty = ngramNovelty(spark, dir)
+      .select(col("doc_id"), col("novelty_frac"))
+    val scored = quality.join(novelty, Seq("doc_id"), "left")
+      // docs with < 3 tokens shingle to nothing — novelty 0, not null
+      .withColumn("score", col("q") + coalesce(col("novelty_frac"), lit(0.0)))
+      .withColumn("bkt", least(floor(col("score") * 10), lit(19L)).cast("int"))
+    val offsets = scored.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wHi), lit(0L)))
+      .select(col("bkt"), col("off"))
+    scored.join(broadcast(offsets), "bkt")
+      .withColumn("rank", col("off") + row_number().over(wIn))
+      .select(col("doc_id"), col("score"), col("rank"),
+        floor((col("rank") - 1) / 64.0).cast("long").as("chunk_id"),
+        pmod(col("rank") - 1, lit(64L)).as("position"))
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH ${TextAnalysis.qualityCtes},
+       |ntk AS (
+       |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |nsr AS (
+       |  SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql})) AS s FROM ntk),
+       |nfs AS (
+       |  SELECT s, min(doc_id) AS first_doc FROM nsr GROUP BY s),
+       |nov AS (
+       |  SELECT r.doc_id, round(sum(CASE WHEN f.first_doc = r.doc_id THEN 1 ELSE 0 END)
+       |           * 1.0 / count(*), 6) AS novelty_frac
+       |  FROM nsr r JOIN nfs f USING (s) GROUP BY r.doc_id),
+       |sc AS (
+       |  SELECT q.doc_id,
+       |         round(q.score, 6) + 0 + coalesce(n.novelty_frac + 0, 0.0) AS score
+       |  FROM qs q LEFT JOIN nov n USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT doc_id, score, rank,
+       |       (rank - 1) // 64 AS chunk_id, (rank - 1) % 64 AS position
+       |FROM r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_symspell"     -> (vocabSymspell _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_diverse"     -> (sampleDiverse _),
     "feat_winsorize"     -> (featWinsorize _),
     "ngram_novelty"      -> (ngramNovelty _),
+    "curriculum_order"   -> (curriculumOrder _),
     "k_anonymity"        -> (kAnonymity _))
 
   def oracles: Map[String, String] = Map(
@@ -315,5 +383,6 @@ object CorpusOps {
     "sample_diverse"     -> sampleDiverseSql,
     "feat_winsorize"     -> featWinsorizeSql,
     "ngram_novelty"      -> ngramNoveltySql,
+    "curriculum_order"   -> curriculumOrderSql,
     "k_anonymity"        -> kAnonymitySql)
 }

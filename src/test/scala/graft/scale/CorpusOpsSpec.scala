@@ -63,6 +63,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(first.getAs[Long]("n_novel") === first.getAs[Long]("n_shingles"))
   }
 
+  test("curriculum two-phase rank equals a direct global row_number") {
+    val out = CorpusOps.curriculumOrder(spark, sfDir).cache()
+    val n = out.count()
+    // ranks are a permutation of 1..n
+    assert(out.select(col("rank")).distinct().count() === n)
+    assert(out.agg(min(col("rank")), max(col("rank"))).head() ===
+      org.apache.spark.sql.Row(1L, n))
+    // two-phase (bucket offset + within-bucket row_number) == global sort
+    val direct = out.withColumn("direct_rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    assert(direct.filter(col("rank") =!= col("direct_rank")).count() === 0)
+    // chunks are full except the tail
+    assert(out.groupBy(col("chunk_id")).count()
+      .filter(col("count") > 64).count() === 0)
+  }
+
   test("k-anonymity census: suppression bounded by class counts") {
     val out = CorpusOps.kAnonymity(spark, sfDir).collect()
     assert(out.nonEmpty)
