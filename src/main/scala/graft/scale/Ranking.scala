@@ -122,11 +122,130 @@ object Ranking {
        |SELECT doc_id, dl, tf_hash, tf_join, tf_window, bm25
        |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- hybrid
+  /** Hybrid retrieval via RECIPROCAL RANK FUSION — the standard way a
+    * RAG/retrieval pipeline combines a lexical index (BM25) with a
+    * dense one (embedding cosine) without score calibration:
+    * rrf(d) = Σ 1/(60 + rank_i(d)) over the lists that retrieved d.
+    * Lexical list = the BM25 top-50 for the 3-term query; dense list =
+    * top-50 cosine against the query doc's embedding (vec_id 0 — ids
+    * align with doc_id). Full-outer on doc_id, absent list contributes
+    * nothing, final top-20 by fused score.
+    *
+    * 100 TB shape: each list is its own top-k (rank-limited before the
+    * fusion join), so the fusion joins two 50-row sets — the pattern
+    * holds however big the corpus is, because k is the product decision,
+    * not the data size. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val kRrf = 60.0
+    // lexical ranks: same scoring plan as [[bm25Search]], ranked not limited
+    val terms = Seq("hash", "join", "window")
+    val k1 = 1.2; val b = 0.75
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val tfCols = count(lit(1)).as("dl") +:
+      terms.map(t => sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+    val corpusCols = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(corpusCols.head, corpusCols.tail: _*)
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * tf * lit(k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = perDoc.crossJoin(broadcast(stats))
+      .withColumn("bm25", round(terms.map(termScore).reduceLeft(_ + _), 6))
+      .withColumn("rank_lex", row_number().over(wLex))
+      .filter(col("rank_lex") <= 50).select(col("doc_id"), col("rank_lex"))
+    // dense ranks: cosine against the query vector, same index the ANN
+    // suite uses (the window over ONE 50-row list is not the scale
+    // concern — the corpus-side scoring reuses the cached ANN corpus)
+    val c = Similarity.corpus(spark, dir)
+    val q = c.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val wDen = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val dense = c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+      .withColumn("rank_dense", row_number().over(wDen))
+      .filter(col("rank_dense") <= 50).select(col("doc_id"), col("rank_dense"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_dense")), lit(0.0)), 6))
+      .withColumn("fused_rank", row_number().over(wOut))
+      .filter(col("fused_rank") <= 20)
+      .select(col("fused_rank"), col("doc_id"), col("rank_lex"),
+        col("rank_dense"), col("rrf"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Dedup.tokensSql}) AS tok FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS dl,
+       |    CAST(sum(CASE WHEN tok = 'hash'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash,
+       |    CAST(sum(CASE WHEN tok = 'join'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+       |    CAST(sum(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+       |  FROM toks GROUP BY 1),
+       |corpus AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+       |    sum(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS df_hash,
+       |    sum(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS df_join,
+       |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+       |  FROM per_doc),
+       |lex_scored AS (
+       |  SELECT doc_id,
+       |    round(
+       |      ln(1.0 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+       |        * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      + ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+       |        * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      + ln(1.0 + (n_docs - df_window + 0.5) / (df_window + 0.5))
+       |        * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+       |      6) AS bm25
+       |  FROM per_doc CROSS JOIN corpus),
+       |lex AS (
+       |  SELECT doc_id, rank_lex FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+       |    FROM lex_scored) WHERE rank_lex <= 50),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |den AS (
+       |  SELECT doc_id, rank_dense FROM (
+       |    SELECT e.vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY
+       |        list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+       |          / (e.nrm * q.qn) DESC, e.vec_id) AS rank_dense
+       |    FROM e CROSS JOIN qv q) WHERE rank_dense <= 50),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.rank_lex, d.rank_dense,
+       |    round(coalesce(1.0 / (60.0 + l.rank_lex), 0.0)
+       |        + coalesce(1.0 / (60.0 + d.rank_dense), 0.0), 6) + 0 AS rrf
+       |  FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank,
+       |         doc_id, rank_lex, rank_dense, rrf
+       |  FROM fused)
+       |WHERE fused_rank <= 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_topterms" -> (tfidfTopTerms _),
+    "search_hybrid_rrf"   -> (hybridRrf _),
     "text_bm25_search"    -> (bm25Search _))
 
   def oracles: Map[String, String] = Map(
     "text_tfidf_topterms" -> tfidfSql,
+    "search_hybrid_rrf"   -> hybridRrfSql,
     "text_bm25_search"    -> bm25Sql)
 }

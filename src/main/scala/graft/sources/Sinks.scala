@@ -232,13 +232,75 @@ object Sinks {
       }
   }
 
+  // ---------------------------------------------------------------- z-order
+  /** Z-ORDER layout manifest — the multi-dimensional clustering a
+    * 100 TB lake applies so BOTH `user_id` predicates and time-range
+    * predicates prune files (date-only partitioning serves one and
+    * table-scans the other; Delta/Iceberg `OPTIMIZE ZORDER BY` is this
+    * exact computation). Each row's Morton code interleaves the 16-bit
+    * key and day dimensions; the top 8 bits pick the target file, and
+    * the emitted manifest row per file carries the min/max of each
+    * dimension — the skip statistics a reader consults. The spec
+    * quantifies the win: under Z-order a single-user predicate touches
+    * a bounded fraction of files, where a time-sorted layout touches
+    * every one.
+    *
+    * One map pass + one 256-group aggregate — the shape of a layout job
+    * at any scale; the actual rewrite is `repartitionByRange(zval)` +
+    * [[writePartitioned]], same plan. */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    // zero-origin both dimensions first (the layout job's tiny stats
+    // pass, broadcast back) — otherwise the constant high bits of the
+    // absolute day index make every row share one coarse z-cell
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"),
+        // day index via epoch floor: TZ-independent on both engines
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+    val mins = base.agg(min(col("user_id")).as("min_uid"),
+      min(col("day")).as("min_day_abs"))
+    val zval = (0 until 8).map { i =>
+      shiftleft(shiftright(col("xb"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(col("yb"), i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(mins))
+      .select(col("user_id"), col("day"),
+        (col("user_id") - col("min_uid")).bitwiseAND(0xFF).as("xb"),
+        (col("day") - col("min_day_abs")).bitwiseAND(0xFF).as("yb"))
+      .withColumn("zfile", shiftright(zval, 6))
+      .groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+  }
+
+  val layoutZorderSql: String = {
+    val terms = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+       |m AS (SELECT min(user_id) AS min_uid, min(day) AS min_day_abs FROM d),
+       |b AS (
+       |  SELECT user_id, day, (user_id - min_uid) & 255 AS xb,
+       |         (day - min_day_abs) & 255 AS yb
+       |  FROM d CROSS JOIN m),
+       |z AS (
+       |  SELECT user_id, day, ($terms) >> 6 AS zfile FROM b)
+       |SELECT zfile, count(*) AS n_rows,
+       |       min(user_id) AS min_user, max(user_id) AS max_user,
+       |       min(day) AS min_day, max(day) AS max_day
+       |FROM z GROUP BY zfile""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_upsert_merge"    -> (upsertMerged _),
     "k2_feature_save"    -> (k2FeatureSave _),
+    "layout_zorder"      -> (layoutZorder _),
     "k5_retention"       -> (retentionFilter _))
 
   def oracles: Map[String, String] = Map(
     "k1_upsert_merge"    -> upsertMergedSql,
     "k2_feature_save"    -> k2FeatureSaveSql,
+    "layout_zorder"      -> layoutZorderSql,
     "k5_retention"       -> retentionFilterSql)
 }

@@ -118,4 +118,25 @@ class SinksSpec extends SparkSpec {
     assert(after.count() == nBefore)
     assert(math.abs(after.select(sum(col("value"))).head().getDouble(0) - sumBefore) < 1e-6)
   }
+
+  test("z-order manifest: a single-user predicate skips most files") {
+    val manifest = Sinks.layoutZorder(spark, sfDir).cache()
+    val nFiles = manifest.count()
+    assert(nFiles > 4, s"expected a real file spread, got $nFiles")
+    // a reader consults min/max skip stats: files whose [min_user,
+    // max_user] band misses user_id = 42 are never opened. A layout
+    // sorted purely by time has every user in every file (each file a
+    // contiguous time slice) — zero skipping on this predicate.
+    val touched = manifest
+      .filter(col("min_user") <= 42 && col("max_user") >= 42).count()
+    assert(touched.toDouble / nFiles <= 0.5,
+      s"z-order should bound the touched fraction: $touched/$nFiles")
+    // and the day dimension still prunes too (the point of interleaving:
+    // BOTH dimensions keep locality)
+    val someDay = manifest.agg(min(col("min_day"))).head().getLong(0)
+    val dayTouched = manifest
+      .filter(col("min_day") <= someDay && col("max_day") >= someDay).count()
+    assert(dayTouched < nFiles,
+      s"day predicate should skip at least one file: $dayTouched/$nFiles")
+  }
 }
