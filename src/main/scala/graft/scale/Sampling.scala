@@ -565,7 +565,73 @@ object Sampling {
        |FROM t GROUP BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------------------ hard negatives
+  /** HARD-NEGATIVE mining for embedding-model training — the complement
+    * of [[pairsContrastive]]'s random pool: for each anchor, the most
+    * similar vectors that are NOT near-duplicates (cosine below the 0.4
+    * dedup threshold but as high as possible under it). Random negatives
+    * are trivially separable and teach the model nothing; the highest-
+    * similarity non-duplicates are where the decision boundary actually
+    * gets trained. positive = the top neighbor overall; hard negatives =
+    * top-3 under the threshold.
+    *
+    * Scale shape: identical to the ANN brute pass the corpus already
+    * caches — anchors broadcast, corpus never shuffles, per-anchor top-k
+    * via one window over the scored candidates (at web scale the scoring
+    * side swaps to the LSH/IVF candidate path like `ann_*` does). */
+  def sampleHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val dupThreshold = 0.4
+    val c = Similarity.corpus(spark, dir)
+    val anchors = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .select(col("anchor_id"), col("vec_id"), col("cosine"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val positive = scored.withColumn("rk", row_number().over(wAll))
+      .filter(col("rk") === 1)
+      .select(col("anchor_id"), col("vec_id").as("positive_id"),
+        round(col("cosine"), 6).as("positive_cos"))
+    val hard = scored.filter(col("cosine") < dupThreshold)
+      .withColumn("rk", row_number().over(wAll))
+      .filter(col("rk") <= 3)
+      .select(col("anchor_id"), col("rk").as("neg_rank"),
+        col("vec_id").as("negative_id"), round(col("cosine"), 6).as("negative_cos"))
+    positive.join(hard, "anchor_id")
+      .select(col("anchor_id"), col("positive_id"), col("positive_cos"),
+        col("neg_rank"), col("negative_id"), col("negative_cos"))
+  }
+
+  val sampleHardNegativesSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |anchors AS (SELECT vec_id AS anchor_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT a.anchor_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, a.qv), p -> p[1] * p[2]))
+      |           / (e.nrm * a.qn) AS cosine
+      |  FROM e CROSS JOIN anchors a WHERE e.vec_id <> a.anchor_id),
+      |pos AS (
+      |  SELECT anchor_id, vec_id AS positive_id, round(cosine, 6) + 0 AS positive_cos
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+      |                    ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+      |  WHERE rk = 1),
+      |hard AS (
+      |  SELECT anchor_id, rk AS neg_rank, vec_id AS negative_id,
+      |         round(cosine, 6) + 0 AS negative_cos
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+      |                    ORDER BY cosine DESC, vec_id) AS rk
+      |        FROM scored WHERE cosine < 0.4)
+      |  WHERE rk <= 3)
+      |SELECT anchor_id, positive_id, positive_cos, neg_rank, negative_id, negative_cos
+      |FROM pos JOIN hard USING (anchor_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hardneg"    -> (sampleHardNegatives _),
     "split_time_folds"  -> (splitTimeFolds _),
     "drift_psi"         -> (driftPsi _),
     "shard_manifest"    -> (shardManifest _),
@@ -582,6 +648,7 @@ object Sampling {
     "pairs_contrastive" -> (pairsContrastive _))
 
   def oracles: Map[String, String] = Map(
+    "sample_hardneg"    -> sampleHardNegativesSql,
     "split_time_folds"  -> splitTimeFoldsSql,
     "drift_psi"         -> driftPsiSql,
     "shard_manifest"    -> shardManifestSql,

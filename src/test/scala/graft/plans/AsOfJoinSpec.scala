@@ -79,6 +79,46 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: exec matches a reference as-of on random keyed series") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small domains force the hard cases: key collisions, time ties,
+    // keys present on only one side, empty sides
+    val gen = for {
+      nL <- Gen.choose(0, 120)
+      nR <- Gen.choose(0, 120)
+      l <- Gen.listOfN(nL, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 30L)))
+      r <- Gen.listOfN(nR, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 30L)))
+    } yield (l, r)
+    (0 until 8).foreach { i =>
+      val (lRows, rRows) = gen(org.scalacheck.Gen.Parameters.default,
+        Seed(42L + i)).get
+      // right values keyed by (k, t, idx) so the expected match is the
+      // max-time row; duplicate (k, t) rows are collapsed to one to keep
+      // "which duplicate wins" out of the property (nondeterministic in
+      // ANY as-of implementation)
+      val rDistinct = rRows.distinct
+      val left = mkDf(lRows.zipWithIndex.map { case ((k, t), ix) =>
+        Row(k, t, ix.toLong) }, "k BIGINT, t BIGINT, lid BIGINT")
+      val right = mkDf(rDistinct.map { case (k, t) =>
+        Row(k, t, k * 1000 + t) }, "rk BIGINT, rt BIGINT, rv BIGINT")
+      val out = AsOfJoinOps.asof(left, right, Seq("k"), Seq("rk"), "t", "rt")
+        .select(col("lid"), col("rv"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // reference model computed in plain Scala
+      val byKey = rDistinct.groupBy(_._1)
+      lRows.zipWithIndex.foreach { case ((k, t), ix) =>
+        val expected = byKey.get(k)
+          .flatMap(ts => ts.filter(_._2 <= t).sortBy(_._2).lastOption)
+          .map { case (rk, rt) => rk * 1000 + rt }
+        assert(out(ix.toLong) === expected,
+          s"iter $i: left=($k,$t) expected $expected got ${out(ix.toLong)}")
+      }
+      assert(out.size === lRows.size)
+    }
+  }
+
   test("rule: left-only predicate is pushed below the join to the scan") {
     val df = graft.operators.Joins.j8AsofExec(spark, sfDir)
     val opt = df.queryExecution.optimizedPlan
