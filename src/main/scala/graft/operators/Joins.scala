@@ -293,10 +293,41 @@ object Joins {
       |  ON e.user_id = c.user_id AND e.ts >= c.bucket
       |WHERE e.user_id <= 100""".stripMargin
 
+  /** J8 with a STALENESS CAP: a bar older than 30 min no longer speaks
+    * for the tick (`toleranceUs` on [[graft.plans.AsOfJoinOps.asof]]) —
+    * the match nulls out instead of silently carrying stale context.
+    * DuckDB oracle = native ASOF LEFT JOIN + CASE on the staleness. */
+  def j9AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 30L * 60 * 1000 * 1000
+    val ticks = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val bars = Tables.candles(spark, dir)
+      .select(col("user_id").as("bar_user"), col("bucket").as("bar_ts"),
+        col("open").as("bar_open"))
+    graft.plans.AsOfJoinOps.asof(
+        ticks, bars, Seq("user_id"), Seq("bar_user"), "ts", "bar_ts",
+        toleranceUs = Some(tolUs))
+      .select(col("user_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        round(col("bar_open"), 6).as("bar_open"),
+        (unix_micros(col("ts")) - unix_micros(col("bar_ts"))).as("staleness_us"))
+  }
+
+  val j9Sql: String =
+    Tables.candlesSql + """
+      |SELECT e.user_id, e.ts, round(e.value, 6) + 0 AS value,
+      |       CASE WHEN epoch_us(e.ts) - epoch_us(c.bucket) <= 1800000000
+      |            THEN round(c.open, 6) + 0 END AS bar_open,
+      |       CASE WHEN epoch_us(e.ts) - epoch_us(c.bucket) <= 1800000000
+      |            THEN epoch_us(e.ts) - epoch_us(c.bucket) END AS staleness_us
+      |FROM events e ASOF LEFT JOIN candles c
+      |  ON e.user_id = c.user_id AND e.ts >= c.bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j7_range_join"  -> (j7RangeJoin _),
     "j6_asof_join"   -> (j6AsofJoin _),
     "j8_asof_exec"   -> (j8AsofExec _),
+    "j9_asof_tolerance" -> (j9AsofTolerance _),
     "j5_skew_salted" -> (j5SkewSalted _),
     "j1_enrich_join" -> (j1Enrich _),
     "j2_anti_join"   -> (j2Anti _),
@@ -308,6 +339,7 @@ object Joins {
     "j7_range_join"  -> j7Sql,
     "j6_asof_join"   -> j6Sql,
     "j8_asof_exec"   -> j8Sql,
+    "j9_asof_tolerance" -> j9Sql,
     "j5_skew_salted" -> j5Sql,
     "j1_enrich_join" -> j1Sql,
     "j2_anti_join"   -> j2Sql,

@@ -37,7 +37,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -70,8 +71,8 @@ object PushLeftFilterThroughAsOf extends Rule[LogicalPlan] with PredicateHelper 
 /** Planner strategy: lower the logical as-of node to the merge exec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -90,6 +91,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -134,6 +136,9 @@ case class AsOfJoinExec(
         // last right row of the CURRENT left key with time <= left time
         private var candidate: InternalRow = _
         private var candidateKey: UnsafeRow = _
+        // candidate's time in its long representation (timestamp micros),
+        // kept for the tolerance check — only read when toleranceUs is set
+        private var candidateTime: Long = 0L
         advanceRight()
 
         private def advanceRight(): Unit =
@@ -159,10 +164,16 @@ case class AsOfJoinExec(
             if (keyOrd.compare(rHeadKey, lKey) == 0) {
               candidate = rHead.copy()
               candidateKey = rHeadKey
+              if (toleranceUs.isDefined) {
+                val tr = rTimeProj(candidate)
+                candidateTime = if (tr.isNullAt(0)) Long.MinValue else tr.getLong(0)
+              }
             }
             advanceRight()
           }
-          val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0
+          val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
+            (toleranceUs.isEmpty ||
+              (!lTime.isNullAt(0) && lTime.getLong(0) - candidateTime <= toleranceUs.get))
           resultProj(joined(lRow, if (matched) candidate else nullRight))
         }
       }
@@ -185,12 +196,16 @@ object AsOfJoinOps {
 
   /** Backward as-of join: for each `left` row, the last `right` row
     * with equal keys and `rightTime <= leftTime`; unmatched left rows
-    * keep null right columns. The right side is re-aliased first so a
-    * shared lineage (both frames derived from one scan) can't leak
-    * duplicate attribute ids into the join output. */
+    * keep null right columns. `toleranceUs` additionally nulls a match
+    * staler than the bound (`leftTime − rightTime > tolerance`) — the
+    * quote-staleness cap; requires long-backed time columns (timestamp
+    * micros or bigint). The right side is re-aliased first so a shared
+    * lineage (both frames derived from one scan) can't leak duplicate
+    * attribute ids into the join output. */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val r = right.select(right.columns.toIndexedSeq.map(c => right(c).as(c)): _*)
@@ -200,9 +215,17 @@ object AsOfJoinOps {
       plan.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val lt = resolve(lPlan, leftTime)
+    val rt = resolve(rPlan, rightTime)
+    if (toleranceUs.isDefined) {
+      val ok = Seq(lt.dataType, rt.dataType).forall(t =>
+        t == org.apache.spark.sql.types.TimestampType ||
+          t == org.apache.spark.sql.types.LongType)
+      require(ok, s"tolerance needs long-backed times, got ${lt.dataType}/${rt.dataType}")
+    }
     GraftShim.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime)))
+      lt, rt, toleranceUs))
   }
 }

@@ -141,6 +141,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), "expected the block-key shuffle:\n" + p)
   }
 
+  test("symspell fuzzy join keys on delete strings: no cartesian, vocab-sized aggregate below") {
+    val p = plan(scale.CorpusOps.vocabSymspell(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi join on the delete key:\n" + p)
+    assert(p.contains("HashAggregate"), "vocab df aggregate missing:\n" + p)
+  }
+
+  test("winsorize is fit-then-apply: the percentile row broadcasts, no whole-table window") {
+    val p = plan(scale.CorpusOps.featWinsorize(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "fit rows should broadcast:\n" + p)
+    assert(!p.contains("Window"), "no window should appear in a fit-then-apply plan:\n" + p)
+  }
+
+  test("z-order manifest is one map stage + one hash aggregate, no join wider than the stats row") {
+    val p = plan(sources.Sinks.layoutZorder(spark, sfDir))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "z-value must be a map-side expression over the broadcast mins:\n" + p)
+  }
+
+  test("curriculum rank partitions by score bucket — no global single-partition window") {
+    val df = scale.CorpusOps.curriculumOrder(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // the window ranking DOCUMENTS must be partitioned (by bucket); only
+    // the ≤20-row offsets window may be unpartitioned
+    val docWindows = windows.filter(_.windowExpressions.exists(
+      _.toString.contains("row_number")))
+    assert(docWindows.forall(_.partitionSpec.nonEmpty),
+      "per-doc row_number must be bucket-partitioned:\n" +
+        docWindows.map(_.partitionSpec).mkString(", "))
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
     // the join key IS the partition column, so Catalyst turns the dim
     // filter into a runtime partition-pruning subquery — at 100 TB this

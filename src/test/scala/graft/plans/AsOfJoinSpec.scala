@@ -106,14 +106,22 @@ class AsOfJoinSpec extends SparkSpec {
         .select(col("lid"), col("rv"))
         .collect().map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val outTol = AsOfJoinOps.asof(left, right, Seq("k"), Seq("rk"), "t", "rt",
+          toleranceUs = Some(5L))
+        .select(col("lid"), col("rv"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
       // reference model computed in plain Scala
       val byKey = rDistinct.groupBy(_._1)
       lRows.zipWithIndex.foreach { case ((k, t), ix) =>
-        val expected = byKey.get(k)
-          .flatMap(ts => ts.filter(_._2 <= t).sortBy(_._2).lastOption)
-          .map { case (rk, rt) => rk * 1000 + rt }
+        val m = byKey.get(k).flatMap(ts => ts.filter(_._2 <= t).sortBy(_._2).lastOption)
+        val expected = m.map { case (rk, rt) => rk * 1000 + rt }
         assert(out(ix.toLong) === expected,
           s"iter $i: left=($k,$t) expected $expected got ${out(ix.toLong)}")
+        val expectedTol = m.filter { case (_, rt) => t - rt <= 5L }
+          .map { case (rk, rt) => rk * 1000 + rt }
+        assert(outTol(ix.toLong) === expectedTol,
+          s"iter $i tol: left=($k,$t) expected $expectedTol got ${outTol(ix.toLong)}")
       }
       assert(out.size === lRows.size)
     }
