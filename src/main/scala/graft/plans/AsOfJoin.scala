@@ -128,9 +128,13 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(right.output.size)
       val joined = new JoinedRow
 
+      val needTolerance = toleranceUs.isDefined
+      val tolerance = toleranceUs.getOrElse(0L)
+
       new Iterator[InternalRow] {
         // head of the un-consumed right stream (+ its key, copied out of
-        // the projection's reused buffer)
+        // the projection's reused buffer only when the key CHANGES — runs
+        // of equal keys, the common case in time-series, share one copy)
         private var rHead: InternalRow = _
         private var rHeadKey: UnsafeRow = _
         // last right row of the CURRENT left key with time <= left time
@@ -144,7 +148,9 @@ case class AsOfJoinExec(
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
             rHead = rIter.next()
-            rHeadKey = rKeyProj(rHead).copy()
+            val k = rKeyProj(rHead)
+            if (rHeadKey == null || keyOrd.compare(k, rHeadKey) != 0)
+              rHeadKey = k.copy()
           } else { rHead = null; rHeadKey = null }
 
         override def hasNext: Boolean = lIter.hasNext
@@ -155,25 +161,29 @@ case class AsOfJoinExec(
           // consume right rows at or before (lKey, lTime); the last one
           // with a matching key is the as-of match. Distinct projection
           // objects per side — each reuses its own buffer, so comparing
-          // their outputs directly is safe.
+          // their outputs directly is safe. One key comparison per row.
           val lTime = lTimeProj(lRow)
-          while (rHead != null && {
+          var done = rHead == null
+          while (!done) {
             val kc = keyOrd.compare(rHeadKey, lKey)
-            kc < 0 || (kc == 0 && timeOrd.compare(rTimeProj(rHead), lTime) <= 0)
-          }) {
-            if (keyOrd.compare(rHeadKey, lKey) == 0) {
-              candidate = rHead.copy()
-              candidateKey = rHeadKey
-              if (toleranceUs.isDefined) {
-                val tr = rTimeProj(candidate)
-                candidateTime = if (tr.isNullAt(0)) Long.MinValue else tr.getLong(0)
+            if (kc > 0 || (kc == 0 && timeOrd.compare(rTimeProj(rHead), lTime) > 0)) {
+              done = true
+            } else {
+              if (kc == 0) {
+                candidate = rHead.copy()
+                candidateKey = rHeadKey
+                if (needTolerance) {
+                  val tr = rTimeProj(candidate)
+                  candidateTime = if (tr.isNullAt(0)) Long.MinValue else tr.getLong(0)
+                }
               }
+              advanceRight()
+              done = rHead == null
             }
-            advanceRight()
           }
           val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
-            (toleranceUs.isEmpty ||
-              (!lTime.isNullAt(0) && lTime.getLong(0) - candidateTime <= toleranceUs.get))
+            (!needTolerance ||
+              (!lTime.isNullAt(0) && lTime.getLong(0) - candidateTime <= tolerance))
           resultProj(joined(lRow, if (matched) candidate else nullRight))
         }
       }

@@ -141,6 +141,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), "expected the block-key shuffle:\n" + p)
   }
 
+  test("top-k per group gets Spark's native WindowGroupLimit pushdown, partial + final") {
+    // the reason the engine does NOT ship a custom top-k-per-group
+    // operator: InferWindowGroupLimit already rewrites
+    // filter(rank <= k) over row_number into a bounded per-partition
+    // group limit below the shuffle AND above it — each task keeps k
+    // rows per group instead of sorting the whole partition. Pinned so
+    // a regression (e.g. a filter shape change breaking the pattern
+    // match) is caught here, not at 100 TB.
+    val p = plan(operators.Scans.o4TopKPerGroup(spark, sfDir))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "expected partial+final WindowGroupLimit:\n" + p)
+  }
+
   test("symspell fuzzy join keys on delete strings: no cartesian, vocab-sized aggregate below") {
     val p = plan(scale.CorpusOps.vocabSymspell(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
