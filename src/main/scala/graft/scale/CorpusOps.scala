@@ -368,7 +368,69 @@ object CorpusOps {
        |       (rank - 1) // 64 AS chunk_id, (rank - 1) % 64 AS position
        |FROM r""".stripMargin
 
+  // ------------------------------------------------------------ dataset card
+  /** The DATASET CARD row — the datasheet a corpus release ships:
+    * volume (docs/tokens/median length), language mix (count + top lang
+    * share), exact-duplicate rate, and the quality distribution (mean
+    * score + keep-bucket share). Everything derives from aggregates the
+    * suite already defines, fused into ONE corpus pass (a single
+    * multi-aggregate; the language top-1 is its own tiny census joined
+    * in) — how the card stays cheap enough to regenerate on every
+    * release at 100 TB. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScoreCol
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(Dedup.tokens(col("text"))).as("n_tokens"), q.as("score"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique_texts"),
+        round(avg(col("score")), 6).as("mean_quality"),
+        round(avg(when(col("score") >= 0.7, 1.0).otherwise(0.0)), 6).as("keep_share"))
+      .withColumn("exact_dup_rate",
+        round(lit(1.0) - col("n_unique_texts") / col("n_docs").cast("double"), 6))
+    val top = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+    base.crossJoin(broadcast(top))
+      .withColumn("top_lang_share",
+        round(col("top_lang_docs") / col("n_docs").cast("double"), 6))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH ${TextAnalysis.qualityCtes},
+       |doc AS (
+       |  SELECT d.doc_id, d.lang, d.text, s.n_tokens, s.score
+       |  FROM documents d JOIN qs s USING (doc_id)),
+       |base AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    round(quantile_cont(n_tokens, 0.5), 6) + 0 AS p50_tokens,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       |    round(avg(score), 6) + 0 AS mean_quality,
+       |    round(avg(CASE WHEN score >= 0.7 THEN 1.0 ELSE 0.0 END), 6) + 0 AS keep_share
+       |  FROM doc),
+       |top AS (
+       |  SELECT lang AS top_lang, n AS top_lang_docs FROM (
+       |    SELECT lang, count(*) AS n,
+       |           row_number() OVER (ORDER BY count(*) DESC, lang) AS rk
+       |    FROM documents GROUP BY lang) WHERE rk = 1)
+       |SELECT n_docs, n_tokens, p50_tokens, n_langs, n_unique_texts,
+       |  mean_quality, keep_share,
+       |  round(1.0 - n_unique_texts * 1.0 / n_docs, 6) + 0 AS exact_dup_rate,
+       |  top_lang, top_lang_docs,
+       |  round(top_lang_docs * 1.0 / n_docs, 6) + 0 AS top_lang_share
+       |FROM base CROSS JOIN top""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_card"       -> (datasetCard _),
     "vocab_symspell"     -> (vocabSymspell _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_diverse"     -> (sampleDiverse _),
@@ -378,6 +440,7 @@ object CorpusOps {
     "k_anonymity"        -> (kAnonymity _))
 
   def oracles: Map[String, String] = Map(
+    "dataset_card"       -> datasetCardSql,
     "vocab_symspell"     -> vocabSymspellSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_diverse"     -> sampleDiverseSql,

@@ -115,11 +115,67 @@ object Profile {
     censusOf("user_id") + "\nUNION ALL BY NAME\n" + censusOf("event_type")
   }
 
+  // ---------------------------------------------------------------- recon
+  /** Reconciliation census between two pipeline versions of the same
+    * table — the check run after every backfill/reprocess before the
+    * new version goes live: per day, row counts and an order-free
+    * content checksum (sum of per-row hashes — commutative, so it
+    * ignores row order and partitioning) for both versions, plus the
+    * match verdicts. "v2" here is a deterministic perturbation of the
+    * events table (drops event_id % 97 == 0 and re-scores one user's
+    * values) so the census provably catches both row-loss and silent
+    * value drift. One aggregate per side, one tiny join — at 100 TB the
+    * only thing that moves is the per-day census rows. */
+  def reconDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def census(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as(s"rows_$suffix"),
+          sum(conv(substring(md5(concat_ws("|",
+              col("event_id"), col("user_id"),
+              round(col("value"), 6))).cast("binary"), 1, 8), 16, 10).cast("long"))
+            .as(s"checksum_$suffix"))
+    val v1 = census(ev, "v1")
+    val v2 = census(
+      ev.filter(col("event_id") % 97 =!= 0)
+        .withColumn("value",
+          when(col("user_id") === 7, col("value") * 1.0001).otherwise(col("value"))),
+      "v2")
+    v1.join(v2, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("rows_v1"), lit(0L)).as("rows_v1"),
+        coalesce(col("rows_v2"), lit(0L)).as("rows_v2"),
+        (coalesce(col("rows_v1"), lit(0L)) === coalesce(col("rows_v2"), lit(0L)))
+          .as("rows_match"),
+        (coalesce(col("checksum_v1"), lit(0L)) === coalesce(col("checksum_v2"), lit(0L)))
+          .as("content_match"))
+  }
+
+  val reconDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT date_trunc('day', ts) AS day, count(*) AS rows_v1,
+      |    CAST(sum(('0x' || substr(md5(event_id::VARCHAR || '|' || user_id::VARCHAR
+      |      || '|' || round(value, 6)::VARCHAR), 1, 8))::BIGINT) AS BIGINT) AS checksum_v1
+      |  FROM events GROUP BY 1),
+      |v2 AS (
+      |  SELECT date_trunc('day', ts) AS day, count(*) AS rows_v2,
+      |    CAST(sum(('0x' || substr(md5(event_id::VARCHAR || '|' || user_id::VARCHAR
+      |      || '|' || round(CASE WHEN user_id = 7 THEN value * 1.0001 ELSE value END,
+      |                      6)::VARCHAR), 1, 8))::BIGINT) AS BIGINT) AS checksum_v2
+      |  FROM events WHERE event_id % 97 <> 0 GROUP BY 1)
+      |SELECT coalesce(v1.day, v2.day) AS day,
+      |  coalesce(rows_v1, 0) AS rows_v1, coalesce(rows_v2, 0) AS rows_v2,
+      |  coalesce(rows_v1, 0) = coalesce(rows_v2, 0) AS rows_match,
+      |  coalesce(checksum_v1, 0) = coalesce(checksum_v2, 0) AS content_match
+      |FROM v1 FULL OUTER JOIN v2 ON v1.day = v2.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_documents" -> (profileDocuments _),
+    "recon_diff"        -> (reconDiff _),
     "skew_census"       -> (skewCensus _))
 
   def oracles: Map[String, String] = Map(
     "profile_documents" -> profileDocumentsSql,
+    "recon_diff"        -> reconDiffSql,
     "skew_census"       -> skewCensusSql)
 }
