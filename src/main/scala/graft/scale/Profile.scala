@@ -73,46 +73,45 @@ object Profile {
     * distinct-key set. */
   def skewCensus(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+    // rank-free on purpose: a global row_number over per-key counts is a
+    // single-partition window over |distinct keys| — millions at 100 TB.
+    // "Top 1% of keys" is instead the keys at or above the p99 count
+    // (fit: one percentile over the counts; apply: one aggregate) —
+    // same diagnostic, no unbounded window anywhere.
     def censusOf(keyCol: String): DataFrame = {
       val counts = ev.groupBy(col(keyCol).cast("string").as("k"))
         .agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("k"))
-      counts
-        .withColumn("rk", row_number().over(w))
-        .withColumn("total", sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-        .withColumn("n_keys", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      val fit = counts.agg(expr("percentile(n, 0.99)").as("p99"))
+      counts.crossJoin(broadcast(fit))
         .groupBy(lit(keyCol).as("key_column"))
         .agg(
-          max(col("n_keys")).as("n_keys"),
-          max(col("total")).as("n_rows"),
-          round(max(when(col("rk") === 1, col("n"))) /
-            max(col("total")).cast("double"), 6).as("top1_share"),
-          round(sum(when(col("rk") <= greatest(ceil(col("n_keys") / lit(100.0)), lit(1)),
-            col("n")).otherwise(0L)) /
-            max(col("total")).cast("double"), 6).as("top1pct_share"),
-          round(max(col("total")).cast("double") / max(col("n_keys")), 6)
+          count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          round(max(col("n")) / sum(col("n")).cast("double"), 6).as("top1_share"),
+          round(sum(when(col("n") >= col("p99"), col("n")).otherwise(0L)) /
+            sum(col("n")).cast("double"), 6).as("top1pct_share"),
+          round(sum(col("n")).cast("double") / count(lit(1)), 6)
             .as("mean_rows_per_key"))
     }
     censusOf("user_id").unionByName(censusOf("event_type"))
   }
 
   val skewCensusSql: String = {
-    def censusOf(c: String): String =
-      s"""SELECT '$c' AS key_column, max(n_keys) AS n_keys,
-         |  CAST(max(total) AS BIGINT) AS n_rows,
-         |  round(max(CASE WHEN rk = 1 THEN n END) * 1.0 / max(total), 6) + 0 AS top1_share,
-         |  round(sum(CASE WHEN rk <= greatest(CAST(ceil(max_keys / 100.0) AS BIGINT), 1)
-         |                 THEN n ELSE 0 END) * 1.0 / max(total), 6) + 0 AS top1pct_share,
-         |  round(max(total) * 1.0 / max(n_keys), 6) + 0 AS mean_rows_per_key
-         |FROM (
-         |  SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rk,
-         |         sum(n) OVER () AS total, count(*) OVER () AS n_keys,
-         |         count(*) OVER () AS max_keys
-         |  FROM (SELECT $c::VARCHAR AS k, count(*) AS n FROM events GROUP BY 1))""".stripMargin
-    censusOf("user_id") + "\nUNION ALL BY NAME\n" + censusOf("event_type")
+    def body(tag: String, label: String): String =
+      s"""SELECT '$label' AS key_column, count(*) AS n_keys,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  round(max(n) * 1.0 / sum(n), 6) + 0 AS top1_share,
+         |  round(sum(CASE WHEN n >= p99 THEN n ELSE 0 END) * 1.0 / sum(n), 6) + 0
+         |    AS top1pct_share,
+         |  round(sum(n) * 1.0 / count(*), 6) + 0 AS mean_rows_per_key
+         |FROM $tag CROSS JOIN f$tag""".stripMargin
+    s"""WITH cu AS (SELECT user_id::VARCHAR AS k, count(*) AS n FROM events GROUP BY 1),
+       |ce AS (SELECT event_type::VARCHAR AS k, count(*) AS n FROM events GROUP BY 1),
+       |fcu AS (SELECT quantile_cont(n, 0.99) AS p99 FROM cu),
+       |fce AS (SELECT quantile_cont(n, 0.99) AS p99 FROM ce)
+       |${body("cu", "user_id")}
+       |UNION ALL BY NAME
+       |${body("ce", "event_type")}""".stripMargin
   }
 
   // ---------------------------------------------------------------- recon

@@ -154,15 +154,21 @@ object Ranking {
       val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
       idf * tf * lit(k1 + 1) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
     }
+    // top-k per side via orderBy+limit — TakeOrderedAndProject, a
+    // distributed bounded heap (NOT a corpus-wide single-partition
+    // window); the row_number that assigns ranks then runs over exactly
+    // k rows, so its unpartitioned window is bounded by the product
+    // decision k, never by corpus size
     val wLex = org.apache.spark.sql.expressions.Window
       .orderBy(col("bm25").desc, col("doc_id"))
     val lex = perDoc.crossJoin(broadcast(stats))
       .withColumn("bm25", round(terms.map(termScore).reduceLeft(_ + _), 6))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
       .withColumn("rank_lex", row_number().over(wLex))
-      .filter(col("rank_lex") <= 50).select(col("doc_id"), col("rank_lex"))
-    // dense ranks: cosine against the query vector, same index the ANN
-    // suite uses (the window over ONE 50-row list is not the scale
-    // concern — the corpus-side scoring reuses the cached ANN corpus)
+      .select(col("doc_id"), col("rank_lex"))
+    // dense ranks: cosine against the query vector over the cached ANN
+    // corpus, same top-k shape
     val c = Similarity.corpus(spark, dir)
     val q = c.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("nrm").as("qn"))
@@ -172,8 +178,9 @@ object Ranking {
       .withColumn("cosine",
         graft.functions.GraftFunctions.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .select(col("vec_id").as("doc_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(50)
       .withColumn("rank_dense", row_number().over(wDen))
-      .filter(col("rank_dense") <= 50).select(col("doc_id"), col("rank_dense"))
+      .select(col("doc_id"), col("rank_dense"))
     val wOut = org.apache.spark.sql.expressions.Window
       .orderBy(col("rrf").desc, col("doc_id"))
     lex.join(dense, Seq("doc_id"), "full_outer")

@@ -215,8 +215,15 @@ object Sampling {
     val pool0 = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("doc_id").cast("string").cast("binary")).as("hsh"))
       .filter(conv(substring(col("hsh"), 1, 8), 16, 10).cast("long") % 100 < 10)
-    val pool = pool0.withColumn("rk",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("hsh"))) - 1)
+    // cap the pool BEFORE ranking it: orderBy+limit is a distributed
+    // TakeOrdered, so the unpartitioned row_number that assigns pool
+    // indexes runs over at most 100k rows — without the cap it would be
+    // a single-partition window over 10% of the corpus. Random
+    // negatives only need a bounded pool; at the test SFs the pool is
+    // far under the cap, so results are unchanged.
+    val pool = pool0.orderBy(col("hsh")).limit(100000)
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("hsh"))) - 1)
       .select(col("rk"), col("doc_id").as("negative_id"))
     val poolN = pool.agg(count(lit(1)).as("npool"))
     pairs.crossJoin(broadcast(poolN))
