@@ -114,7 +114,15 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -184,6 +192,8 @@ case class AsOfJoinExec(
           val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
             (!needTolerance ||
               (!lTime.isNullAt(0) && lTime.getLong(0) - candidateTime <= tolerance))
+          numOutputRows += 1
+          if (matched) numMatched += 1
           resultProj(joined(lRow, if (matched) candidate else nullRight))
         }
       }

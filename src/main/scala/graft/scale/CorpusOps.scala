@@ -193,7 +193,10 @@ object CorpusOps {
     * table — the same two-pass shape as [[normalize.Normalizer]], no
     * whole-table window. At 100 TB the fit pass swaps `percentile` for
     * `approx_percentile` (same plan, sketch-mergeable); the exact form
-    * here keeps the oracle byte-stable. */
+    * here keeps the oracle byte-stable. The broadcast hint is right
+    * while the fit table is |keys| rows ≲ 10M (~hundreds of MB); past
+    * that, drop the hint and the identical plan degrades gracefully to
+    * a shuffled equi-join on the key. */
   def featWinsorize(spark: SparkSession, dir: String): DataFrame = {
     val fit = Tables.events(spark, dir)
       .groupBy(col("user_id"))
