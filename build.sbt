@@ -30,8 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 186 queries share one JVM-wide CacheManager plus SoftReference index
-  // memos; at 8g the memos evict mid-bench (dedup_clusters recomputed its
-  // CC loop in the timed pass: 1.7s -> 7s). The machine has 128 GiB.
+  // 190 queries share one JVM-wide CacheManager plus SoftReference index
+  // memos. 24g is the measured sweet spot: at 8g the cached indexes
+  // evict mid-bench and shared-index consumers re-pay their build
+  // (dedup_clusters 1.7s -> 7s); at 48g GC behavior degrades the SAME
+  // workload ~3x (warmup 156s -> 503s, A/B-tested) — bigger is not
+  // better here.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -318,11 +318,13 @@ object CorpusOps {
     * The interesting part at 100 TB is the GLOBAL rank: a bare
     * `row_number() OVER (ORDER BY score)` funnels the corpus through one
     * partition. This uses the standard two-phase form instead — a
-    * 20-bucket score histogram (tiny, broadcast) supplies each bucket's
+    * 500-bucket score histogram (tiny, broadcast) supplies each bucket's
     * global offset, and the within-bucket `row_number` runs partitioned
-    * by bucket, so the sort is distributed and no task sees more than
-    * one bucket's rows. The oracle pins it against DuckDB's plain
-    * global row_number — same order, bucket-free. */
+    * by bucket, so the sort is distributed and no task holds more than
+    * ~1/500 of the corpus (the bucket count is the knob you scale with
+    * the cluster, like `repartitionByRange` partition counts). The
+    * oracle pins it against DuckDB's plain global row_number — same
+    * order, bucket-free. */
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bkt")).orderBy(col("score").desc, col("doc_id"))
@@ -336,7 +338,7 @@ object CorpusOps {
     val scored = quality.join(novelty, Seq("doc_id"), "left")
       // docs with < 3 tokens shingle to nothing — novelty 0, not null
       .withColumn("score", col("q") + coalesce(col("novelty_frac"), lit(0.0)))
-      .withColumn("bkt", least(floor(col("score") * 10), lit(19L)).cast("int"))
+      .withColumn("bkt", least(floor(col("score") * 250), lit(499L)).cast("int"))
     val offsets = scored.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(wHi), lit(0L)))
       .select(col("bkt"), col("off"))
