@@ -246,13 +246,76 @@ object Ranking {
        |  FROM fused)
        |WHERE fused_rank <= 20""".stripMargin
 
+  // ---------------------------------------------------------------- topics
+  /** Topic labels per embedding cluster — the "what is in this corpus"
+    * exploration view: every document lands in its k-means cluster
+    * (vec_id ≡ doc_id; the assignment is the shared 3-iteration Lloyd
+    * replay), each cluster is treated as one super-document, and its
+    * top-3 terms by LIFT — the term's frequency share inside the
+    * cluster relative to its corpus share (> 1 ⇒ overrepresented) —
+    * name the topic. Lift, unlike cluster-level idf, keeps its signal
+    * when the vocabulary is corpus-wide (every term in every cluster
+    * zeroes idf but still skews by cluster). The rank filter is the
+    * WindowGroupLimit shape — partitioned by cluster, bounded by 3.
+    *
+    * Scale: the token aggregate is (clusters × vocab) rows after the
+    * map-side combine; everything downstream of the corpus pass is
+    * cluster-count-sized. */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val assign = Similarity.kmeansAssign3(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 3)
+    val tf = toks.join(assign, "doc_id")
+      .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("term_total"))
+    val wAllTok = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("lift").desc, col("term"))
+    tf.withColumn("cluster_total", sum(col("tf")).over(wAllTok))
+      .join(totals, "term")
+      .crossJoin(broadcast(tf.agg(sum(col("tf")).as("corpus_total"))))
+      .withColumn("lift", round(
+        (col("tf") / col("cluster_total")) /
+          (col("term_total") / col("corpus_total")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("cid"), col("rank"), col("term"), col("tf"), col("lift"))
+  }
+
+  val clusterTopicsSql: String =
+    s"""WITH ${Similarity.kmeansCtes},
+       |toks AS (
+       |  SELECT doc_id, tok AS term FROM (
+       |    SELECT doc_id, unnest(${Dedup.tokensSql}) AS tok FROM documents)
+       |  WHERE len(tok) >= 3),
+       |tf AS (
+       |  SELECT a.cid, t.term, count(*) AS tf
+       |  FROM toks t JOIN a3 a ON a.vec_id = t.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT cid, term, tf,
+       |    round((tf * 1.0 / sum(tf) OVER (PARTITION BY cid)) /
+       |          (sum(tf) OVER (PARTITION BY term) * 1.0 / sum(tf) OVER ()),
+       |          6) + 0 AS lift
+       |  FROM tf)
+       |SELECT cid, rank, term, tf, lift FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cid
+       |            ORDER BY lift DESC, term) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_topterms" -> (tfidfTopTerms _),
+    "text_cluster_topics" -> (clusterTopics _),
     "search_hybrid_rrf"   -> (hybridRrf _),
     "text_bm25_search"    -> (bm25Search _))
 
   def oracles: Map[String, String] = Map(
     "text_tfidf_topterms" -> tfidfSql,
+    "text_cluster_topics" -> clusterTopicsSql,
     "search_hybrid_rrf"   -> hybridRrfSql,
     "text_bm25_search"    -> bm25Sql)
 }

@@ -807,7 +807,9 @@ object Similarity {
     * dim) rows, and the centroid table never leaves the executors.
     * Output grain: (cid, dim, c, n_members) — the fitted codebook plus
     * final cluster occupancy. */
-  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
+  /** Third-iteration Lloyd assignment (vec_id, v, cid) — shared by the
+    * fit output and [[Ranking.clusterTopics]]' per-cluster summaries. */
+  private[scale] def kmeansAssign3(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val dist = (0 until 64)
       .map { d =>
@@ -820,24 +822,32 @@ object Similarity {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
         .filter(col("rk") === 1)
-    def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(round(avg(col("x")), 6).as("cx"))
-        .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
-        .select(col("cid"), transform(col("s"), p => p("cx")).as("cv"))
     val init = c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val a3 = assign(update(assign(update(assign(init)))))
+    assign(kmeansUpdate(assign(kmeansUpdate(assign(init)))))
+  }
+
+  private def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(round(avg(col("x")), 6).as("cx"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("s"))
+      .select(col("cid"), transform(col("s"), p => p("cx")).as("cv"))
+
+  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    val a3 = kmeansAssign3(spark, dir)
     val counts = a3.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-    update(a3)
+    kmeansUpdate(a3)
       .select(col("cid"), posexplode(col("cv")).as(Seq("d0", "c")))
       .select(col("cid"), (col("d0") + 1).as("dim"), col("c"))
       .join(broadcast(counts), "cid")
   }
 
-  val kmeansFitSql: String = {
+  /** CTE chain ending in `a3(vec_id, cid, v)` — the 3-iteration Lloyd
+    * replay shared by the `kmeans_fit` and `text_cluster_topics`
+    * oracles. */
+  private[scale] val kmeansCtes: String = {
     def assign(cents: String, tag: String): String =
       s"""$tag AS (
          |  SELECT vec_id, cid, v FROM (
@@ -847,26 +857,30 @@ object Similarity {
          |                      p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rk
          |    FROM e CROSS JOIN $cents c)
          |  WHERE rk = 1)""".stripMargin
-    def update(assigned: String, tag: String): String =
-      s"""$tag AS (
-         |  SELECT cid, list(cx ORDER BY dim) AS cv FROM (
-         |    SELECT cid, i AS dim, round(avg(v[i]), 6) AS cx
-         |    FROM $assigned, unnest(generate_series(1, 64)) g(i)
-         |    GROUP BY cid, i)
-         |  GROUP BY cid)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
        |${assign("c0", "a1")},
-       |${update("a1", "c1")},
+       |${kmeansUpdateSql("a1", "c1")},
        |${assign("c1", "a2")},
-       |${update("a2", "c2")},
-       |${assign("c2", "a3")},
-       |${update("a3", "c3")},
+       |${kmeansUpdateSql("a2", "c2")},
+       |${assign("c2", "a3")}""".stripMargin
+  }
+
+  private def kmeansUpdateSql(assigned: String, tag: String): String =
+    s"""$tag AS (
+       |  SELECT cid, list(cx ORDER BY dim) AS cv FROM (
+       |    SELECT cid, i AS dim, round(avg(v[i]), 6) AS cx
+       |    FROM $assigned, unnest(generate_series(1, 64)) g(i)
+       |    GROUP BY cid, i)
+       |  GROUP BY cid)""".stripMargin
+
+  val kmeansFitSql: String =
+    s"""WITH $kmeansCtes,
+       |${kmeansUpdateSql("a3", "c3")},
        |nm AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid)
        |SELECT c3.cid, CAST(g.i AS INT) AS dim, c3.cv[g.i] + 0 AS c, nm.n_members
        |FROM c3, unnest(generate_series(1, 64)) g(i)
        |JOIN nm ON nm.cid = c3.cid""".stripMargin
-  }
 
   // ---------------------------------------------------------------- int8 quantization
   /** Scalar INT8 quantization of the embedding column — the storage
