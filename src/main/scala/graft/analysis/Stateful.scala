@@ -19,6 +19,9 @@ case class TradeRow(user_id: Long,
                     pnl: Double, return_pct: Double)
 
 case class SigRow(user_id: Long, bucket: java.sql.Timestamp, close: Double, signal: Int)
+case class RateRow(event_type: String, day: java.sql.Timestamp, n: Long, z: Double)
+case class CusumRow(event_type: String, day: java.sql.Timestamp,
+    n_events: Long, z: Double, cusum: Double, alarm: Boolean)
 
 /** Sequential state machines — SURVEY §2.7 W19 (Parabolic SAR) and W34
   * (backtest execution), §7.4: inherently recursive, so not SQL windows.
@@ -560,7 +563,75 @@ object Stateful {
         |  FROM alltr),
         |""".stripMargin + metricsChainSql
 
+  // ---------------------------------------------------------------- cusum
+  /** CUSUM changepoint detection on daily event rates — the monitoring
+    * fold [[graft.scale.Sampling.driftPsi]]'s distribution view can't
+    * express: `s_t = max(0, s_{t-1} + z_t − k)` accumulates small
+    * sustained shifts and alarms when `s_t > h` (k = 0.5, h = 4 —
+    * standard one-sided CUSUM tuning), catching a slow rate creep that
+    * per-day thresholds miss. z-scores come from EXACT integer moments
+    * (count/sum/sum-of-squares — identical in both engines, unlike
+    * streaming stddev implementations whose last-ulp differences would
+    * compound through the fold); the fold streams per key via secondary
+    * sort, state = one double. */
+  def driftCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val fit = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .withColumn("vr",
+        (col("s2") - col("s1") * lit(1.0) * col("s1") / col("c")) / (col("c") - 1))
+      .filter(col("vr") > 0)
+    val z = daily.join(broadcast(fit), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        ((col("n") - col("s1") * lit(1.0) / col("c")) / sqrt(col("vr"))).as("z"))
+      .as[RateRow]
+    z.groupByKey(_.event_type)
+      .flatMapSortedGroups($"day") { (et: String, rows: Iterator[RateRow]) =>
+        var s = 0.0
+        rows.map { r =>
+          s = math.max(0.0, s + r.z - 0.5)
+          CusumRow(et, r.day, r.n, r.z, s, s > 4.0)
+        }
+      }
+      .toDF()
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("z"), 6).as("z"), round(col("cusum"), 6).as("cusum"),
+        col("alarm"))
+  }
+
+  val driftCusumSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |fit AS (
+      |  SELECT event_type, count(*) AS c, CAST(sum(n) AS BIGINT) AS s1,
+      |         CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM daily GROUP BY 1),
+      |fitv AS (
+      |  SELECT *, (s2 - s1 * 1.0 * s1 / c) / (c - 1) AS vr FROM fit
+      |  WHERE (s2 - s1 * 1.0 * s1 / c) / (c - 1) > 0),
+      |zc AS (
+      |  SELECT d.event_type, d.day, d.n,
+      |         (d.n - f.s1 * 1.0 / f.c) / sqrt(f.vr) AS z,
+      |         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+      |  FROM daily d JOIN fitv f USING (event_type)),
+      |p(event_type, rn, day, n, z, s) AS (
+      |  SELECT event_type, rn, day, n, z,
+      |         greatest(0.0::DOUBLE, z - 0.5) FROM zc WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.event_type, c.rn, c.day, c.n, c.z,
+      |         greatest(0.0::DOUBLE, p.s + c.z - 0.5)
+      |  FROM zc c JOIN p ON c.event_type = p.event_type AND c.rn = p.rn + 1)
+      |SELECT event_type, day, n AS n_events, round(z, 6) + 0 AS z,
+      |       round(s, 6) + 0 AS cusum, s > 4.0 AS alarm
+      |FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "drift_cusum"       -> (driftCusum _),
     "w19_psar"          -> (psar _),
     "w34_backtest"      -> (backtestTrades _),
     "w34_backtest_rsi"  -> (backtestTradesRsi _),
@@ -569,6 +640,7 @@ object Stateful {
     "a11_metrics_fixture"  -> (a11MetricsFixture _))
 
   def oracles: Map[String, String] = Map(
+    "drift_cusum"       -> driftCusumSql,
     "w19_psar"          -> psarSql,
     "w34_backtest"      -> w34BacktestSql,
     "w34_backtest_rsi"  -> w34BacktestRsiSql,
