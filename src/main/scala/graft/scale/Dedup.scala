@@ -1024,7 +1024,60 @@ object Dedup {
       |SELECT a.vec_id, a.cid AS centroid_id, d.dup_of, d.dup_of IS NULL AS keep
       |FROM assign a LEFT JOIN dups d USING (vec_id)""".stripMargin
 
+  // ---------------------------------------------------------------- funnel
+  /** The DEDUP FUNNEL report — stage-by-stage survivor counts through
+    * exact → near-dup (MinHash CC, keep-min) → containment (drop the
+    * contained doc), the summary every dedup pipeline publishes with a
+    * release. Each stage's drop set is computed against the PREVIOUS
+    * stage's survivors (a containment pair whose contained member was
+    * already dropped by its cluster doesn't double-count). Four one-row
+    * aggregates stacked — nothing here is bigger than the pair/cluster
+    * sets the stages already compute, and all of those are memoized. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nRaw = docs.agg(count(lit(1)).as("n_raw"))
+    val nExact = docs.agg(
+      countDistinct(md5(col("text").cast("binary"))).as("n_exact"))
+    val ccDropped = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val nCc = ccDropped.agg(count(lit(1)).as("n_cc_dropped"))
+    val contExtra = containmentPairs(spark, dir)
+      .select(col("contained_doc").as("doc_id")).distinct()
+      .join(ccDropped, Seq("doc_id"), "left_anti")
+    val nCont = contExtra.agg(count(lit(1)).as("n_cont_dropped"))
+    nRaw.crossJoin(nExact).crossJoin(nCc).crossJoin(nCont)
+      .selectExpr(
+        """stack(4,
+          |  1, 'raw',         n_raw,                     0L,
+          |  2, 'exact',       n_exact,                   n_raw - n_exact,
+          |  3, 'near_dup',    n_exact - n_cc_dropped,    n_cc_dropped,
+          |  4, 'containment', n_exact - n_cc_dropped - n_cont_dropped, n_cont_dropped
+          |) AS (stage, stage_name, docs_remaining, docs_dropped)""".stripMargin)
+  }
+
+  val dedupFunnelSql: String =
+    s"""WITH RECURSIVE $connectedComponentsCte,
+       |nraw AS (SELECT count(*) AS n FROM documents),
+       |nexact AS (SELECT count(DISTINCT md5(text)) AS n FROM documents),
+       |ccdrop AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+       |ncc AS (SELECT count(*) AS n FROM ccdrop),
+       |contdrop AS (
+       |  SELECT DISTINCT contained_doc AS doc_id FROM ($containmentPairsSql)
+       |  WHERE contained_doc NOT IN (SELECT doc_id FROM ccdrop)),
+       |ncont AS (SELECT count(*) AS n FROM contdrop)
+       |SELECT 1 AS stage, 'raw' AS stage_name,
+       |       CAST(nraw.n AS BIGINT) AS docs_remaining, 0::BIGINT AS docs_dropped
+       |FROM nraw
+       |UNION ALL SELECT 2, 'exact', nexact.n, nraw.n - nexact.n
+       |FROM nraw, nexact
+       |UNION ALL SELECT 3, 'near_dup', nexact.n - ncc.n, ncc.n
+       |FROM nexact, ncc
+       |UNION ALL SELECT 4, 'containment', nexact.n - ncc.n - ncont.n, ncont.n
+       |FROM nexact, ncc, ncont""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_funnel"         -> (dedupFunnel _),
     "dedup_incremental"    -> (dedupIncremental _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_paragraphs"     -> (dedupParagraphs _),
@@ -1042,6 +1095,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "dedup_incremental"    -> dedupIncrementalSql,
+    "dedup_funnel"         -> dedupFunnelSql,
     "dedup_clusters"       -> dedupClustersSql,
     "dedup_paragraphs"     -> dedupParagraphsSql,
     "dedup_containment"    -> containmentPairsSql,
