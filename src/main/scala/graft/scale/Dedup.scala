@@ -777,7 +777,15 @@ object Dedup {
     * (Building arrays from the cached EXPLODED rows sidesteps the
     * CollapseProject re-evaluation trap documented at
     * [[shingleRows]].) */
-  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized per (session, dir): the pair set is read by the
+    * registered `dedup_containment` query AND [[dedupFunnel]]'s stage-4
+    * drop count — without the memo the second consumer re-pays the
+    * whole prefix-filter candidate pipeline. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute(spark, "containment", dir)(
+      containmentPairsImpl(spark, dir).cache())
+
+  private def containmentPairsImpl(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // graft_intersect_count
     val s = shingleReps(spark, dir)
     val df = s.groupBy(col("s")).agg(count(lit(1)).as("df"))
