@@ -29,6 +29,7 @@ object SparkEntry {
       scale.Ranking.queries ++
       scale.Curation.queries ++
       scale.CorpusOps.queries ++
+      scale.FeatureOps.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
       streaming.Subscriptions.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       scale.Ranking.oracles ++
       scale.Curation.oracles ++
       scale.CorpusOps.oracles ++
+      scale.FeatureOps.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++
       streaming.Subscriptions.oracles ++

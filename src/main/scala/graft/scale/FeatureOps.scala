@@ -1,0 +1,291 @@
+package graft.scale
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators a large-scale training/feature
+  * pipeline runs beyond the reference's indicator suite: exponential
+  * time-decay aggregates (feature-store recency features), two-sample
+  * KS drift detection (the distribution-shift companion to the PSI
+  * drift in [[graft.analysis.Importance]]), context-window document
+  * chunking with overlap (the RAG/pretraining split of long documents),
+  * the training-shard manifest (balanced output sharding), and
+  * per-source quality-score calibration (quantile mapping so scores
+  * from different sources are comparable before mixing).
+  *
+  * Scale shapes: decay and the shard manifest are single hash
+  * aggregates; chunking is a map-side explode (no shuffle at all); KS
+  * runs its cumulative window over per-(type, bin) DISTINCT bins, a
+  * bounded domain by construction; calibration is fit-small /
+  * broadcast-apply — the same two-phase shape as
+  * [[graft.normalize.Normalizer]], never a per-source global sort. */
+object FeatureOps {
+
+  // epoch micros for the fixed scoring anchor / drift split — raw
+  // instant arithmetic (unix_micros vs DuckDB epoch_us) keeps every
+  // comparison independent of the session timezone on both engines
+  private val anchorUs = 1706745600000000L // 2024-02-01T00:00:00Z
+  private val splitUs  = 1705363200000000L // 2024-01-16T00:00:00Z
+
+  // ---------------------------------------------------------------- decay
+  /** Exponential TIME-DECAY aggregates per user — the feature-store
+    * staple (`sum(value · 2^(−Δt/half_life))` with a 7-day half-life,
+    * scored as of a fixed anchor): recent activity dominates, stale
+    * activity fades smoothly, and unlike a hard trailing window the
+    * feature never cliffs when an event ages past a boundary.
+    *
+    * ONE hash aggregate over events — the weights are per-row scalar
+    * math, partial-aggregated map-side; at 100 TB this is a scan plus
+    * a shuffle of one row per user. The anchor is an explicit argument
+    * of the semantics (training-serving skew: score time, not wall
+    * time — `Date.now()`-style anchors make features irreproducible). */
+  def featTimeDecay(spark: SparkSession, dir: String): DataFrame = {
+    val days = (lit(anchorUs) - unix_micros(col("ts"))) / lit(86400e6)
+    val w = exp(days * (-math.log(2.0) / 7.0))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(w), 6).as("decayed_count"),
+        round(sum(w * col("value")), 6).as("decayed_sum"),
+        round(min(days), 6).as("recency_days"))
+  }
+
+  val featTimeDecaySql: String =
+    """WITH e AS (
+      |  SELECT user_id, value,
+      |         (1706745600000000 - epoch_us(ts)) / 86400e6 AS days
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  round(sum(exp(days * (-ln(2) / 7.0))), 6) + 0 AS decayed_count,
+      |  round(sum(exp(days * (-ln(2) / 7.0)) * value), 6) + 0 AS decayed_sum,
+      |  round(min(days), 6) + 0 AS recency_days
+      |FROM e GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- ks drift
+  /** Two-sample KOLMOGOROV–SMIRNOV drift per event_type: the first half
+    * of the time range (before the split instant) is the reference
+    * window, the second the current one; KS = max |F_ref − F_cur| over
+    * the pooled value domain, compared against the 95% critical value
+    * 1.358·√((n₁+n₂)/(n₁·n₂)). Catches shape changes (variance,
+    * bimodality) that the binned-PSI drift (`drift_psi`) can smooth
+    * over; together they are the standard drift pair.
+    *
+    * Scale shape: values are binned to 2 decimals FIRST (the sketch
+    * step — a continuous column at 100 TB has unbounded distinct
+    * values; 2-decimal bins make the domain bounded by construction,
+    * and the discrete KS over bins is exactly the statistic on the
+    * binned distribution). The aggregate shrinks events → (type, bin)
+    * counts, the cumulative window runs per type over that bounded bin
+    * set, and the final per-type reduce emits 5 rows. */
+  def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    val isRef = unix_micros(col("ts")) < lit(splitUs)
+    val binned = Tables.events(spark, dir)
+      .groupBy(col("event_type"), round(col("value"), 2).as("bin"))
+      .agg(
+        sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
+        sum(when(isRef, 0L).otherwise(1L)).as("c_cur"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = byType.orderBy(col("bin"))
+    val scored = binned.select(
+      col("event_type"),
+      sum(col("c_ref")).over(cum).as("cum_ref"),
+      sum(col("c_cur")).over(cum).as("cum_cur"),
+      sum(col("c_ref")).over(byType).as("n_ref"),
+      sum(col("c_cur")).over(byType).as("n_cur"))
+    scored
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_ref")).as("n_ref"),
+        max(col("n_cur")).as("n_cur"),
+        round(max(abs(
+          col("cum_ref").cast("double") / col("n_ref") -
+            col("cum_cur").cast("double") / col("n_cur"))), 6).as("ks_stat"))
+      .withColumn("ks_crit",
+        round(lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref") * col("n_cur"))), 6))
+      .withColumn("drifted", col("ks_stat") > col("ks_crit"))
+  }
+
+  val driftKsSql: String =
+    """WITH b AS (
+      |  SELECT event_type, round(value, 2) AS bin,
+      |         sum(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) AS c_ref,
+      |         sum(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END) AS c_cur
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type,
+      |         sum(c_ref) OVER (PARTITION BY event_type ORDER BY bin) AS cum_ref,
+      |         sum(c_cur) OVER (PARTITION BY event_type ORDER BY bin) AS cum_cur,
+      |         sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+      |         sum(c_cur) OVER (PARTITION BY event_type) AS n_cur
+      |  FROM b),
+      |k AS (
+      |  SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
+      |         CAST(max(n_cur) AS BIGINT) AS n_cur,
+      |         round(max(abs(cum_ref * 1.0 / n_ref - cum_cur * 1.0 / n_cur)), 6) + 0 AS ks_stat
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, n_ref, n_cur, ks_stat,
+      |  round(1.358 * sqrt((n_ref + n_cur) * 1.0 / (n_ref * n_cur)), 6) + 0 AS ks_crit,
+      |  ks_stat > round(1.358 * sqrt((n_ref + n_cur) * 1.0 / (n_ref * n_cur)), 6) + 0 AS drifted
+      |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------- chunking
+  /** Context-window CHUNKING with overlap — the split every RAG index
+    * and long-document pretraining pipeline applies before embedding /
+    * packing: fixed windows of 40 tokens at stride 30 (10-token
+    * overlap so no boundary loses context), last window clamped to the
+    * document end, one output row per chunk keyed (doc_id, chunk_idx)
+    * with the chunk digest for downstream exact-dedup of chunks.
+    *
+    * Pure map-side: tokenize → sequence → explode → slice; NO shuffle
+    * anywhere — at 100 TB chunking is embarrassingly parallel and this
+    * plan keeps it that way (the explode multiplies rows ~n_tokens/30×,
+    * which the parquet writer downstream re-blocks; nothing here needs
+    * co-location). Shares [[Dedup.tokens]] so chunk tokens, shingle
+    * tokens, and quality tokens are ONE definition. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 40
+    val stride = 30
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_chunks",
+        (ceil(greatest(col("n_tokens") - chunk, lit(0)) / lit(stride.toDouble)) + 1)
+          .cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunk)))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tokens"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        md5(array_join(col("chunk_toks"), " ").cast("binary")).as("chunk_digest"))
+  }
+
+  val chunkDocumentsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
+       |n AS (
+       |  SELECT doc_id, ts, len(ts) AS n_tokens,
+       |         CAST(ceil(greatest(len(ts) - 40, 0) / 30.0) AS BIGINT) + 1 AS nc
+       |  FROM t WHERE len(ts) > 0),
+       |c AS (
+       |  SELECT doc_id, n_tokens, ts,
+       |         unnest(generate_series(0, nc - 1)) AS chunk_idx
+       |  FROM n)
+       |SELECT doc_id, chunk_idx, chunk_idx * 30 AS start_tok, n_tokens,
+       |  len(array_slice(ts, chunk_idx * 30 + 1, chunk_idx * 30 + 40)) AS n_chunk_tokens,
+       |  md5(array_to_string(array_slice(ts, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' '))
+       |    AS chunk_digest
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------- shards
+  /** Training-SHARD manifest — the census of the final write: each doc
+    * is assigned a shard by a Knuth multiplicative hash of its id (the
+    * portable stand-in for the murmur3 the writer would use; engine
+    * hash functions aren't cross-engine comparable), and the manifest
+    * reports per-shard doc/token/byte totals plus each shard's byte
+    * skew vs the mean shard. A skew near 1.0 for every shard is the
+    * property that makes downstream training readers stragglers-free;
+    * the manifest is how the writer PROVES it before anyone trains.
+    *
+    * One hash aggregate (events → 16 rows) + a 16-row window for the
+    * mean — the census costs a scan regardless of corpus size. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val shard = pmod((col("doc_id") * lit(2654435761L)) % lit(4294967296L), lit(16L))
+    val all = Window.partitionBy(lit(1))
+    Tables.documents(spark, dir)
+      .groupBy(shard.as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .withColumn("bytes_skew",
+        round(col("n_bytes") / avg(col("n_bytes")).over(all), 6))
+  }
+
+  val shardManifestSql: String =
+    s"""WITH s AS (
+       |  SELECT (doc_id * 2654435761) % 4294967296 % 16 AS shard_id,
+       |         len(${Dedup.tokensSql}) AS n_toks,
+       |         octet_length(text::BLOB) AS n_bytes, doc_id
+       |  FROM documents),
+       |g AS (
+       |  SELECT shard_id, count(*) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |         CAST(sum(n_bytes) AS BIGINT) AS n_bytes, min(doc_id) AS min_doc_id,
+       |         max(doc_id) AS max_doc_id
+       |  FROM s GROUP BY shard_id)
+       |SELECT shard_id, n_docs, n_tokens, n_bytes, min_doc_id, max_doc_id,
+       |  round(n_bytes / avg(n_bytes) OVER (), 6) + 0 AS bytes_skew
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- calibrate
+  /** Per-source quality-score CALIBRATION — quantile mapping: each
+    * source's raw composite score ([[TextAnalysis.qualityScoreCol]]) is
+    * replaced by its position among 19 fitted per-source vigintile
+    * edges, so "top 10% of src3" and "top 10% of src7" mean the same
+    * thing before [[Sampling]] mixes sources. Absolute scores are NOT
+    * comparable across sources (boilerplate-heavy sources score
+    * uniformly lower); mixing on raw scores silently under-samples
+    * them — the classic quality-filter bias.
+    *
+    * Fit-small / broadcast-apply: the fit is one aggregate emitting 19
+    * doubles per source (exact `percentile` here; the 100 TB swap is
+    * `approx_percentile`, same plan shape), the apply a broadcast join
+    * + a 19-element array scan per row. No per-source global sort — a
+    * `percent_rank` over a 30 TB source would be a single-task window;
+    * this shape never sorts the corpus at all. Edges and scores are
+    * compared at 6-decimal precision so the engine-boundary membership
+    * test is deterministic. */
+  def qualityCalibrate(spark: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 19).map(_ / 20.0)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScoreCol.as("score"))
+    val edges = scored.groupBy(col("source"))
+      .agg(expr(s"percentile(score, array(${ps.mkString(",")}))").as("edges"))
+    scored.join(broadcast(edges), "source")
+      .select(col("doc_id"), col("source"),
+        round(col("score"), 6).as("raw_score"),
+        (size(filter(col("edges"),
+          e => round(e, 6) <= round(col("score"), 6))) / lit(20.0))
+          .as("calibrated_score"))
+  }
+
+  val qualityCalibrateSql: String = {
+    val ps = (1 to 19).map(_ / 20.0)
+    s"""WITH ${TextAnalysis.qualityCtes},
+       |sc AS (
+       |  SELECT q.doc_id, d.source, q.score
+       |  FROM qs q JOIN documents d USING (doc_id)),
+       |ed AS (
+       |  SELECT source, quantile_cont(score, [${ps.mkString(",")}]) AS edges
+       |  FROM sc GROUP BY source)
+       |SELECT sc.doc_id, sc.source, round(sc.score, 6) + 0 AS raw_score,
+       |  len(list_filter(ed.edges, e -> round(e, 6) <= round(sc.score, 6))) / 20.0
+       |    AS calibrated_score
+       |FROM sc JOIN ed USING (source)""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_time_decay"   -> (featTimeDecay _),
+    "drift_ks"          -> (driftKs _),
+    "chunk_documents"   -> (chunkDocuments _),
+    "shard_balance"     -> (shardManifest _),
+    "quality_calibrate" -> (qualityCalibrate _))
+
+  def oracles: Map[String, String] = Map(
+    "feat_time_decay"   -> featTimeDecaySql,
+    "drift_ks"          -> driftKsSql,
+    "chunk_documents"   -> chunkDocumentsSql,
+    "shard_balance"     -> shardManifestSql,
+    "quality_calibrate" -> qualityCalibrateSql)
+}

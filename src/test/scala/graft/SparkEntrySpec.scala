@@ -27,6 +27,7 @@ class SparkEntrySpec extends SparkSpec {
     "Ranking"         -> scale.Ranking.queries,
     "Curation"        -> scale.Curation.queries,
     "CorpusOps"       -> scale.CorpusOps.queries,
+    "FeatureOps"      -> scale.FeatureOps.queries,
     "Sources"         -> operators.Sources.queries,
     "Sinks"           -> sources.Sinks.queries,
     "Subscriptions"   -> streaming.Subscriptions.queries,
