@@ -103,13 +103,61 @@ object Sketches {
        |FROM shs GROUP BY s
        |ORDER BY n_docs DESC, s LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- hll rollup
+  /** Mergeable HLL ROLLUP — the property that makes sketches the 100 TB
+    * answer: per-day DataSketches HLL sketches of the distinct-user set
+    * are built ONCE (one pass over events), then the month's distinct
+    * count comes from UNIONING the 30 daily sketches — never re-reading
+    * the raw data. This is the materialized-rollup pattern every metrics
+    * store ships (daily sketch partitions; any ad-hoc date range =
+    * sketch union, constant work): an exact monthly distinct would
+    * re-shuffle every event, the union touches 30 kilobyte-sized
+    * sketches. Emits one row per day plus the month row; each row pins
+    * the EXACT distinct (cross-engine computable) and a within-2%
+    * acceptance band on the sketch estimate (lgConfigK=12 → ~1.6% rse;
+    * the sketch is order-insensitive, so the band is deterministic for
+    * a fixed input set). */
+  def skHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val dayRows = daily.select(
+      lit("day").as("level"), col("day").cast("string").as("bucket"),
+      col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+        col("n_exact") * 0.02).as("within_2pct"))
+    // month = union of the DAILY sketches (the rollup read path) checked
+    // against the exact distinct over the raw table (the write path it
+    // replaces)
+    val monthExact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    val monthRow = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .crossJoin(monthExact)
+      .select(lit("month").as("level"), lit("ALL").as("bucket"),
+        col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.02)
+          .as("within_2pct"))
+    dayRows.unionByName(monthRow)
+  }
+
+  val skHllRollupSql: String =
+    """SELECT 'day' AS level, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS bucket,
+      |       count(DISTINCT user_id) AS n_exact, TRUE AS within_2pct
+      |FROM events GROUP BY CAST(ts AS DATE)
+      |UNION ALL
+      |SELECT 'month', 'ALL', count(DISTINCT user_id), TRUE FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_approx_distinct"   -> (skApproxDistinct _),
     "sk_approx_percentile" -> (skApproxPercentile _),
-    "sk_heavy_hitters_cms" -> (skHeavyHittersCms _))
+    "sk_heavy_hitters_cms" -> (skHeavyHittersCms _),
+    "sk_hll_rollup"        -> (skHllRollup _))
 
   def oracles: Map[String, String] = Map(
     "sk_approx_distinct"   -> skApproxDistinctSql,
     "sk_approx_percentile" -> skApproxPercentileSql,
-    "sk_heavy_hitters_cms" -> skHeavyHittersCmsSql)
+    "sk_heavy_hitters_cms" -> skHeavyHittersCmsSql,
+    "sk_hll_rollup"        -> skHllRollupSql)
 }
