@@ -236,4 +236,33 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("document chunking is pure map-side: zero exchanges anywhere in the plan") {
+    val p = plan(scale.FeatureOps.chunkDocuments(spark, sfDir))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 0, s"chunking must not shuffle, got $exchanges:\n$p")
+  }
+
+  test("quality calibration broadcasts the per-source edges, never sorts the corpus") {
+    val p = plan(scale.FeatureOps.qualityCalibrate(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), "edges should broadcast:\n" + p)
+    // the scale property: no window (percent_rank-style) over the docs —
+    // the only sort permitted is none at all
+    assert(!p.contains(") Window"), "calibration must not window the corpus:\n" + p)
+  }
+
+  test("time-decay features are one partial+final hash aggregate over the scan") {
+    val p = plan(scale.FeatureOps.featTimeDecay(spark, sfDir))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected the single user_id shuffle, got $exchanges:\n$p")
+    assert(p.contains("partial_"), "map-side combine missing:\n" + p)
+  }
+
+  test("KS drift windows are partitioned by event_type — no global window") {
+    val p = plan(scale.FeatureOps.driftKs(spark, sfDir))
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows >= 1, p)
+    assert(p.contains("partitionspec=[event_type") ||
+      p.toLowerCase.contains("event_type"), p)
+  }
 }
