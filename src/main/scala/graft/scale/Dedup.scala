@@ -613,12 +613,22 @@ object Dedup {
     while (changed && iter < 20) {
       // closed-neighborhood min as union + one aggregate: two shuffles
       // per round (join on doc_b, groupBy doc_id) instead of three
+      // localCheckpoint (not cache): each iteration's plan nests the
+      // previous one, so by convergence the LOGICAL tree is the whole
+      // unrolled loop over the full LSH pipeline — and Catalyst
+      // re-optimizes that tree on EVERY consumer action before cache
+      // substitution even applies (measured 1.5 s/action of pure
+      // driver planning at sf0.1). Truncating lineage to a LogicalRDD
+      // makes per-iteration planning O(1) and consumer planning
+      // instant — the same reason GraphFrames checkpoints its CC loop;
+      // at cluster scale swap for reliable checkpoint (executor loss
+      // recomputes a localCheckpoint from nothing).
       val updated = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
         .select(col("doc_a").as("doc_id"), col("label"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .coalesce(4).cache()
+        .coalesce(4).localCheckpoint()
       // sum() over zero rows is NULL — a clean corpus (no near-dup
       // pairs) must converge to an empty label set, not NPE
       val row = updated.agg(sum(col("label"))).head()
@@ -782,8 +792,13 @@ object Dedup {
     * drop count — without the memo the second consumer re-pays the
     * whole prefix-filter candidate pipeline. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint, not cache: the candidate pipeline's LOGICAL plan
+    // (shingle explode + prefix bands + codegen'd intersect) is big
+    // enough that Catalyst re-optimizing it per consumer action costs
+    // ~2 s before the cache is even substituted; a LogicalRDD plans in
+    // microseconds and the pair set is tiny relative to the corpus
     DirMemo.getOrCompute(spark, "containment", dir)(
-      containmentPairsImpl(spark, dir).cache())
+      containmentPairsImpl(spark, dir).localCheckpoint())
 
   private def containmentPairsImpl(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // graft_intersect_count

@@ -808,8 +808,18 @@ object Similarity {
     * Output grain: (cid, dim, c, n_members) — the fitted codebook plus
     * final cluster occupancy. */
   /** Third-iteration Lloyd assignment (vec_id, v, cid) — shared by the
-    * fit output and [[Ranking.clusterTopics]]' per-cluster summaries. */
-  private[scale] def kmeansAssign3(spark: SparkSession, dir: String): DataFrame = {
+    * fit output and [[Ranking.clusterTopics]]' per-cluster summaries,
+    * and read TWICE inside [[kmeansFit]] itself (update + occupancy
+    * counts); memoized+cached so the 3-iteration chain materializes
+    * once per (session, dir) instead of once per consumer branch. */
+  private[scale] def kmeansAssign3(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint, not cache: three unrolled Lloyd iterations of
+    // 64-term distance expressions make a logical tree Catalyst spends
+    // ~1 s re-optimizing per consumer action; truncate to a LogicalRDD
+    DirMemo.getOrCompute(spark, "kmeans_a3", dir)(
+      kmeansAssign3Impl(spark, dir).localCheckpoint())
+
+  private def kmeansAssign3Impl(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val dist = (0 until 64)
       .map { d =>
