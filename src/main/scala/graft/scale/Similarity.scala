@@ -991,7 +991,10 @@ object Similarity {
     val e1 = Array.tabulate(64)(d => if (d == 0) 1.0 else 0.0)
     val v1 = normQuant(step(e1))
     val v2 = normQuant(step(v1))
-    val u3 = step(v2) // final iterate stays a plan: normalize/flip in-query
+    // the final iterate is consumed THREE times below (norm, eigenvalue,
+    // loadings) and each consumer would re-run the whole corpus pass —
+    // checkpoint the 64-row result so the pass runs once
+    val u3 = step(v2).localCheckpoint()
     val nrm3 = u3.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
     val lam = u3.agg(round(
       sum(col("u") * element_at(typedLit(v2.toSeq), col("d") + 1)) / (nRows - 1), 6)
