@@ -30,6 +30,7 @@ object SparkEntry {
       scale.Curation.queries ++
       scale.CorpusOps.queries ++
       scale.FeatureOps.queries ++
+      scale.GraphOps.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
       streaming.Subscriptions.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       scale.Curation.oracles ++
       scale.CorpusOps.oracles ++
       scale.FeatureOps.oracles ++
+      scale.GraphOps.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++
       streaming.Subscriptions.oracles ++

@@ -275,17 +275,147 @@ object FeatureOps {
        |FROM sc JOIN ed USING (source)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- bootstrap
+  /** POISSON BOOTSTRAP confidence intervals for the per-type mean —
+    * the single-pass bootstrap that works at 100 TB: classical
+    * resampling needs the whole dataset in hand per replicate, while
+    * Poisson(1) weights approximate multinomial resampling row-locally
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams"), so all 32 replicates ride ONE scan (explode ×32 →
+    * aggregate). The replicate weights come from a PORTABLE hash PRN
+    * (md5 of event_id·1000003+rep, first 8 hex digits → uniform in
+    * [0,1), inverse-CDF to Poisson counts 0..4) — both engines derive
+    * bit-identical weights, which is what makes a resampling procedure
+    * hash-oracle-able at all: seeded engine RNGs never match across
+    * engines, content-hash RNGs always do. CI = exact 2.5%/97.5%
+    * interpolated percentiles over the 32 replicate means. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val reps = 32
+    // inverse Poisson(1) CDF thresholds as exact decimal literals so
+    // both engines compare against identical doubles
+    val u = conv(substring(md5(concat(
+        (col("event_id") * 1000003 + col("rep")).cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    val w = when(u < 0.367879441, 0)
+      .when(u < 0.735758882, 1)
+      .when(u < 0.919698602, 2)
+      .when(u < 0.981011843, 3)
+      .otherwise(4)
+    val replicated = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .select(col("event_type"), col("rep"), col("value"), w.as("w"))
+    val repMeans = replicated
+      .groupBy(col("event_type"), col("rep"))
+      .agg((sum(col("w") * col("value")) /
+        nullif(sum(col("w")), lit(0))).as("m"))
+    val base = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value"))
+    repMeans.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(m, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(m, 0.975)"), 6).as("ci_hi"))
+      .join(base, "event_type")
+      .select(col("event_type"), col("n"), col("mean_value"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  val bootstrapCiSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value, g.rep,
+      |         ('0x' || substr(md5(CAST(event_id * 1000003 + g.rep AS VARCHAR)), 1, 8))::BIGINT
+      |           / 4294967296.0 AS u
+      |  FROM events, (SELECT unnest(generate_series(0, 31)) AS rep) g),
+      |w AS (
+      |  SELECT event_type, rep, value,
+      |         CASE WHEN u < 0.367879441 THEN 0
+      |              WHEN u < 0.735758882 THEN 1
+      |              WHEN u < 0.919698602 THEN 2
+      |              WHEN u < 0.981011843 THEN 3
+      |              ELSE 4 END AS w
+      |  FROM r),
+      |m AS (
+      |  SELECT event_type, rep, sum(w * value) / nullif(sum(w), 0) AS m
+      |  FROM w GROUP BY event_type, rep),
+      |ci AS (
+      |  SELECT event_type,
+      |         round(quantile_cont(m, 0.025), 6) + 0 AS ci_lo,
+      |         round(quantile_cont(m, 0.975), 6) + 0 AS ci_hi
+      |  FROM m GROUP BY event_type),
+      |b AS (
+      |  SELECT event_type, count(*) AS n, round(avg(value), 6) + 0 AS mean_value
+      |  FROM events GROUP BY event_type)
+      |SELECT b.event_type, b.n, b.mean_value, ci.ci_lo, ci.ci_hi
+      |FROM b JOIN ci USING (event_type)""".stripMargin
+
+  // ---------------------------------------------------------------- anomaly
+  /** SEASONAL-BASELINE anomaly detection — the ops-monitoring shape:
+    * fit a per-(event_type, hour-of-day) mean/σ profile on the
+    * reference window (before the split instant), then flag current-
+    * window values outside μ ± 3σ. Hour-of-day captures the daily
+    * seasonality a global threshold smears over (a value normal at
+    * peak hours is anomalous at 3am). The fit is one aggregate over a
+    * BOUNDED domain (types × 24 hours), the apply a broadcast join —
+    * the same fit-small/apply-wide shape as the normalizer; at 100 TB
+    * neither side shuffles the fact table twice. μ/σ are rounded to 6
+    * decimals BEFORE the threshold compare so both engines test
+    * identical doubles (raw σ differs in summation order). */
+  def anomalySeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val isRef = unix_micros(col("ts")) < lit(splitUs)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).as("hod"),
+        col("value"), isRef.as("is_ref"))
+    val fit = ev.filter(col("is_ref"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_ref"),
+        round(avg(col("value")), 6).as("mu"),
+        round(stddev_samp(col("value")), 6).as("sigma"))
+    ev.filter(!col("is_ref"))
+      .join(broadcast(fit), Seq("event_type", "hod"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(
+        max(col("n_ref")).as("n_ref"),
+        max(col("mu")).as("mu"),
+        max(col("sigma")).as("sigma"),
+        count(lit(1)).as("n_cur"),
+        sum(when(abs(col("value") - col("mu")) > col("sigma") * 3, 1L)
+          .otherwise(0L)).as("n_anomalies"))
+  }
+
+  val anomalySeasonalSql: String =
+    """WITH e AS (
+      |  SELECT event_type, hour(ts) AS hod, value,
+      |         epoch_us(ts) < 1705363200000000 AS is_ref
+      |  FROM events),
+      |f AS (
+      |  SELECT event_type, hod, count(*) AS n_ref,
+      |         round(avg(value), 6) + 0 AS mu,
+      |         round(stddev_samp(value), 6) + 0 AS sigma
+      |  FROM e WHERE is_ref GROUP BY event_type, hod)
+      |SELECT e.event_type, e.hod,
+      |       CAST(max(f.n_ref) AS BIGINT) AS n_ref, max(f.mu) AS mu,
+      |       max(f.sigma) AS sigma, count(*) AS n_cur,
+      |       CAST(sum(CASE WHEN abs(e.value - f.mu) > f.sigma * 3
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM e JOIN f USING (event_type, hod)
+      |WHERE NOT e.is_ref
+      |GROUP BY e.event_type, e.hod""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feat_time_decay"   -> (featTimeDecay _),
     "drift_ks"          -> (driftKs _),
     "chunk_documents"   -> (chunkDocuments _),
     "shard_balance"     -> (shardManifest _),
-    "quality_calibrate" -> (qualityCalibrate _))
+    "quality_calibrate" -> (qualityCalibrate _),
+    "bootstrap_ci"      -> (bootstrapCi _),
+    "anomaly_seasonal"  -> (anomalySeasonal _))
 
   def oracles: Map[String, String] = Map(
     "feat_time_decay"   -> featTimeDecaySql,
     "drift_ks"          -> driftKsSql,
     "chunk_documents"   -> chunkDocumentsSql,
     "shard_balance"     -> shardManifestSql,
-    "quality_calibrate" -> qualityCalibrateSql)
+    "quality_calibrate" -> qualityCalibrateSql,
+    "bootstrap_ci"      -> bootstrapCiSql,
+    "anomaly_seasonal"  -> anomalySeasonalSql)
 }

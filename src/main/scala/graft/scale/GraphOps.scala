@@ -1,0 +1,96 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-dup pair graph — the same edge set the
+  * connected-components dedup stage consumes ([[Dedup.dedupClusters]]),
+  * read here for IMPORTANCE instead of membership: PageRank scores
+  * which documents sit at the center of duplication neighborhoods (the
+  * canonical "which template spawned this family" signal a curation
+  * pipeline uses to pick cluster representatives and to spot mass-
+  * produced boilerplate).
+  *
+  * Determinism design: the iteration runs in FIXED-POINT micro-units
+  * (BIGINT millionths). Floating-point PageRank is order-sensitive —
+  * neighbor sums associate differently across engines and even across
+  * partition counts, so a float loop can't be hash-oracled and isn't
+  * reproducible run-to-run at scale. Integer sums are associative:
+  * per-edge contributions quantize via integer division, damping is
+  * `(s·85) div 100`, and every iteration is bit-exact on any engine,
+  * any partitioning, any cluster size. Reproducibility-by-construction
+  * is the property a 100 TB pipeline wants from ranking stages.
+  *
+  * Scale shape: 3 fixed Lloyd-style rounds, each = one join edges⋈pr
+  * (pr is node-sized, broadcastable at the near-dup-graph scale) + one
+  * aggregate on the destination key; pr state is localCheckpoint'ed per
+  * round (lineage truncation — see Dedup.computeClusters). */
+object GraphOps {
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = p.unionByName(
+        p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint() // consumed by deg + 3 iteration joins
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    // floor(x + 0.5) on both sides (Scala math.round == floor(x+0.5) for
+    // positive doubles; the oracle writes the same expression)
+    val prInit = if (n == 0) 0L else math.round(1e6 / n)
+    val base = if (n == 0) 0L else math.round(0.15 * 1e6 / n)
+    var pr = deg.select(col("doc_a").as("doc_id"), lit(prInit).as("pr_units"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(pr.select(col("doc_id").as("doc_a"), col("pr_units")), "doc_a")
+        .join(deg, "doc_a")
+        .select(col("doc_b"), expr("pr_units div deg").as("c"))
+      val sums = contrib.groupBy(col("doc_b")).agg(sum(col("c")).as("s"))
+      pr = deg.select(col("doc_a").as("doc_id"))
+        .join(sums.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) + expr("coalesce(s, 0L) * 85 div 100")).as("pr_units"))
+        .localCheckpoint()
+    }
+    pr.join(deg.withColumnRenamed("doc_a", "doc_id"), "doc_id")
+      .select(col("doc_id"), col("deg"), col("pr_units"),
+        round(col("pr_units") / 1e6, 6).as("pagerank"))
+  }
+
+  val graphPagerankSql: String = {
+    def iter(prev: String, tag: String): String =
+      s"""s_$tag AS (
+         |  SELECT e.b AS id, CAST(sum(p.u // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN $prev p ON p.id = e.a JOIN deg d ON d.a = e.a
+         |  GROUP BY e.b),
+         |$tag AS (
+         |  SELECT d.a AS id,
+         |         (SELECT base FROM cst) + (coalesce(s.s, 0) * 85) // 100 AS u
+         |  FROM deg d LEFT JOIN s_$tag s ON s.id = d.a)""".stripMargin
+    s"""WITH pairs AS (
+       |${Dedup.minhashLshPairsSql}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       |cst AS (
+       |  SELECT CAST(floor(1e6 / greatest(count(*), 1) + 0.5) AS BIGINT) AS init,
+       |         CAST(floor(0.15 * 1e6 / greatest(count(*), 1) + 0.5) AS BIGINT) AS base
+       |  FROM deg),
+       |pr0 AS (SELECT a AS id, (SELECT init FROM cst) AS u FROM deg),
+       |${iter("pr0", "pr1")},
+       |${iter("pr1", "pr2")},
+       |${iter("pr2", "pr3")}
+       |SELECT p.id AS doc_id, d.deg AS deg, p.u AS pr_units,
+       |       round(p.u / 1e6, 6) + 0 AS pagerank
+       |FROM pr3 p JOIN deg d ON d.a = p.id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _))
+
+  def oracles: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql)
+}

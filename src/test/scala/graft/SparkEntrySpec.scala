@@ -28,6 +28,7 @@ class SparkEntrySpec extends SparkSpec {
     "Curation"        -> scale.Curation.queries,
     "CorpusOps"       -> scale.CorpusOps.queries,
     "FeatureOps"      -> scale.FeatureOps.queries,
+    "GraphOps"        -> scale.GraphOps.queries,
     "Sources"         -> operators.Sources.queries,
     "Sinks"           -> sources.Sinks.queries,
     "Subscriptions"   -> streaming.Subscriptions.queries,

@@ -64,6 +64,44 @@ class FeatureOpsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("bootstrap CI brackets the point estimate and is ordered") {
+    val rows = FeatureOps.bootstrapCi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, s"ci_lo $lo > ci_hi $hi")
+      // Poisson-weighted replicate means concentrate around the mean;
+      // with 32 replicates the 95% band must bracket it
+      assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+    }
+  }
+
+  test("seasonal anomaly counts are bounded by the current window size") {
+    val bad = FeatureOps.anomalySeasonal(spark, sfDir)
+      .filter(col("n_anomalies") > col("n_cur") || col("n_anomalies") < 0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("fixed-point pagerank conserves mass up to truncation and ranks hubs first") {
+    val pr = GraphOps.graphPagerank(spark, sfDir).cache()
+    val n = pr.count()
+    if (n > 0) {
+      // each node truncates at most 1 unit per contribution per round;
+      // total mass stays within n·4 units of the initial 1e6
+      val total = pr.agg(sum(col("pr_units"))).head().getLong(0)
+      assert(total <= 1000000L + n, s"mass above initial: $total")
+      assert(total >= 1000000L - 6 * n, s"mass leaked: $total for $n nodes")
+      // pagerank is monotone in degree for this near-clique graph family:
+      // the top-ranked node must have at least the median degree
+      val top = pr.orderBy(col("pr_units").desc).head()
+      val medianDeg = pr.stat.approxQuantile("deg", Array(0.5), 0.0).head
+      assert(top.getLong(1) >= medianDeg.toLong,
+        s"top node degree ${top.getLong(1)} below median $medianDeg")
+    }
+    pr.unpersist()
+  }
+
   test("calibrated scores are vigintiles in [0,1] and monotone in raw score") {
     val c = FeatureOps.qualityCalibrate(spark, sfDir).cache()
     assert(c.filter(col("calibrated_score") < 0 ||
