@@ -383,7 +383,12 @@ object Similarity {
     * the recall probe is how a deployment notices. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val k = 10
-    val c = corpus(spark, dir).withColumn("bucket", lshBucket(col("v"))).cache()
+    // localCheckpoint, not cache: the 512-term bucket expression sits
+    // under all four method branches, and Catalyst re-optimizes the full
+    // tree per action when it's merely cached (planning cost, not
+    // compute, dominated this query's warm time)
+    val c = corpus(spark, dir).withColumn("bucket", lshBucket(col("v")))
+      .localCheckpoint()
     val q = c.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
@@ -395,7 +400,7 @@ object Similarity {
     // cached: the ground-truth set joins against BOTH approximate sets —
     // without the boundary the full brute scoring pass runs twice
     val brute = rank(c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cos)).cache()
+      .withColumn("cosine", cos)).localCheckpoint()
     val lsh = rank(c.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cos))
