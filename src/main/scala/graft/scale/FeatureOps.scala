@@ -360,16 +360,24 @@ object FeatureOps {
     * neither side shuffles the fact table twice. μ/σ are rounded to 6
     * decimals BEFORE the threshold compare so both engines test
     * identical doubles (raw σ differs in summation order). */
+  /** The fitted per-(event_type, hour-of-day) μ/σ profile on the
+    * reference window — shared by the batch query below and the
+    * streaming scorer ([[graft.streaming.AnomalyStream]]), so offline
+    * backfill and online alerting apply ONE definition of "anomalous". */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(unix_micros(col("ts")) < lit(splitUs))
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_ref"),
+        round(avg(col("value")), 6).as("mu"),
+        round(stddev_samp(col("value")), 6).as("sigma"))
+
   def anomalySeasonal(spark: SparkSession, dir: String): DataFrame = {
     val isRef = unix_micros(col("ts")) < lit(splitUs)
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), hour(col("ts")).as("hod"),
         col("value"), isRef.as("is_ref"))
-    val fit = ev.filter(col("is_ref"))
-      .groupBy(col("event_type"), col("hod"))
-      .agg(count(lit(1)).as("n_ref"),
-        round(avg(col("value")), 6).as("mu"),
-        round(stddev_samp(col("value")), 6).as("sigma"))
+    val fit = seasonalProfile(spark, dir)
     ev.filter(!col("is_ref"))
       .join(broadcast(fit), Seq("event_type", "hod"))
       .groupBy(col("event_type"), col("hod"))
