@@ -353,7 +353,70 @@ object Sessions {
       |  round(sum(pos_credit), 6) + 0   AS position_based
       |FROM cr GROUP BY channel""".stripMargin
 
+  // ---------------------------------------------------------------- assoc
+  /** ASSOCIATION RULES over daily user baskets — market-basket lift on
+    * event types: a basket is the distinct set of event types one user
+    * produced in one day, and each ordered type pair (a → b) reports
+    * support, confidence, and lift. Lift > 1 = co-occurring beyond
+    * independence — the cross-sell / next-action signal.
+    *
+    * Counts stay INTEGERS until the final projection (cross-engine
+    * deterministic regardless of aggregation order); the divisions are
+    * rounded once at the edge. Scale shape: the basket table is
+    * (users × days), the pair self-join runs per basket over ≤|types|
+    * items — with a large item vocabulary the standard frequent-item
+    * prefilter (drop items below min-support BEFORE pairing) bounds
+    * the blowup; here the type domain is tiny so pairs ≤ C(5,2). */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val n = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemN = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.day") === col("b.day") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("item_a"), col("b.event_type").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(itemN.select(col("event_type").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(itemN.select(col("event_type").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab") / col("n_baskets"), 6).as("support"),
+        round(col("n_ab") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  val assocRulesSql: String =
+    """WITH bk AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      |  FROM events),
+      |nb AS (SELECT count(*) AS n_baskets
+      |       FROM (SELECT DISTINCT user_id, day FROM bk)),
+      |it AS (SELECT event_type, count(*) AS n_item FROM bk GROUP BY event_type),
+      |pr AS (
+      |  SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n_ab
+      |  FROM bk a JOIN bk b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.item_a, p.item_b, p.n_ab,
+      |  ia.n_item AS n_a, ib.n_item AS n_b,
+      |  round(p.n_ab * 1.0 / nb.n_baskets, 6) + 0 AS support,
+      |  round(p.n_ab * 1.0 / ia.n_item, 6) + 0 AS confidence,
+      |  round(p.n_ab * 1.0 * nb.n_baskets / (ia.n_item * ib.n_item), 6) + 0 AS lift
+      |FROM pr p
+      |JOIN it ia ON ia.event_type = p.item_a
+      |JOIN it ib ON ib.event_type = p.item_b, nb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_rules"       -> (assocRules _),
     "sess_sessionize"   -> (sessionize _),
     "sess_funnel"       -> (funnel _),
     "retention_cohorts" -> (retentionCohorts _),
@@ -364,6 +427,7 @@ object Sessions {
     "attr_touch"        -> (attrTouch _))
 
   def oracles: Map[String, String] = Map(
+    "assoc_rules"       -> assocRulesSql,
     "sess_sessionize"   -> sessionizeSql,
     "sess_funnel"       -> funnelSql,
     "retention_cohorts" -> retentionSql,

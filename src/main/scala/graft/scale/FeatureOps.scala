@@ -409,7 +409,48 @@ object FeatureOps {
       |WHERE NOT e.is_ref
       |GROUP BY e.event_type, e.hod""".stripMargin
 
+  // ---------------------------------------------------------------- target enc
+  /** Leakage-safe TARGET ENCODING of a categorical — the ML-pipeline
+    * replacement for one-hot at high cardinality: each row's category
+    * is encoded by the mean target of its group COMPUTED WITHOUT THE
+    * ROW ITSELF (leave-one-out), plus a Bayesian-smoothed variant
+    * (m=10 pseudo-observations of the global mean) that shrinks rare
+    * categories toward the prior. Naive mean encoding leaks the row's
+    * own label into its feature — the classic train-time inflation —
+    * and LOO is the algebraic fix: enc_i = (S_g − y_i)/(n_g − 1).
+    *
+    * One aggregate for the per-group (S, n) + one one-row global
+    * aggregate, both broadcast back over the fact table — no window,
+    * no second shuffle of the facts; the encode is a map stage. A
+    * singleton group has no leave-one-out mean (n−1 = 0) and falls
+    * back to the global mean. */
+  def featTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val grp = ev.groupBy(col("event_type"))
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+    val glob = ev.agg(avg(col("value")).as("mu"))
+    ev.join(broadcast(grp), "event_type").crossJoin(broadcast(glob))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(when(col("n") > 1,
+            (col("s") - col("value")) / (col("n") - 1))
+          .otherwise(col("mu")), 6).as("loo_enc"),
+        round((col("s") - col("value") + lit(10) * col("mu")) /
+          (col("n") - 1 + 10), 6).as("smooth_enc"))
+  }
+
+  val featTargetEncodeSql: String =
+    """WITH g AS (
+      |  SELECT event_type, sum(value) AS s, count(*) AS n
+      |  FROM events GROUP BY event_type),
+      |gl AS (SELECT avg(value) AS mu FROM events)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  round(CASE WHEN g.n > 1 THEN (g.s - e.value) / (g.n - 1)
+      |             ELSE gl.mu END, 6) + 0 AS loo_enc,
+      |  round((g.s - e.value + 10 * gl.mu) / (g.n - 1 + 10), 6) + 0 AS smooth_enc
+      |FROM events e JOIN g USING (event_type), gl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_target_encode" -> (featTargetEncode _),
     "feat_time_decay"   -> (featTimeDecay _),
     "drift_ks"          -> (driftKs _),
     "chunk_documents"   -> (chunkDocuments _),
@@ -419,6 +460,7 @@ object FeatureOps {
     "anomaly_seasonal"  -> (anomalySeasonal _))
 
   def oracles: Map[String, String] = Map(
+    "feat_target_encode" -> featTargetEncodeSql,
     "feat_time_decay"   -> featTimeDecaySql,
     "drift_ks"          -> driftKsSql,
     "chunk_documents"   -> chunkDocumentsSql,
