@@ -24,6 +24,9 @@ object GraftFunctions {
   def intersectCountBuilder(exprs: Seq[Expression]): IntersectCount =
     IntersectCount(exprs.head, exprs(1))
 
+  def chunkTokensBuilder(exprs: Seq[Expression]): ChunkTokens =
+    ChunkTokens(exprs.head, exprs(1), exprs(2))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm_avg", ewmAvgBuilder, "built-in")
@@ -31,6 +34,8 @@ object GraftFunctions {
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_intersect_count", intersectCountBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_chunk_tokens", chunkTokensBuilder, "built-in")
   }
 
   /** Codegen'd dense dot product ([[DotProduct]]). */

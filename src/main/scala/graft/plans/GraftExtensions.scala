@@ -33,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_intersect_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.intersectCountBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chunk_tokens"),
+      new ExpressionInfo(classOf[graft.functions.ChunkTokens].getName,
+        "graft_chunk_tokens"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.chunkTokensBuilder(exprs)))
   }
 }

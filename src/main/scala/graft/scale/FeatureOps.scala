@@ -167,6 +167,29 @@ object FeatureOps {
         md5(array_join(col("chunk_toks"), " ").cast("binary")).as("chunk_digest"))
   }
 
+  /** The same chunking through the custom Catalyst GENERATOR
+    * ([[graft.functions.ChunkTokens]] — the UDTF tier): one Generate
+    * node slices while it emits instead of exploding an index sequence
+    * and slicing afterwards, so each generated row carries O(chunk)
+    * data, not the O(doc) token array the composed form drags through
+    * its explode. Same zero-shuffle plan, same rows — it shares
+    * [[chunkDocumentsSql]] as its oracle, which is the equivalence
+    * proof. */
+  def chunkDocumentsGen(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        call_function("graft_chunk_tokens", col("toks"), lit(40), lit(30))
+          .as(Seq("chunk_idx", "start_tok", "chunk_toks")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tokens"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        md5(array_join(col("chunk_toks"), " ").cast("binary")).as("chunk_digest"))
+  }
+
   val chunkDocumentsSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, ${Dedup.tokensSql} AS ts FROM documents),
@@ -454,6 +477,7 @@ object FeatureOps {
     "feat_time_decay"   -> (featTimeDecay _),
     "drift_ks"          -> (driftKs _),
     "chunk_documents"   -> (chunkDocuments _),
+    "chunk_documents_gen" -> (chunkDocumentsGen _),
     "shard_balance"     -> (shardManifest _),
     "quality_calibrate" -> (qualityCalibrate _),
     "bootstrap_ci"      -> (bootstrapCi _),
@@ -464,6 +488,7 @@ object FeatureOps {
     "feat_time_decay"   -> featTimeDecaySql,
     "drift_ks"          -> driftKsSql,
     "chunk_documents"   -> chunkDocumentsSql,
+    "chunk_documents_gen" -> chunkDocumentsSql,
     "shard_balance"     -> shardManifestSql,
     "quality_calibrate" -> qualityCalibrateSql,
     "bootstrap_ci"      -> bootstrapCiSql,
