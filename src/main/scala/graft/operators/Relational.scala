@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Core relational operators: scans, filters, aggregations — SURVEY §2.1,
@@ -122,13 +122,133 @@ object Relational {
       |  count(*) AS volume
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- star join
+  /** TPC-H-Q3-shaped STAR JOIN: segment-filtered customers ⋈ orders ⋈
+    * lineitem, revenue per open order, top 10. The canonical optimizer
+    * exercise on this schema: the selective dimension (one-fifth of
+    * customers) broadcasts into the orders join, that result broadcasts
+    * into the fact join or shuffles on orderkey (Catalyst + AQE pick by
+    * measured size), and only the fact scan is large. Filters sit on
+    * all three scan predicates — `.explain` shows them pushed. */
+  def q3StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3StarJoinSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) + 0 AS revenue
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- contracts
+  /** DATA-CONTRACT validation census — the pre-ingest gate a pipeline
+    * runs against producer guarantees: referential integrity (orders →
+    * customer, lineitem → orders, both as anti-join counts), range
+    * bounds, enum domains, and non-null requirements, one row per rule
+    * with checked/violation counts. All counts are integers — the
+    * census is deterministic under any aggregation order — and each
+    * anti join broadcasts its key-only dimension side; nothing scans a
+    * table twice. The empty-violation result is the CONTRACT: a
+    * non-zero row is what pages the producer. */
+  def contractCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+    def rule(name: String, checked: DataFrame, bad: Column): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    val fkOrders = o.join(broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("orders.custkey_fk").as("rule"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0).as("pass"))
+    val fkLineitem = l.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem.orderkey_fk").as("rule"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0).as("pass"))
+    fkOrders
+      .unionByName(fkLineitem)
+      .unionByName(rule("orders.totalprice_positive", o, col("o_totalprice") <= 0))
+      .unionByName(rule("orders.status_enum", o,
+        !col("o_orderstatus").isin("O", "F", "P")))
+      .unionByName(rule("customer.acctbal_range", c,
+        col("c_acctbal") < -1000 || col("c_acctbal") > 10000))
+      .unionByName(rule("lineitem.discount_range", l,
+        col("l_discount") < 0 || col("l_discount") > 0.5))
+      .unionByName(rule("events.value_nonnull", ev, col("value").isNull))
+  }
+
+  val contractCheckSql: String =
+    """SELECT 'orders.custkey_fk' AS rule, count(*) AS n_checked,
+      |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |UNION ALL
+      |SELECT 'lineitem.orderkey_fk', count(*),
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'orders.totalprice_positive', count(*),
+      |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'orders.status_enum', count(*),
+      |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'customer.acctbal_range', count(*),
+      |  CAST(sum(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 ELSE 0 END) = 0 FROM customer
+      |UNION ALL
+      |SELECT 'lineitem.discount_range', count(*),
+      |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) = 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'events.value_nonnull', count(*),
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_star_join"   -> (q3StarJoin _),
+    "contract_check" -> (contractCheck _),
     "q1_agg"      -> (q1Agg _),
     "a4_resample" -> (a4Resample _),
     "a4_resample_4h" -> (a4Resample4h _),
     "a4_resample_paged" -> (a4ResamplePaged _))
 
   def oracles: Map[String, String] = Map(
+    "q3_star_join"   -> q3StarJoinSql,
+    "contract_check" -> contractCheckSql,
     "q1_agg"      -> q1AggSql,
     "a4_resample" -> a4ResampleSql,
     "a4_resample_4h" -> a4Resample4hSql,

@@ -237,6 +237,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("star join broadcasts the filtered dimensions; filters pushed to all three scans") {
+    val p = plan(operators.Relational.q3StarJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(p).size
+    assert(pushed >= 3, s"expected pushed filters on all three scans:\n$p")
+  }
+
   test("document chunking is pure map-side: zero exchanges anywhere in the plan") {
     val p = plan(scale.FeatureOps.chunkDocuments(spark, sfDir))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
