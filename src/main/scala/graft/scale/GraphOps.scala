@@ -27,7 +27,14 @@ import org.apache.spark.sql.functions._
   * round (lineage truncation — see Dedup.computeClusters). */
 object GraphOps {
 
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized per (session, dir) like the other iterative indexes
+    * (cluster labels, containment pairs): the loop runs driver-side
+    * actions, so repeat calls would re-pay all three rounds. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute(spark, "pagerank", dir)(
+      graphPagerankImpl(spark, dir))
+
+  private def graphPagerankImpl(spark: SparkSession, dir: String): DataFrame = {
     val p = Dedup.minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = p.unionByName(
         p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
