@@ -178,33 +178,38 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val l = Tables.lineitem(spark, dir)
     val ev = Tables.events(spark, dir)
-    def rule(name: String, checked: DataFrame, bad: Column): DataFrame =
-      checked.agg(count(lit(1)).as("n_checked"),
-          sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
-        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+    // every rule on a table rides ONE scan of it (a rule-per-scan census
+    // at 100 TB re-reads the fact table once per rule): violation sums
+    // for all of a table's rules are columns of a single aggregate,
+    // stacked into rows afterwards. FK probes join key-only sides —
+    // customer broadcasts into the orders pass; the lineitem pass
+    // shuffles once on orderkey (both fact-sized at scale).
+    def stack(checked: DataFrame, rules: (String, Column)*): DataFrame = {
+      val aggs = rules.zipWithIndex.map { case ((_, bad), i) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"v$i")
+      }
+      val rows = rules.zipWithIndex
+        .map { case ((name, _), i) => s"'$name', v$i" }.mkString(", ")
+      checked.agg(count(lit(1)).as("n_checked"), aggs: _*)
+        .selectExpr(s"stack(${rules.size}, $rows) AS (rule, n_violations)",
+          "n_checked")
+        .select(col("rule"), col("n_checked"), col("n_violations"),
           (col("n_violations") === 0).as("pass"))
-    val fkOrders = o.join(broadcast(c.select(col("c_custkey"))),
-        col("o_custkey") === col("c_custkey"), "left")
-      .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
-      .select(lit("orders.custkey_fk").as("rule"), col("n_checked"),
-        col("n_violations"), (col("n_violations") === 0).as("pass"))
-    val fkLineitem = l.join(o.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left")
-      .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
-      .select(lit("lineitem.orderkey_fk").as("rule"), col("n_checked"),
-        col("n_violations"), (col("n_violations") === 0).as("pass"))
-    fkOrders
-      .unionByName(fkLineitem)
-      .unionByName(rule("orders.totalprice_positive", o, col("o_totalprice") <= 0))
-      .unionByName(rule("orders.status_enum", o,
-        !col("o_orderstatus").isin("O", "F", "P")))
-      .unionByName(rule("customer.acctbal_range", c,
-        col("c_acctbal") < -1000 || col("c_acctbal") > 10000))
-      .unionByName(rule("lineitem.discount_range", l,
-        col("l_discount") < 0 || col("l_discount") > 0.5))
-      .unionByName(rule("events.value_nonnull", ev, col("value").isNull))
+    }
+    stack(o.join(broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left"),
+        "orders.custkey_fk" -> col("c_custkey").isNull,
+        "orders.totalprice_positive" -> (col("o_totalprice") <= 0),
+        "orders.status_enum" -> !col("o_orderstatus").isin("O", "F", "P"))
+      .unionByName(stack(l.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left"),
+        "lineitem.orderkey_fk" -> col("o_orderkey").isNull,
+        "lineitem.discount_range" ->
+          (col("l_discount") < 0 || col("l_discount") > 0.5)))
+      .unionByName(stack(c,
+        "customer.acctbal_range" ->
+          (col("c_acctbal") < -1000 || col("c_acctbal") > 10000)))
+      .unionByName(stack(ev, "events.value_nonnull" -> col("value").isNull))
   }
 
   val contractCheckSql: String =
