@@ -582,6 +582,104 @@ object Similarity {
       |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
       |FROM rec""".stripMargin
 
+  // ---------------------------------------------------------------- ndcg
+  /** NDCG@10 of the LSH ranking — recall counts WHICH of the true
+    * top-k were retrieved; NDCG scores the ORDER they came back in,
+    * with graded relevance (cosine binned to grades 0–3) and a
+    * log-position discount — the metric a retrieval stack actually
+    * reports. The exact brute-force ranking is both the "exact"
+    * baseline row (NDCG 1 by construction) and the ideal DCG: grades
+    * are monotone in cosine, so the cosine-ordered exact list IS the
+    * ideal ordering (within-grade ties contribute identically).
+    *
+    * Grades are INTEGER bins, so each DCG term (2^g−1)/log2(rank+1)
+    * is one of a small closed set of doubles and the ≤10-term sums are
+    * cross-engine stable at 6 decimals. Plan shape: same broadcast
+    * query-side joins as [[annRecall]]; scoring adds one window per
+    * method over ≤10·|queries| rows. */
+  def rankNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val c = corpus(spark, dir).withColumn("bucket", lshBucket(col("v")))
+      .localCheckpoint()
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
+    val grade = when(col("cosine") >= 0.6, 3).when(col("cosine") >= 0.4, 2)
+      .when(col("cosine") >= 0.2, 1).otherwise(0)
+    def dcgOf(scored: DataFrame, method: String): DataFrame =
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= k)
+        .withColumn("g", grade)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_retrieved"),
+          sum((pow(lit(2.0), col("g")) - 1) / log2(col("rank") + 1)).as("dcg"))
+        .select(col("query_id"), lit(method).as("method"),
+          col("n_retrieved"), col("dcg"))
+    val brute = dcgOf(c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cos), "exact").localCheckpoint()
+    val lsh = dcgOf(c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cos), "lsh")
+    brute.unionByName(lsh)
+      .join(brute.select(col("query_id"), col("dcg").as("idcg")), "query_id")
+      .select(col("query_id"), col("method"), col("n_retrieved"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
+  val rankNdcgSql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT j, list_transform(generate_series(0, 63),
+      |           d -> ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+      |                  / 2147483648.0 - 1.0) AS h
+      |  FROM unnest(generate_series(0, 7)) AS t(j)),
+      |signs AS (
+      |  SELECT e0.vec_id, p.j,
+      |         CASE WHEN list_sum(list_transform(list_zip(e0.v, p.h), q -> q[1] * q[2])) >= 0
+      |              THEN CAST(pow(2.0, p.j) AS BIGINT) ELSE 0 END AS bit
+      |  FROM e0, planes p),
+      |b AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM signs GROUP BY vec_id),
+      |e AS (SELECT e0.*, b.bucket FROM e0 JOIN b USING (vec_id)),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+      |      FROM e WHERE vec_id < 10),
+      |bscored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])) / (e.nrm * q.qn) AS cosine
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |lscored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])) / (e.nrm * q.qn) AS cosine
+      |  FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+      |bdcg AS (
+      |  SELECT query_id, 'exact' AS method, count(*) AS n_retrieved,
+      |         sum((pow(2.0, CASE WHEN cosine >= 0.6 THEN 3 WHEN cosine >= 0.4 THEN 2
+      |                            WHEN cosine >= 0.2 THEN 1 ELSE 0 END) - 1)
+      |             / log2(rank + 1)) AS dcg
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM bscored) WHERE rank <= 10 GROUP BY query_id),
+      |ldcg AS (
+      |  SELECT query_id, 'lsh' AS method, count(*) AS n_retrieved,
+      |         sum((pow(2.0, CASE WHEN cosine >= 0.6 THEN 3 WHEN cosine >= 0.4 THEN 2
+      |                            WHEN cosine >= 0.2 THEN 1 ELSE 0 END) - 1)
+      |             / log2(rank + 1)) AS dcg
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM lscored) WHERE rank <= 10 GROUP BY query_id),
+      |u AS (SELECT * FROM bdcg UNION ALL SELECT * FROM ldcg)
+      |SELECT u.query_id, u.method, u.n_retrieved,
+      |       round(u.dcg, 6) + 0 AS dcg,
+      |       round(u.dcg / i.dcg, 6) + 0 AS ndcg
+      |FROM u JOIN bdcg i ON i.query_id = u.query_id""".stripMargin
+
   // ---------------------------------------------------------------- ts search
   /** Time-series subsequence similarity search (the pattern-matching
     * query a FOREX engine runs against its own history; cf. EDBT'19
@@ -1069,6 +1167,7 @@ object Similarity {
     "ann_ivf_assign"  -> (annIvfAssign _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
+    "rank_ndcg"       -> (rankNdcg _),
     "emb_project"     -> (embProject _),
     "ts_similar_windows" -> (tsSimilarWindows _))
 
@@ -1085,6 +1184,7 @@ object Similarity {
     "ann_ivf_assign"  -> annIvfAssignSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
+    "rank_ndcg"       -> rankNdcgSql,
     "emb_project"     -> embProjectSql,
     "ts_similar_windows" -> tsSimilarWindowsSql)
 }
