@@ -53,12 +53,17 @@ object GraphOps {
         .join(deg, "doc_a")
         .select(col("doc_b"), expr("pr_units div deg").as("c"))
       val sums = contrib.groupBy(col("doc_b")).agg(sum(col("c")).as("s"))
+      val prev = pr
       pr = deg.select(col("doc_a").as("doc_id"))
         .join(sums.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(base) + expr("coalesce(s, 0L) * 85 div 100")).as("pr_units"))
         .localCheckpoint()
+      prev.unpersist() // round k's blocks are dead once round k+1 materializes
     }
+    // the final pr and deg back the memoized result; the edge blocks do
+    // not (checkpoint lineage is truncated) — release them
+    edges.unpersist()
     pr.join(deg.withColumnRenamed("doc_a", "doc_id"), "doc_id")
       .select(col("doc_id"), col("deg"), col("pr_units"),
         round(col("pr_units") / 1e6, 6).as("pagerank"))
