@@ -189,9 +189,13 @@ case class AsOfJoinExec(
               done = rHead == null
             }
           }
+          // a null right time sorts first and can end up as the candidate;
+          // its Long.MinValue sentinel would overflow the subtraction below
+          // (wrapping negative = "within tolerance"), so reject it explicitly
           val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
             (!needTolerance ||
-              (!lTime.isNullAt(0) && lTime.getLong(0) - candidateTime <= tolerance))
+              (!lTime.isNullAt(0) && candidateTime != Long.MinValue &&
+                lTime.getLong(0) - candidateTime <= tolerance))
           numOutputRows += 1
           if (matched) numMatched += 1
           resultProj(joined(lRow, if (matched) candidate else nullRight))

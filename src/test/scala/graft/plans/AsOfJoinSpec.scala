@@ -79,6 +79,21 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: a null-time quote never matches (no Long wrap-around)") {
+    // k=5's only quote has t = NULL: it sorts first within the key and
+    // becomes the buffered candidate; the tolerance check must reject it
+    // rather than wrap lTime - Long.MinValue into a "fresh" match
+    val q = mkDf(Seq(Row(5L, null, 4.5), Row(1L, 10L, 1.0)),
+      "qk BIGINT, qt BIGINT, px DOUBLE")
+    val t = mkDf(Seq(Row(5L, 40L), Row(1L, 12L)), "k BIGINT, t BIGINT")
+    val out = AsOfJoinOps.asof(t, q, Seq("k"), Seq("qk"), "t", "qt",
+        toleranceUs = Some(1000L))
+      .select(col("k"), col("px"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(5L -> None, 1L -> Some(1.0)))
+  }
+
   test("property: exec matches a reference as-of on random keyed series") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
