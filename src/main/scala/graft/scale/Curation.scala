@@ -61,6 +61,50 @@ object Curation {
        |FROM corp c LEFT JOIN bench b ON c.s = b.s
        |GROUP BY c.doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[decontamOverlap]] when the benchmark shingle set outgrows a
+    * comfortable broadcast HASH relation: Spark's own runtime-filter
+    * machinery (`BloomFilterAggregate` → one binary row of bits,
+    * `BloomFilterMightContain` probe on `xxhash64(s)`, the exact pair
+    * `InjectRuntimeFilter` plants under shuffle joins) is driven here
+    * explicitly. Bits are ~10 bits/element vs ~100+ bytes/entry for a
+    * hash relation — an ~80× smaller ship — and the probe drops
+    * non-overlapping corpus shingle rows MAP-SIDE, before any shuffle,
+    * so the exact join only sees the contaminated sliver.
+    *
+    * A Bloom filter has NO false negatives, so prefilter → exact verify
+    * is lossless: the output is bit-identical to [[decontamOverlap]]
+    * and shares its oracle. The filter bytes take one fit-sized driver
+    * hop (`DataFrameStatFunctions.bloomFilter` does the same); at
+    * cluster scale the same plan ships as a scalar subquery. */
+  def decontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val sh = Dedup.shingleIndex(spark, dir)
+    val isBench = col("doc_id") % 97 === 0
+    val bench = sh.filter(isBench).select(col("s")).distinct()
+    val bloomAgg = GraftShim.column(
+      new BloomFilterAggregate(GraftShim.expression(xxhash64(col("s"))), 100000L)
+        .toAggregateExpression())
+    val bits = bench.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = GraftShim.column(new BloomFilterMightContain(
+      Literal.create(bits, org.apache.spark.sql.types.BinaryType),
+      GraftShim.expression(xxhash64(col("s")))))
+    val corpus = sh.filter(!isBench)
+    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.filter(mightContain) // map-side bloom prune
+      .join(broadcast(bench), Seq("s")) // exact verify kills the FPs
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contaminated_frac"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles") >= 0.2)
+          .as("contaminated"))
+  }
+
   // ---------------------------------------------------------- repetition
   /** Intra-document repetition metrics (the Gopher repetition filters,
     * re-based on tokens/bigrams because the fixture's text has no line
@@ -271,12 +315,14 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_overlap" -> (decontamOverlap _),
+    "decontam_bloom"   -> (decontamBloom _),
     "text_repetition"  -> (textRepetition _),
     "corpus_pipeline"  -> (corpusPipeline _),
     "dedup_substring_runs" -> (substringRuns _))
 
   def oracles: Map[String, String] = Map(
     "decontam_overlap" -> decontamOverlapSql,
+    "decontam_bloom"   -> decontamOverlapSql,
     "text_repetition"  -> textRepetitionSql,
     "corpus_pipeline"  -> corpusPipelineSql,
     "dedup_substring_runs" -> substringRunsSql)

@@ -20,6 +20,22 @@ class CurationSpec extends SparkSpec {
     assert(bad.isEmpty, "contamination fraction out of range")
   }
 
+  test("bloom decontam: probe below the exact join, output identical to exact form") {
+    val df = Curation.decontamBloom(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bloom probe must sit in a Filter UNDER the broadcast join —
+    // map-side pruning before any shuffle is the whole point
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    val probeBelowJoin = plan.linesIterator
+      .dropWhile(l => !l.contains("BroadcastHashJoin"))
+      .exists(_.contains("might_contain"))
+    assert(probeBelowJoin, s"probe not below the join:\n$plan")
+    // no false negatives + exact verify == bit-identical to the exact form
+    val exact = Curation.decontamOverlap(spark, sfDir)
+    assert(df.exceptAll(exact).isEmpty && exact.exceptAll(df).isEmpty,
+      "bloom-prefiltered result diverged from the exact result")
+  }
+
   test("fused corpus pipeline: one plan, broadcast decontam, meaningful survival") {
     val df = Curation.corpusPipeline(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
