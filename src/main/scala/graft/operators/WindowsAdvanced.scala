@@ -484,7 +484,18 @@ object WindowsAdvanced {
     * `is_shooting_star` is the hammer mirror — the reference declares the
     * enum value (`:20`) but never wires a detector, so this is a
     * documented superset. */
-  def w32CandlePatterns(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized + localCheckpoint'ed per (session, dir): three registered
+    * queries (w32 itself, f9, a13) consume this frame, and its plan is
+    * DEEP — lag windows over the shared candle derivation — so each
+    * consumer re-paid full Catalyst planning per action (the
+    * cache-vs-checkpoint note in the verify skill). The checkpoint
+    * truncates lineage to a LogicalRDD; consumers plan in microseconds.
+    * Fit-sized (~10k candle rows at sf0.1). */
+  def w32CandlePatterns(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.DirMemo.getOrCompute(spark, "w32_patterns", dir)(
+      w32CandlePatternsImpl(spark, dir).localCheckpoint())
+
+  private def w32CandlePatternsImpl(spark: SparkSession, dir: String): DataFrame = {
     val body = abs(col("close") - col("open"))
     val rng = col("high") - col("low")
     val upSh = col("high") - greatest(col("open"), col("close"))

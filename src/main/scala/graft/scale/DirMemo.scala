@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pressure evicts, and the memo recomputes on miss. [[invalidateDir]]
   * drops every index derived from a dir when the data under it changes
   * mid-session. */
-private[scale] object DirMemo {
+private[graft] object DirMemo {
   private val memo = new java.util.WeakHashMap[SparkSession,
     scala.collection.mutable.Map[(String, String), java.lang.ref.SoftReference[DataFrame]]]()
 
