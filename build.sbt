@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE JSON line out of the last ~2000 chars of
+// stdout; sbt's default LoggedOutput prefixes every forked line with
+// [info]/[error] and appends a "[success] Total time" footer, and that
+// parse has failed every round ("parsed": null in BENCH_r0{1,2,3}.json).
+// Raw pass-through + no success banner makes the bare JSON line the last
+// thing on stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Suites share one SparkSession (and its JVM-wide CacheManager): parallel
 // suites race plan-shape assertions against caches/conf other suites
 // materialize. Deterministic order > the small parallelism win.

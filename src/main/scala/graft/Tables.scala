@@ -20,15 +20,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(s"$dir/part.parquet")
   def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/orders.parquet")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/lineitem.parquet")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    * a long (nanos since epoch) under the legacy flag. Truncate to µs with
-    * integer division — `col / 1000` would go through double and lose
-    * precision above 2^53 ns (~1µs error on 2024 epochs); `div` matches
-    * DuckDB's ns→µs truncation exactly. */
+  /** `events.ts` varies across testdata generations: TIMESTAMP(NANOS)
+    * (Spark 4 reads it only as long nanos under the legacy flag) vs
+    * TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Branch on the resolved
+    * schema, normalizing both to session-TZ TimestampType — the session
+    * runs UTC, so NTZ→TZ preserves values and matches DuckDB's naive
+    * read. For the nanos shape, truncate with integer division: `col /
+    * 1000` would go through double and lose precision above 2^53 ns
+    * (~1µs error on 2024 epochs); `div` matches DuckDB's ns→µs
+    * truncation exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
