@@ -19,6 +19,7 @@ run / fork := true
 // thing on stdout.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Suites share one SparkSession (and its JVM-wide CacheManager): parallel
 // suites race plan-shape assertions against caches/conf other suites
 // materialize. Deterministic order > the small parallelism win.

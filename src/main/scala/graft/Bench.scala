@@ -50,19 +50,23 @@ object Bench {
     // a query's cold time includes building whatever shared index it
     // touches first, its warm time is the steady-state marginal cost.
     // Both maps go to BENCH_FULL.json.
+    // A query that throws still gets a time entry (the suite must not
+    // die on one regression) but is COUNTED: round 3's testdata schema
+    // drift silently zeroed ~90 queries to 0.05 s "successes" because
+    // the old catch discarded the evidence. `errors` goes on the
+    // printed line so a non-empty value is impossible to miss.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     val w0 = System.nanoTime()
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
-    val cold = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => failed += "entry" }
+    val cold = ordered.map { case (name, fn) => timed(name, fn) }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = ordered.map { case (name, fn) => timed(name, fn) }
     val total = results.map(_._2).sum
     val maxQ = results.maxBy(_._2)
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -71,13 +75,14 @@ object Bench {
     // Full per-query maps go to a file — 200+ queries exceed the
     // driver's stdout tail buffer. The printed line stays compact:
     // summary stats + one headline query per family.
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fw = new java.io.PrintWriter("BENCH_FULL.json")
-    try fw.println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"queries":${m(results)},"queries_cold":${m(cold)},"sf":"$sfDir"}""")
+    try fw.println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"errors":$errs,"queries":${m(results)},"queries_cold":${m(cold)},"sf":"$sfDir"}""")
     finally fw.close()
     val byName = results.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + f(v)))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"max_query":"${maxQ._1}","max_sec":${f(maxQ._2)},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"n_errors":${failed.size},"max_query":"${maxQ._1}","max_sec":${f(maxQ._2)},"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // Printed AFTER spark.stop() so no executor/shutdown logging can
     // land on stdout behind it: the JSON is the process's last line.

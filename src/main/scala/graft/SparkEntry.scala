@@ -31,6 +31,7 @@ object SparkEntry {
       scale.CorpusOps.queries ++
       scale.FeatureOps.queries ++
       scale.GraphOps.queries ++
+      scale.EntityResolution.queries ++
       operators.Sources.queries ++
       sources.Sinks.queries ++
       streaming.Subscriptions.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       scale.CorpusOps.oracles ++
       scale.FeatureOps.oracles ++
       scale.GraphOps.oracles ++
+      scale.EntityResolution.oracles ++
       operators.Sources.oracles ++
       sources.Sinks.oracles ++
       streaming.Subscriptions.oracles ++

@@ -20,15 +20,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var ok, bad = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+      } catch { case e: Throwable =>
+        bad += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // One greppable summary so a mass failure (round 3: a testdata
+    // schema drift silently dropped 93 queries) is visible in the
+    // driver log even when no one reads the per-query stderr.
+    System.err.println(s"[verify] wrote $ok queries, $bad failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -12,7 +12,7 @@ class BenchLineSpec extends AnyFunSuite {
     // worst case: every value prints like 12345.678 (9 chars)
     val qs = Bench.headline
       .map(k => "\"" + k + "\":12345.678").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup_sec":99999.999,"n_queries":9999,"max_query":"some_rather_long_query_name","max_sec":99999.999,"queries":$qs,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","warmup_sec":99999.999,"n_queries":9999,"n_errors":9999,"max_query":"some_rather_long_query_name","max_sec":99999.999,"queries":$qs,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length < 1800,
       s"bench line would be ${line.length} chars; driver tail is ~2000")
   }

@@ -272,4 +272,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partitionspec=[event_type") ||
       p.toLowerCase.contains("event_type"), p)
   }
+
+  test("ER candidate generation equi-joins on block keys, never the cross product") {
+    val p = plan(scale.EntityResolution.erCandidates(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "blocking must carry the join as equi-keys:\n" + p)
+    // the inequality evidence (key order, length band) rides the join
+    // condition; the block keys are the equi-side
+    assert(p.toLowerCase.contains("noun"), "block key missing from the join:\n" + p)
+  }
 }
