@@ -157,13 +157,82 @@ object EntityResolution {
        |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS price_cents
        |FROM resolved GROUP BY resolved_id""".stripMargin
 
+  /** INCREMENTAL resolution — the shape a production pipeline actually
+    * runs: a small incoming batch (here: every 20th key, standing in
+    * for today's delta) matches against the existing corpus through the
+    * same blocks. The batch side is tiny relative to the corpus, so the
+    * join is batch-blocks × corpus-blocks — at 100 TB the corpus never
+    * self-joins, and the batch side broadcasts when it fits. Each
+    * incoming record takes its best match (highest score, then lowest
+    * corpus key) or keeps its own key as a new entity. */
+  def erIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val r = records(spark, dir)
+    def side(df: DataFrame, p: String) =
+      df.select(df.columns.map(c => col(c).as(p + c)).toIndexedSeq: _*)
+    val batch = side(r.filter(col("key") % 20 === 0), "a_")
+    val corpus = side(r.filter(col("key") % 20 =!= 0), "b_")
+    val scored = batch.join(corpus,
+        col("a_noun") === col("b_noun") &&
+        col("a_ptype") === col("b_ptype") &&
+        col("a_size_bucket") === col("b_size_bucket") &&
+        abs(col("a_len") - col("b_len")) <= 3)
+      .withColumn("name_pts",
+        lit(100) - expr("(100 * levenshtein(a_name, b_name)) div greatest(a_len, b_len)"))
+      .withColumn("score", col("name_pts")
+        + when(col("a_brand") === col("b_brand"), 20).otherwise(0)
+        + when(abs(col("a_price") - col("b_price")) <=
+            lit(0.05) * greatest(col("a_price"), col("b_price")), 20).otherwise(0))
+      .filter(col("score") >= 120)
+    val best = scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("a_key"))
+          .orderBy(col("score").desc, col("b_key"))))
+      .filter(col("rk") === 1)
+      .select(col("a_key").as("k"), col("b_key"), col("score"))
+    batch.select(col("a_key"))
+      .join(best, col("a_key") === col("k"), "left")
+      .select(col("a_key").as("batch_id"),
+        coalesce(col("b_key"), col("a_key")).as("resolved_id"),
+        col("b_key").isNotNull.as("matched"),
+        coalesce(col("score"), lit(0L)).as("best_score"))
+  }
+
+  val erIncrementalSql: String =
+    s"""WITH $recsSql,
+       |scored AS (
+       |  SELECT a.key AS a_key, b.key AS b_key,
+       |         (100 - (100 * levenshtein(a.name, b.name)) // greatest(a.len, b.len))
+       |         + (CASE WHEN a.brand = b.brand THEN 20 ELSE 0 END)
+       |         + (CASE WHEN abs(a.price - b.price) <= 0.05 * greatest(a.price, b.price)
+       |                 THEN 20 ELSE 0 END) AS score
+       |  FROM recs a JOIN recs b
+       |    ON a.noun = b.noun AND a.ptype = b.ptype
+       |   AND a.size_bucket = b.size_bucket
+       |   AND abs(a.len - b.len) <= 3
+       |  WHERE a.key % 20 = 0 AND b.key % 20 <> 0),
+       |best AS (
+       |  SELECT a_key, b_key, score FROM (
+       |    SELECT a_key, b_key, score,
+       |           row_number() OVER (PARTITION BY a_key
+       |                              ORDER BY score DESC, b_key) AS rk
+       |    FROM scored WHERE score >= 120)
+       |  WHERE rk = 1)
+       |SELECT r.key AS batch_id,
+       |       coalesce(b.b_key, r.key) AS resolved_id,
+       |       b.b_key IS NOT NULL AS matched,
+       |       coalesce(b.score, 0) AS best_score
+       |FROM recs r LEFT JOIN best b ON r.key = b.a_key
+       |WHERE r.key % 20 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_candidates" -> (erCandidates _),
     "er_matches"    -> (erMatches _),
-    "er_golden"     -> (erGolden _))
+    "er_golden"     -> (erGolden _),
+    "er_incremental" -> (erIncremental _))
 
   def oracles: Map[String, String] = Map(
     "er_candidates" -> erCandidatesSql,
     "er_matches"    -> erMatchesSql,
-    "er_golden"     -> erGoldenSql)
+    "er_golden"     -> erGoldenSql,
+    "er_incremental" -> erIncrementalSql)
 }
