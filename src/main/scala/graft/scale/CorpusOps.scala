@@ -233,7 +233,16 @@ object CorpusOps {
     * aggregate over shingles plus one per-doc aggregate — both keyed
     * shuffles bounded by |shingle rows|, the same budget as the MinHash
     * build. */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized per (session, dir): consumed standalone and as the value
+    * signal inside [[curriculumOrder]] — the second consumer otherwise
+    * re-pays the whole shingle first-occurrence join (~1 s at sf0.1,
+    * the warm-pass maximum). Doc-count-sized, so the localCheckpoint
+    * is cheap. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute(spark, "novelty", dir)(
+      ngramNoveltyImpl(spark, dir).localCheckpoint())
+
+  private def ngramNoveltyImpl(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleIndex(spark, dir)
     val firstSeen = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(firstSeen, "s")
