@@ -800,7 +800,7 @@ object Dedup {
     DirMemo.getOrCompute(spark, "containment", dir)(
       containmentPairsImpl(spark, dir).localCheckpoint())
 
-  private def containmentPairsImpl(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def containmentPairsImpl(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // graft_intersect_count
     val s = shingleReps(spark, dir)
     val df = s.groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -60,8 +60,16 @@ object EntityResolution {
     * stays integer end-to-end; the ≥ 50 floor drops non-evidence pairs
     * at the source (at scale: before they shuffle anywhere further).
     * The price test compares IEEE doubles built identically on both
-    * engines from the same parquet values — deterministic, no sums. */
-  def erCandidates(spark: SparkSession, dir: String): DataFrame = {
+    * engines from the same parquet values — deterministic, no sums.
+    *
+    * Memoized per (session, dir): [[erMatches]] and [[erGolden]] both
+    * read this frame, and the blocked levenshtein pass is the ER
+    * kernel cost — without the memo each consumer re-pays it. */
+  def erCandidates(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute(spark, "er_cand", dir)(
+      erCandidatesImpl(spark, dir).localCheckpoint())
+
+  private[graft] def erCandidatesImpl(spark: SparkSession, dir: String): DataFrame = {
     val r = records(spark, dir)
     def side(p: String) =
       r.select(r.columns.map(c => col(c).as(p + c)).toIndexedSeq: _*)

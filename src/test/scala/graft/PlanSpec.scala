@@ -274,7 +274,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ER candidate generation equi-joins on block keys, never the cross product") {
-    val p = plan(scale.EntityResolution.erCandidates(spark, sfDir))
+    // the registered query serves a memoized localCheckpoint; the shape
+    // under test is the build-time plan
+    val p = plan(scale.EntityResolution.erCandidatesImpl(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "blocking must carry the join as equi-keys:\n" + p)
     // the inequality evidence (key order, length band) rides the join

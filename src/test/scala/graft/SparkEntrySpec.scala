@@ -29,6 +29,7 @@ class SparkEntrySpec extends SparkSpec {
     "CorpusOps"       -> scale.CorpusOps.queries,
     "FeatureOps"      -> scale.FeatureOps.queries,
     "GraphOps"        -> scale.GraphOps.queries,
+    "EntityResolution" -> scale.EntityResolution.queries,
     "Sources"         -> operators.Sources.queries,
     "Sinks"           -> sources.Sinks.queries,
     "Subscriptions"   -> streaming.Subscriptions.queries,
