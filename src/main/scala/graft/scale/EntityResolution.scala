@@ -44,7 +44,10 @@ object EntityResolution {
         col("p_type").as("ptype"),
         col("p_size").as("size"),
         col("p_retailprice").as("price"))
-      .withColumn("noun", element_at(split(col("name"), " "), 2))
+      // coalesce to '' matches DuckDB split_part semantics: a one-token
+      // name must still block (as the empty noun), not null out of the
+      // equi-join
+      .withColumn("noun", coalesce(element_at(split(col("name"), " "), 2), lit("")))
       .withColumn("size_bucket", expr("size div 10"))
       .withColumn("len", length(col("name")))
 
