@@ -163,6 +163,60 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H-Q5-shaped LOCAL-SUPPLIER revenue: the canonical multi-way
+    * join-reorder exercise — region→nation restricts two dimension
+    * chains (customer's and supplier's nation) that must AGREE
+    * (`c_nationkey = s_nationkey`, the "local supplier" predicate that
+    * can't be pushed to either scan alone), over a date-filtered orders
+    * window against the lineitem fact. Shape at 100 TB: every
+    * dimension (region, nation, supplier, the filtered customer set)
+    * broadcasts; orders and lineitem — the only fact-sized inputs —
+    * shuffle once on orderkey or let AQE convert to broadcast when the
+    * filtered orders side measures small. Catalyst reorders the join
+    * graph freely because everything is declared as equi-joins plus a
+    * residual filter. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) + 0 AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |JOIN lineitem ON l_suppkey = s_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC""".stripMargin
+
   // ---------------------------------------------------------------- contracts
   /** DATA-CONTRACT validation census — the pre-ingest gate a pipeline
     * runs against producer guarantees: referential integrity (orders →
@@ -245,6 +299,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_star_join"   -> (q3StarJoin _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "contract_check" -> (contractCheck _),
     "q1_agg"      -> (q1Agg _),
     "a4_resample" -> (a4Resample _),
@@ -253,6 +308,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q3_star_join"   -> q3StarJoinSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
     "contract_check" -> contractCheckSql,
     "q1_agg"      -> q1AggSql,
     "a4_resample" -> a4ResampleSql,
