@@ -1068,7 +1068,14 @@ object Similarity {
     * both engines agree even when dim 0's loading is near zero. Output:
     * (dim, mean_d, loading, explained_var) — the fitted component plus
     * the Rayleigh-quotient variance it explains. */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    // Memoized like the other fits (kmeans_a3): the fit is deterministic
+    // per (session, dir) and every call re-paid count + mean + three
+    // power-step corpus passes; the fitted component is 64 rows.
+    DirMemo.getOrCompute(spark, "pca_fit", dir)(
+      pcaPowerImpl(spark, dir).localCheckpoint())
+
+  private[graft] def pcaPowerImpl(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val dims = 0 until 64
     val nRows = c.count()
