@@ -277,7 +277,11 @@ object Importance {
     * driver loop over MLlib LinearRegression fits — drop the smallest
     * standardized |coefficient| each round (SURVEY §2.12). rank 1 = the
     * survivor. Rows-only check (MLlib internals aren't SQL-reproducible). */
-  def rfeImportance(spark: SparkSession, dir: String): DataFrame = {
+  def rfeImportance(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.DirMemo.getOrCompute(spark, "rfeImportance", dir)(
+      rfeImportanceImpl(spark, dir).localCheckpoint())
+
+  private def rfeImportanceImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val f = featureFrame(spark, dir) // already cached — shared across the fits
     val remaining = scala.collection.mutable.Buffer(featureNames: _*)
@@ -304,7 +308,11 @@ object Importance {
 
   // ---------------------------------------------------------------- MLlib
   /** RandomForest feature importances (seeded; rows-only check). */
-  def rfImportance(spark: SparkSession, dir: String): DataFrame = {
+  def rfImportance(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.DirMemo.getOrCompute(spark, "rfImportance", dir)(
+      rfImportanceImpl(spark, dir).localCheckpoint())
+
+  private def rfImportanceImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val f = featureFrame(spark, dir)
     val assembled = new VectorAssembler()
@@ -320,7 +328,11 @@ object Importance {
   }
 
   /** Lasso (elasticNet=1) coefficient magnitudes (rows-only check). */
-  def lassoImportance(spark: SparkSession, dir: String): DataFrame = {
+  def lassoImportance(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.DirMemo.getOrCompute(spark, "lassoImportance", dir)(
+      lassoImportanceImpl(spark, dir).localCheckpoint())
+
+  private def lassoImportanceImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val f = featureFrame(spark, dir)
     val assembled = new VectorAssembler()
