@@ -217,6 +217,34 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC""".stripMargin
 
+  /** WIDE→LONG reshape via the native `Dataset.unpivot` (Spark 4's
+    * melt): the OHLC candle row becomes four (field, value) rows — the
+    * long form every plotting/feature-store layer wants. Pure map-side
+    * projection (one output row per input cell, no shuffle, no UDF);
+    * the reverse trip is the pivot already covered by
+    * `pivot_daily_mix`. Values are rounded BEFORE the melt so both
+    * engines reshape identical doubles. */
+  def reshapeUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.candles(spark, dir)
+      .select(col("user_id"), col("bucket"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"))
+      .unpivot(
+        Array(col("user_id"), col("bucket")),
+        Array(col("open"), col("high"), col("low"), col("close")),
+        "field", "value")
+
+  val reshapeUnpivotSql: String =
+    Tables.candlesSql +
+      """,
+        |r AS (
+        |  SELECT user_id, bucket,
+        |         round(open, 6) + 0 AS open, round(high, 6) + 0 AS high,
+        |         round(low, 6) + 0 AS low,   round(close, 6) + 0 AS close
+        |  FROM candles)
+        |SELECT user_id, bucket, field, value
+        |FROM r UNPIVOT (value FOR field IN (open, high, low, close))""".stripMargin
+
   // ---------------------------------------------------------------- contracts
   /** DATA-CONTRACT validation census — the pre-ingest gate a pipeline
     * runs against producer guarantees: referential integrity (orders →
@@ -300,6 +328,7 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_star_join"   -> (q3StarJoin _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "reshape_unpivot" -> (reshapeUnpivot _),
     "contract_check" -> (contractCheck _),
     "q1_agg"      -> (q1Agg _),
     "a4_resample" -> (a4Resample _),
@@ -309,6 +338,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q3_star_join"   -> q3StarJoinSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
+    "reshape_unpivot" -> reshapeUnpivotSql,
     "contract_check" -> contractCheckSql,
     "q1_agg"      -> q1AggSql,
     "a4_resample" -> a4ResampleSql,
