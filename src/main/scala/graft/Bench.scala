@@ -13,9 +13,12 @@ import org.apache.spark.sql.SparkSession
   * not hidden work: `queries_cold` in BENCH_FULL.json carries the
   * first-touch numbers (including each memo's build, attributed to the
   * first query over it), `queries` the steady state, and `warmup_sec`
-  * the whole cold total. Every query re-executes its own plan in the
-  * warm pass — memos only checkpoint shared UPSTREAM frames, never a
-  * query's own result. */
+  * the whole cold total. Every query re-executes a real plan in the
+  * warm pass: queries whose public entry SERVES a shared memoized index
+  * (`SparkEntry.benchImpls`) run their build-plan variant there, so no
+  * warm number is ever a count over the query's own cached checkpoint —
+  * only memo CONSUMERS read checkpoints, which is the production
+  * shape. */
 object Bench {
   /** One pick per family for the PRINTED line — the driver keeps only
     * the last ~2000 chars of stdout, so this list must stay small
@@ -66,7 +69,13 @@ object Bench {
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => failed += "entry" }
     val cold = ordered.map { case (name, fn) => timed(name, fn) }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = ordered.map { case (name, fn) => timed(name, fn) }
+    // WARM pass: index-serving queries run their build plan (see the
+    // scaladoc) — their warm time is the real marginal cost of the
+    // index, not a count over the checkpoint the cold pass left behind.
+    val impls = SparkEntry.benchImpls
+    val results = ordered.map { case (name, fn) =>
+      timed(name, impls.getOrElse(name, fn))
+    }
     val total = results.map(_._2).sum
     val maxQ = results.maxBy(_._2)
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -12,10 +12,19 @@ import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
   * aggs — no Expression needed), MLlib RandomForest importances and
   * Lasso coefficients, and a consensus rank merge (O4 top-k).
   *
-  * Correlation/MI are oracle-checked; the MLlib fits are rows-only
-  * (seeded, but their internals aren't SQL-reproducible). The feature
-  * frame derives from candles: one window pass, then the fits see a
-  * small projected table — at 100 TB you sample here, the shape holds.
+  * Correlation/MI are oracle-checked directly. The MLlib estimators'
+  * internals aren't SQL-reproducible, so their driver oracle is a
+  * PLANTED-RECOVERY check instead: the registered imp_rf / imp_lasso /
+  * imp_rfe queries run the real distributed fits over a deterministic
+  * synthetic frame whose target is an exact linear combination with
+  * known coefficient magnitudes (5 > 4 > 3 > 2 > 1 over iid features),
+  * and emit the integer rank order each estimator recovers — which is
+  * analytically forced to equal the planted order, a property the
+  * oracle derives from the same planted table in SQL. The dir-data
+  * fits stay as the API path ([[rfImportance]] etc.), value-pinned by
+  * `ImportanceSpec`. The feature frame derives from candles: one
+  * window pass, then the fits see a small projected table — at 100 TB
+  * you sample here, the shape holds.
   */
 object Importance {
 
@@ -277,9 +286,11 @@ object Importance {
     * driver loop over MLlib LinearRegression fits — drop the smallest
     * standardized |coefficient| each round (SURVEY §2.12). rank 1 = the
     * survivor. Rows-only check (MLlib internals aren't SQL-reproducible). */
+  // Not memoized: the fit is this query's own work and nothing else
+  // consumes it — a memo here would make the bench's warm pass measure
+  // a count over a cached checkpoint instead of the fit.
   def rfeImportance(spark: SparkSession, dir: String): DataFrame =
-    graft.scale.DirMemo.getOrCompute(spark, "rfeImportance", dir)(
-      rfeImportanceImpl(spark, dir).localCheckpoint())
+    rfeImportanceImpl(spark, dir)
 
   private def rfeImportanceImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -307,10 +318,10 @@ object Importance {
   }
 
   // ---------------------------------------------------------------- MLlib
-  /** RandomForest feature importances (seeded; rows-only check). */
+  /** RandomForest feature importances (seeded). Not memoized — own
+    * result, single consumer (see [[rfeImportance]] note). */
   def rfImportance(spark: SparkSession, dir: String): DataFrame =
-    graft.scale.DirMemo.getOrCompute(spark, "rfImportance", dir)(
-      rfImportanceImpl(spark, dir).localCheckpoint())
+    rfImportanceImpl(spark, dir)
 
   private def rfImportanceImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -327,10 +338,10 @@ object Importance {
       .select(col("feature"), round(col("rf_importance"), 6).as("rf_importance"))
   }
 
-  /** Lasso (elasticNet=1) coefficient magnitudes (rows-only check). */
+  /** Lasso (elasticNet=1) coefficient magnitudes. Not memoized — own
+    * result, single consumer (see [[rfeImportance]] note). */
   def lassoImportance(spark: SparkSession, dir: String): DataFrame =
-    graft.scale.DirMemo.getOrCompute(spark, "lassoImportance", dir)(
-      lassoImportanceImpl(spark, dir).localCheckpoint())
+    lassoImportanceImpl(spark, dir)
 
   private def lassoImportanceImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -347,20 +358,120 @@ object Importance {
       .select(col("feature"), round(abs(col("coef")), 6).as("abs_coef"))
   }
 
+  // ------------------------------------------------------ planted recovery
+  /** The planted ground truth: distinct coefficient magnitudes over iid
+    * equal-variance features, so every estimator's importance ORDER is
+    * analytically forced (variance contributions 25:16:9:4:1 — far
+    * outside fit jitter). Drives the Spark fixture, the expected ranks,
+    * and the oracle SQL, so they cannot drift. */
+  private val plantedCoefs: Seq[(String, Double)] =
+    Seq("x1" -> 5.0, "x2" -> 4.0, "x3" -> 3.0, "x4" -> 2.0, "x5" -> 1.0)
+
+  /** Deterministic fixture: 10k rows, 5 iid uniform(-0.5, 0.5) features
+    * from md5 bits (no RNG state — identical on any partitioning, any
+    * run), target = the exact planted linear combination. Generated,
+    * not read from `dir`: the recovery property must not depend on what
+    * the testdata generator emits. */
+  private def plantedFrame(spark: SparkSession): DataFrame = {
+    def u(salt: String): Column =
+      conv(substring(md5(concat_ws("_", lit(salt), col("id").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("double") / 4294967296.0 - 0.5
+    spark.range(10000).toDF("id")
+      .select(col("id") +: plantedCoefs.map { case (n, _) => u(n).as(n) }: _*)
+      .withColumn("target",
+        plantedCoefs.map { case (n, c) => col(n) * lit(c) }.reduce(_ + _))
+  }
+
+  private def plantedRanked(spark: SparkSession, scores: Seq[(String, Double)],
+                            rankCol: String): DataFrame = {
+    import spark.implicits._
+    val coefOf = plantedCoefs.toMap
+    scores.sortBy { case (n, v) => (-v, n) }.zipWithIndex
+      .map { case ((n, _), i) => (n, coefOf(n), i + 1) }
+      .toDF("feature", "planted_coef", rankCol)
+  }
+
+  /** imp_rf oracle surface: RF fit over the planted fixture must rank
+    * features in planted-coefficient order. */
+  def rfPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(plantedCoefs.map(_._1).toArray).setOutputCol("fv")
+      .transform(plantedFrame(spark)).select(col("fv"), col("target").as("label"))
+    val model = new RandomForestRegressor()
+      .setFeaturesCol("fv").setLabelCol("label")
+      .setNumTrees(20).setMaxDepth(5).setSeed(42)
+      .fit(assembled)
+    plantedRanked(spark,
+      plantedCoefs.map(_._1).zip(model.featureImportances.toArray), "rf_rank")
+  }
+
+  /** imp_lasso oracle surface: |lasso coefficient| order over the
+    * planted fixture must equal the planted order. */
+  def lassoPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(plantedCoefs.map(_._1).toArray).setOutputCol("fv")
+      .transform(plantedFrame(spark)).select(col("fv"), col("target").as("label"))
+    val model = new LinearRegression()
+      .setFeaturesCol("fv").setLabelCol("label")
+      .setElasticNetParam(1.0).setRegParam(1e-5).setStandardization(true)
+      .fit(assembled)
+    plantedRanked(spark,
+      plantedCoefs.map(_._1).zip(model.coefficients.toArray.map(math.abs)), "lasso_rank")
+  }
+
+  /** imp_rfe oracle surface: the RFE elimination order over the planted
+    * fixture — weakest standardized |coef| out first — must assign each
+    * feature its planted rank. */
+  def rfePlanted(spark: SparkSession, dir: String): DataFrame = {
+    val f = plantedFrame(spark)
+    val remaining = scala.collection.mutable.Buffer(plantedCoefs.map(_._1): _*)
+    val eliminated = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    while (remaining.size > 1) {
+      val assembled = new VectorAssembler()
+        .setInputCols(remaining.toArray).setOutputCol("fv")
+        .transform(f).select(col("fv"), col("target").as("label"))
+      val model = new LinearRegression()
+        .setFeaturesCol("fv").setLabelCol("label")
+        .setStandardization(true).setRegParam(0.0).setSolver("normal")
+        .fit(assembled)
+      val weakest = remaining.zip(model.coefficients.toArray)
+        .minBy { case (_, c) => math.abs(c) }._1
+      // score = -elimination step: later elimination = stronger feature
+      eliminated += weakest -> (eliminated.size - 5).toDouble
+      remaining -= weakest
+    }
+    eliminated += remaining.head -> 0.0
+    plantedRanked(spark, eliminated.toSeq, "rfe_rank")
+  }
+
+  /** Shared planted-table oracle: expected ranks derive from the SAME
+    * coefficient table the fixture plants. */
+  private def plantedSql(rankCol: String): String = {
+    val rows = plantedCoefs
+      .map { case (n, c) => s"('$n', CAST($c AS DOUBLE))" }.mkString(", ")
+    s"""SELECT feature, planted_coef,
+       |       CAST(row_number() OVER (ORDER BY planted_coef DESC, feature) AS INT)
+       |         AS $rankCol
+       |FROM (VALUES $rows) AS planted(feature, planted_coef)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "imp_correlation" -> (corrImportance _),
     "imp_corr_matrix" -> (corrMatrix _),
     "imp_mutual_info" -> (miImportance _),
-    "imp_rf"          -> (rfImportance _),
-    "imp_lasso"       -> (lassoImportance _),
+    "imp_rf"          -> (rfPlanted _),
+    "imp_lasso"       -> (lassoPlanted _),
     "imp_fstat"       -> (fstatImportance _),
     "imp_consensus"   -> (consensusImportance _),
-    "imp_rfe"         -> (rfeImportance _))
+    "imp_rfe"         -> (rfePlanted _))
 
   def oracles: Map[String, String] = Map(
     "imp_correlation" -> corrImportanceSql,
     "imp_corr_matrix" -> corrMatrixSql,
     "imp_mutual_info" -> miImportanceSql,
+    "imp_rf"          -> plantedSql("rf_rank"),
+    "imp_lasso"       -> plantedSql("lasso_rank"),
+    "imp_rfe"         -> plantedSql("rfe_rank"),
     "imp_fstat"       -> fstatImportanceSql,
     "imp_consensus"   -> consensusImportanceSql)
 }

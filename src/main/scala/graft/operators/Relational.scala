@@ -199,7 +199,9 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("revenue"))
-      .orderBy(col("revenue").desc)
+      // n_name tiebreak: two nations with equal rounded revenue must
+      // order identically on both engines (q3 does the same via orderkey)
+      .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5LocalSupplierSql: String =
@@ -215,7 +217,7 @@ object Relational {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name
-      |ORDER BY revenue DESC""".stripMargin
+      |ORDER BY revenue DESC, n_name""".stripMargin
 
   /** WIDE→LONG reshape via the native `Dataset.unpivot` (Spark 4's
     * melt): the OHLC candle row becomes four (field, value) rows — the
@@ -223,7 +225,11 @@ object Relational {
     * projection (one output row per input cell, no shuffle, no UDF);
     * the reverse trip is the pivot already covered by
     * `pivot_daily_mix`. Values are rounded BEFORE the melt so both
-    * engines reshape identical doubles. */
+    * engines reshape identical doubles. NULL semantics are pinned to
+    * DuckDB's UNPIVOT default (EXCLUDE NULLS): `Dataset.unpivot`
+    * RETAINS null cells, so they are filtered explicitly — latent on
+    * the arg_min/max candle fixture (never null) but load-bearing the
+    * first time a source delivers a null OHLC cell. */
   def reshapeUnpivot(spark: SparkSession, dir: String): DataFrame =
     Tables.candles(spark, dir)
       .select(col("user_id"), col("bucket"),
@@ -233,6 +239,7 @@ object Relational {
         Array(col("user_id"), col("bucket")),
         Array(col("open"), col("high"), col("low"), col("close")),
         "field", "value")
+      .filter(col("value").isNotNull)
 
   val reshapeUnpivotSql: String =
     Tables.candlesSql +

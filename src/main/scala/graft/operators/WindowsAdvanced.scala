@@ -495,7 +495,7 @@ object WindowsAdvanced {
     graft.scale.DirMemo.getOrCompute(spark, "w32_patterns", dir)(
       w32CandlePatternsImpl(spark, dir).localCheckpoint())
 
-  private def w32CandlePatternsImpl(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def w32CandlePatternsImpl(spark: SparkSession, dir: String): DataFrame = {
     val body = abs(col("close") - col("open"))
     val rng = col("high") - col("low")
     val upSh = col("high") - greatest(col("open"), col("close"))

@@ -107,16 +107,20 @@ object CorpusOps {
     * derived entirely inside it — the corpus itself is touched once and
     * never shuffled. */
   def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    Tables.documents(spark, dir)
+    val stats = Tables.documents(spark, dir)
       .select(col("lang"), size(Dedup.tokens(col("text"))).as("n_tokens"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+    // fit-then-fold: one-row totals crossJoined back instead of a
+    // single-partition window over the per-lang frame
+    val tot = stats.agg(sum(col("lang_tokens")).as("tot_tokens"))
+    val withNat = stats.crossJoin(broadcast(tot))
       .withColumn("natural_share",
-        col("lang_tokens") / sum(col("lang_tokens")).over(wAll).cast("double"))
+        col("lang_tokens") / col("tot_tokens").cast("double"))
+    val powTot = withNat.agg(sum(pow(col("natural_share"), 0.6)).as("pow_total"))
+    withNat.crossJoin(broadcast(powTot))
       .withColumn("scaled_share",
-        pow(col("natural_share"), 0.6) /
-          sum(pow(col("natural_share"), 0.6)).over(wAll))
+        pow(col("natural_share"), 0.6) / col("pow_total"))
       .withColumn("weight", col("scaled_share") / col("natural_share"))
       .select(col("lang"), col("n_docs"), col("lang_tokens"),
         round(col("natural_share"), 6).as("natural_share"),
@@ -242,7 +246,7 @@ object CorpusOps {
     DirMemo.getOrCompute(spark, "novelty", dir)(
       ngramNoveltyImpl(spark, dir).localCheckpoint())
 
-  private def ngramNoveltyImpl(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ngramNoveltyImpl(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleIndex(spark, dir)
     val firstSeen = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(firstSeen, "s")

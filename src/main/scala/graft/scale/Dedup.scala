@@ -590,7 +590,7 @@ object Dedup {
     * rewriting the documents under it. */
   def invalidateClusters(dir: String): Unit = DirMemo.invalidateDir(dir)
 
-  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     // the pair graph is orders of magnitude smaller than the corpus
     // (only near-dups appear) — coalesce the loop state so each
     // iteration is a handful of tasks, not 32 shuffle partitions of a

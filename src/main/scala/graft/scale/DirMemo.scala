@@ -7,33 +7,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ground truth): driver-side actions or cache() boundaries make
   * Spark's plan cache unable to deduplicate the repeat work by itself.
   *
-  * The session key is WEAK and the DataFrame value SOFT (a DataFrame
-  * strongly references its session, so a strong value would pin the
-  * weak key forever): a dead session's entries are collectible, memory
-  * pressure evicts, and the memo recomputes on miss. [[invalidateDir]]
-  * drops every index derived from a dir when the data under it changes
-  * mid-session. */
+  * Entries are STRONG references, evicted only by [[invalidateDir]] (or
+  * [[clearAll]]). Round 4 held them as SoftReferences and heap pressure
+  * silently collected memoized frames mid-run: the localCheckpoint
+  * blocks were GC-cleaned with the DataFrame and the index re-paid
+  * non-deterministically, corrupting per-query bench attribution
+  * (er_golden measured 3.2 s warm vs 0.5 s cold). The memo is bounded
+  * by (#tags × #dirs) small checkpointed frames — index- not
+  * corpus-sized — so deterministic retention is the right trade; a
+  * checkpoint's blocks are MEMORY_AND_DISK and spill under pressure
+  * without losing the frame. */
 private[graft] object DirMemo {
-  private val memo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[(String, String), java.lang.ref.SoftReference[DataFrame]]]()
+  private val memo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
 
   def getOrCompute(spark: SparkSession, tag: String, dir: String)
                   (f: => DataFrame): DataFrame = memo.synchronized {
-    val m = memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-    m.get((tag, dir)).flatMap(r => Option(r.get())).getOrElse {
-      val df = f
-      m((tag, dir)) = new java.lang.ref.SoftReference(df)
-      df
-    }
+    memo.getOrElseUpdate((spark, tag, dir), f)
   }
 
   /** Drop every memoized index derived from `dir` (all sessions, all
     * tags) — call after rewriting the data under it. */
   def invalidateDir(dir: String): Unit = memo.synchronized {
-    memo.values.forEach { m =>
-      m.keys.filter(_._2 == dir).toList.foreach { k =>
-        m.remove(k).flatMap(r => Option(r.get())).foreach(_.unpersist())
-      }
+    memo.keys.filter(_._3 == dir).toList.foreach { k =>
+      memo.remove(k).foreach(_.unpersist())
     }
+  }
+
+  /** Drop everything — for tests that cycle many sessions in one JVM. */
+  def clearAll(): Unit = memo.synchronized {
+    memo.keys.toList.foreach(k => memo.remove(k).foreach(_.unpersist()))
   }
 }

@@ -44,10 +44,11 @@ object EntityResolution {
         col("p_type").as("ptype"),
         col("p_size").as("size"),
         col("p_retailprice").as("price"))
+      // get() (0-based, NULL out of bounds regardless of ANSI mode) +
       // coalesce to '' matches DuckDB split_part semantics: a one-token
       // name must still block (as the empty noun), not null out of the
-      // equi-join
-      .withColumn("noun", coalesce(element_at(split(col("name"), " "), 2), lit("")))
+      // equi-join — element_at would THROW under ANSI for a short name
+      .withColumn("noun", coalesce(get(split(col("name"), " "), lit(1)), lit("")))
       .withColumn("size_bucket", expr("size div 10"))
       .withColumn("len", length(col("name")))
 
@@ -231,7 +232,7 @@ object EntityResolution {
        |SELECT r.key AS batch_id,
        |       coalesce(b.b_key, r.key) AS resolved_id,
        |       b.b_key IS NOT NULL AS matched,
-       |       coalesce(b.score, 0) AS best_score
+       |       CAST(coalesce(b.score, 0) AS BIGINT) AS best_score
        |FROM recs r LEFT JOIN best b ON r.key = b.a_key
        |WHERE r.key % 20 = 0""".stripMargin
 

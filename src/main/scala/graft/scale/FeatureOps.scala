@@ -221,8 +221,7 @@ object FeatureOps {
     * mean — the census costs a scan regardless of corpus size. */
   def shardManifest(spark: SparkSession, dir: String): DataFrame = {
     val shard = pmod((col("doc_id") * lit(2654435761L)) % lit(4294967296L), lit(16L))
-    val all = Window.partitionBy(lit(1))
-    Tables.documents(spark, dir)
+    val g = Tables.documents(spark, dir)
       .groupBy(shard.as("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -230,8 +229,12 @@ object FeatureOps {
         sum(octet_length(col("text")).cast("long")).as("n_bytes"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
-      .withColumn("bytes_skew",
-        round(col("n_bytes") / avg(col("n_bytes")).over(all), 6))
+    // fit-then-fold: one-row mean crossJoined back instead of a
+    // single-partition window over the 16-row manifest
+    val avgB = g.agg(avg(col("n_bytes")).as("avg_bytes"))
+    g.crossJoin(broadcast(avgB))
+      .withColumn("bytes_skew", round(col("n_bytes") / col("avg_bytes"), 6))
+      .drop("avg_bytes")
   }
 
   val shardManifestSql: String =

@@ -34,7 +34,7 @@ object GraphOps {
     DirMemo.getOrCompute(spark, "pagerank", dir)(
       graphPagerankImpl(spark, dir))
 
-  private def graphPagerankImpl(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def graphPagerankImpl(spark: SparkSession, dir: String): DataFrame = {
     val p = Dedup.minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = p.unionByName(
         p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

@@ -302,21 +302,23 @@ object Sampling {
     * Output: per-lang census (in/out docs+tokens, weight, achieved
     * share) so the oracle pins both the rates and the replication. */
   def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
     val targetShare =
       when(col("lang") === "en", 0.30).otherwise(0.175)
-    val stats = docs.groupBy(col("lang"))
+    // fit-then-fold: one-row corpus total crossJoined back instead of a
+    // single-partition window over the per-lang frame
+    val statsBase = docs.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("lang_tokens"))
-      .withColumn("total_tokens", sum(col("lang_tokens")).over(wAll))
+    val tot = statsBase.agg(sum(col("lang_tokens")).as("total_tokens"))
+    val stats = statsBase.crossJoin(broadcast(tot))
       .withColumn("target_share", targetShare)
       .withColumn("weight",
         col("target_share") * col("total_tokens") / col("lang_tokens"))
     // 32-bit md5 prefix as a uniform fraction in [0,1) — bit-identical in DuckDB
     val hashFrac = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("double") / 4294967296.0
-    docs.join(broadcast(stats), Seq("lang"))
+    val census = docs.join(broadcast(stats), Seq("lang"))
       .withColumn("n_copies",
         floor(col("weight")) +
           when(hashFrac < col("weight") - floor(col("weight")), 1L).otherwise(0L))
@@ -330,8 +332,11 @@ object Sampling {
         round(max(col("weight")), 6).as("weight"),
         sum(col("n_copies")).as("n_docs_out"),
         sum(col("n_copies") * col("n_tokens")).as("tokens_out"))
+    val outTot = census.agg(sum(col("tokens_out")).as("out_total"))
+    census.crossJoin(broadcast(outTot))
       .withColumn("achieved_share",
-        round(col("tokens_out") / sum(col("tokens_out")).over(wAll).cast("double"), 6))
+        round(col("tokens_out") / col("out_total").cast("double"), 6))
+      .drop("out_total")
   }
 
   val sampleMixtureSql: String =
@@ -385,17 +390,19 @@ object Sampling {
     * on genuinely distinct domains is pinned in `SamplingSpec`
     * (target ≈ 1.0 vs off-domain < 0.1). */
   def sampleDsir(spark: SparkSession, dir: String): DataFrame = {
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
-    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cs"))
-      .withColumn("ns", sum(col("cs")).over(wAll))
-      .withColumn("v", count(lit(1)).over(wAll))
+    // fit-then-fold: one-row vocab totals crossJoined back instead of a
+    // single-partition window serializing the vocab through one task
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cs"))
+    val vTot = counts.agg(sum(col("cs")).as("ns"), count(lit(1)).as("v"))
+    val vocab = counts.crossJoin(broadcast(vTot))
     val tc = tok.filter(col("lang") === "zh")
       .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val tTot = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     val ratios = vocab.join(tc, Seq("tok"), "left")
       .withColumn("ct", coalesce(col("ct"), lit(0L)))
-      .withColumn("nt", sum(col("ct")).over(wAll))
+      .crossJoin(broadcast(tTot))
       .select(col("tok"),
         (log((col("ct") + 1.0) / (col("nt") + col("v"))) -
           log((col("cs") + 1.0) / (col("ns") + col("v")))).as("lr"))

@@ -1069,11 +1069,10 @@ object Similarity {
     * (dim, mean_d, loading, explained_var) — the fitted component plus
     * the Rayleigh-quotient variance it explains. */
   def pcaPower(spark: SparkSession, dir: String): DataFrame =
-    // Memoized like the other fits (kmeans_a3): the fit is deterministic
-    // per (session, dir) and every call re-paid count + mean + three
-    // power-step corpus passes; the fitted component is 64 rows.
-    DirMemo.getOrCompute(spark, "pca_fit", dir)(
-      pcaPowerImpl(spark, dir).localCheckpoint())
+    // Not memoized (unlike the shared kmeans_a3 index): the fit is this
+    // query's own work and nothing else consumes it — a memo would make
+    // the bench's warm pass measure a count over a cached checkpoint.
+    pcaPowerImpl(spark, dir)
 
   private[graft] def pcaPowerImpl(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)

@@ -267,14 +267,22 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- bigram LM
   /** Bigram language-model scoring — one order up from [[unigramNll]]:
-    * fit P(r|l) = c(l,r)/c(l·) on the corpus (two count aggregates,
-    * both vocab- not corpus-sized, so both broadcast at any scale),
-    * score every doc by mean bigram negative-log-likelihood and its
-    * perplexity. A doc whose TOKENS are plausible but whose TRANSITIONS
-    * are not (shuffled text, keyword stuffing, template spam) scores
-    * high here while passing the unigram filter — the reason curation
-    * stacks both. Perplexity exponentiates the 6-dp-rounded mean so the
-    * oracle reproduces it bit-for-bit. */
+    * fit P(r|l) = c(l,r)/c(l·) on the corpus, score every doc by mean
+    * bigram negative-log-likelihood and its perplexity. A doc whose
+    * TOKENS are plausible but whose TRANSITIONS are not (shuffled text,
+    * keyword stuffing, template spam) scores high here while passing
+    * the unigram filter — the reason curation stacks both. Perplexity
+    * exponentiates the 6-dp-rounded mean so the oracle reproduces it
+    * bit-for-bit.
+    *
+    * Scale note: the unigram table saturates at vocab size, so it
+    * broadcasts at any corpus scale. The BIGRAM table does not — the
+    * distinct (l,r) pairs keep growing toward O(V²) with corpus bytes,
+    * so it is deliberately NOT hinted: the bigram rows are already
+    * hash-partitioned by (l,r) from their own count aggregate, and AQE
+    * picks a shuffle join (or a broadcast one while the table is still
+    * small) without the executor-OOM failure mode a forced broadcast
+    * has at 100 TB. */
   def bigramNll(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -284,7 +292,7 @@ object TextAnalysis {
       .filter(col("r").isNotNull)
     val uni = bg.groupBy(col("l")).agg(count(lit(1)).as("cl"))
     val bic = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("clr"))
-    bg.join(broadcast(bic), Seq("l", "r")).join(broadcast(uni), Seq("l"))
+    bg.join(bic, Seq("l", "r")).join(broadcast(uni), Seq("l"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(col("clr") / col("cl"))), 6).as("mean_nll"))
@@ -315,12 +323,13 @@ object TextAnalysis {
   def unigramNll(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-    // total token count as a window over the (vocab-sized) count table —
-    // no driver action in the plan builder
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val probs = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .withColumn("p", col("c") / sum(col("c")).over(wAll))
-      .select(col("tok"), col("p"))
+    // fit-then-fold: one-row corpus total folded back over the
+    // vocab-sized count table — no driver action in the plan builder,
+    // and no single-task window serializing the vocab
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("c_total"))
+    val probs = counts.crossJoin(broadcast(total))
+      .select(col("tok"), (col("c") / col("c_total")).as("p"))
     tok.join(broadcast(probs), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -412,7 +421,9 @@ object TextAnalysis {
     * n_pair). At 100 TB each step is one shuffle over pair rows; the
     * driver sees 4 single-row results. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    DirMemo.getOrCompute(spark, "bpe_merges", dir) {
+    DirMemo.getOrCompute(spark, "bpe_merges", dir)(bpeMergesImpl(spark, dir))
+
+  private[graft] def bpeMergesImpl(spark: SparkSession, dir: String): DataFrame = {
       import spark.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -434,7 +445,7 @@ object TextAnalysis {
           expr(s"replace(t, ' $l $r ', ' ${l}_$r ')"))
       }
       out.toSeq.toDF("step", "left_tok", "right_tok", "n_pair")
-    }
+  }
 
   /** Tokenizer APPLY — encode every document with the merge table that
     * [[bpeMerges]] learned (memoized per (session, dir), so fit runs
