@@ -46,6 +46,7 @@ object SparkEntry {
   def benchImpls: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment"   -> (scale.Dedup.containmentPairsImpl _),
     "dedup_clusters"      -> (scale.Dedup.computeClusters _),
+    "dedup_minhash_lsh"   -> (scale.Dedup.minhashLshPairsImpl _),
     "er_candidates"       -> (scale.EntityResolution.erCandidatesImpl _),
     "ngram_novelty"       -> (scale.CorpusOps.ngramNoveltyImpl _),
     "graph_pagerank"      -> (scale.GraphOps.graphPagerankImpl _),

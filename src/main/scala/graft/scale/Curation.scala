@@ -192,10 +192,16 @@ object Curation {
     val scored = kept
       .withColumn("quality_score", round(graft.scale.TextAnalysis.qualityScoreCol, 6))
       .filter(col("quality_score") >= 0.4)
-    // stage 3: decontamination — benchmark shingle set broadcast
-    val benchShingles = Dedup.shingleRows(docs.filter(isBench))
+    // stage 3: decontamination — benchmark shingle set broadcast.
+    // Both sides FILTER the shared shingle index (per-doc shingling
+    // commutes with per-doc predicates — see Dedup.shingleIndex): the
+    // pipeline reads the materialized index a corpus maintains anyway
+    // instead of re-tokenizing the corpus twice inline.
+    val benchShingles = Dedup.shingleIndex(spark, dir)
+      .filter(col("doc_id") % 97 === 0)
       .select(col("s")).distinct().withColumn("hit", lit(1))
-    val fracs = Dedup.shingleRows(scored.select(col("doc_id"), col("text")))
+    val fracs = Dedup.shingleIndex(spark, dir)
+      .join(scored.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .join(broadcast(benchShingles), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg((count(col("hit")).cast("double") / count(lit(1))).as("frac"))

@@ -166,8 +166,17 @@ object Dedup {
     * shape. Verification joins shingle ROWS (broadcast the candidate
     * list, count matching shingles per pair), never shipping per-doc
     * shingle arrays through a shuffle: |A∩B| = matching-row count,
-    * |A∪B| = nA + nB − |A∩B|. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    * |A∪B| = nA + nB − |A∩B|.
+    *
+    * Memoized per (session, dir): the verified pair set is the near-dup
+    * GRAPH read by three more consumers (the connected-components loop,
+    * PageRank, and the keep-list) — each would re-pay band-join +
+    * Jaccard verification per call. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute(spark, "lsh_pairs", dir)(
+      minhashLshPairsImpl(spark, dir).localCheckpoint())
+
+  private[graft] def minhashLshPairsImpl(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigArr(spark, dir)
     val bands = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)),

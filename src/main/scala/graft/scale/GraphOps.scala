@@ -36,11 +36,14 @@ object GraphOps {
 
   private[graft] def graphPagerankImpl(spark: SparkSession, dir: String): DataFrame = {
     val p = Dedup.minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // coalesce(4): the pair graph is a few hundred rows — without it
+    // every iteration schedules 32 near-empty shuffle tasks (the same
+    // reasoning as Dedup.computeClusters)
     val edges = p.unionByName(
         p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint() // consumed by deg + 3 iteration joins
+      .coalesce(4).localCheckpoint() // consumed by deg + 3 iteration joins
     val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .coalesce(4).localCheckpoint()
     val n = deg.count()
     // floor(x + 0.5) on both sides (Scala math.round == floor(x+0.5) for
     // positive doubles; the oracle writes the same expression)
@@ -58,7 +61,7 @@ object GraphOps {
         .join(sums.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(base) + expr("coalesce(s, 0L) * 85 div 100")).as("pr_units"))
-        .localCheckpoint()
+        .coalesce(4).localCheckpoint()
       prev.unpersist() // round k's blocks are dead once round k+1 materializes
     }
     // the final pr and deg back the memoized result; the edge blocks do

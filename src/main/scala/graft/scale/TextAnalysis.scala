@@ -418,25 +418,29 @@ object TextAnalysis {
     * fit exactly. Ties break on (count desc, left, right). Tokens are
     * [a-z0-9]+ so the '_' joiner and ' ' delimiter never collide.
     * Output: the learned merge table (step, left_tok, right_tok,
-    * n_pair). At 100 TB each step is one shuffle over pair rows; the
+    * n_pair). Adjacent pairs come from zipping the token array with its
+    * tail — a pure map stage; the per-doc posexplode+lead window it
+    * replaces paid an extra doc_id shuffle AND a sort per step. At
+    * 100 TB each step is therefore ONE shuffle over pair rows; the
     * driver sees 4 single-row results. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     DirMemo.getOrCompute(spark, "bpe_merges", dir)(bpeMergesImpl(spark, dir))
 
   private[graft] def bpeMergesImpl(spark: SparkSession, dir: String): DataFrame = {
       import spark.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
       var txt = Tables.documents(spark, dir).select(col("doc_id"),
         concat(lit(" "), concat_ws(" ", Dedup.tokens(col("text"))), lit(" ")).as("t"))
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (step <- 1 to 4) {
+        val toks = filter(split(col("t"), " "), x => x =!= "")
+        val n1 = greatest(size(col("toks")) - 1, lit(0))
         val top = txt
-          .select(col("doc_id"),
-            posexplode(filter(split(col("t"), " "), x => x =!= "")).as(Seq("pos", "tok")))
-          .withColumn("nx", lead(col("tok"), 1).over(w))
-          .filter(col("nx").isNotNull)
-          .groupBy(col("tok"), col("nx")).agg(count(lit(1)).as("n"))
+          .select(toks.as("toks"))
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+            (l, r) => struct(l.as("tok"), r.as("nx")))).as("p"))
+          .groupBy(col("p.tok").as("tok"), col("p.nx").as("nx"))
+          .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("tok"), col("nx"))
           .limit(1).collect()(0)
         val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
