@@ -48,4 +48,51 @@ class AnomalyStreamSpec extends SparkSpec {
     assert(p.columns.toSeq == Seq("event_type", "hod", "n_ref", "mu", "sigma"))
     assert(p.count() > 0)
   }
+
+  test("streaming the real current window reproduces the batch census slot-for-slot") {
+    // BATCH-EQUIVALENCE: feed every current-window event of the real
+    // events table through the streaming scorer (MemoryStream → memory
+    // sink), re-aggregate the per-minute windows to (event_type, hod) —
+    // minute windows nest exactly inside hours — and diff against the
+    // batch query the driver oracles (anomaly_seasonal). Zero rows may
+    // differ: one definition of anomalous, checked, not asserted.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val splitUs = 1705363200000000L // FeatureOps' reference/current split
+    val cur = graft.Tables.events(spark, sfDir)
+      .filter(unix_micros(col("ts")) >= lit(splitUs))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    assert(cur.length > 100, "fixture must exercise the stream meaningfully")
+    val profile = graft.scale.FeatureOps.seasonalProfile(spark, sfDir)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = AnomalyStream.score(
+        mem.toDF().toDF("event_id", "ts", "event_type", "value"), profile)
+      .writeStream.format("memory").queryName("anom_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(cur.toSeq: _*)
+      q.processAllAvailable()
+      // two flush sentinels: the first advances the watermark past every
+      // real window, the second forces a batch in which they emit
+      val maxTs = cur.map(_._2.getTime).max
+      mem.addData((-1L, new java.sql.Timestamp(maxTs + 10 * 60 * 1000), "zz_flush", 0.0))
+      q.processAllAvailable()
+      mem.addData((-2L, new java.sql.Timestamp(maxTs + 20 * 60 * 1000), "zz_flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("anom_equiv")
+        .groupBy(col("event_type"), hour(col("window_start")).as("hod"))
+        .agg(sum(col("n_events")).as("sn_cur"),
+          sum(col("n_anomalies")).as("sn_anomalies"))
+      val batch = graft.scale.FeatureOps.anomalySeasonal(spark, sfDir)
+        .select(col("event_type"), col("hod"), col("n_cur"), col("n_anomalies"))
+      val joined = batch.join(streamed, Seq("event_type", "hod"))
+      assert(joined.count() == batch.count(),
+        "every batch slot must appear in the streamed census")
+      val diff = joined.filter(
+        col("n_cur") =!= col("sn_cur") || col("n_anomalies") =!= col("sn_anomalies"))
+      assert(diff.count() == 0, diff.collect().mkString("; "))
+    } finally q.stop()
+  }
 }

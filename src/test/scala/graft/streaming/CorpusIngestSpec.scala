@@ -69,4 +69,56 @@ class CorpusIngestSpec extends SparkSpec {
       assert(!clean.contains("alice@example.com") && !clean.contains("10.0.0.7"))
     } finally q.stop()
   }
+
+  test("streaming the real corpus reproduces the batch curation to zero diff") {
+    // BATCH-EQUIVALENCE: every document of the real table flows through
+    // the streaming ingest inside one watermark window, and the output
+    // multiset must equal the batch composition of the same stages
+    // (exact dedup, quality gate, PII scrub). Compared on content_hash
+    // rather than doc_id: batch keep-lowest vs streaming keep-first
+    // pick the same GROUP either way, and every derived column comes
+    // from the (identical) text.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = 1700000000000L
+    val rows = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(base + (r.getLong(0) % 60) * 1000)))
+    assert(rows.length > 100, "fixture must exercise the stream meaningfully")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CorpusIngest.ingest(mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("ingest_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData((-1L, "late watermark pusher text",
+        new java.sql.Timestamp(base + 600 * 1000)))
+      q.processAllAvailable()
+      val picked = Seq("content_hash", "n_tokens", "quality_score",
+        "quality_bucket", "n_pii", "clean_text")
+      val streamed = spark.table("ingest_equiv")
+        .filter(col("doc_id") >= 0)
+        .select(picked.map(col): _*)
+      val t = graft.scale.TextAnalysis
+      val batch = graft.Tables.documents(spark, sfDir)
+        .withColumn("content_hash", md5(col("text").cast("binary")))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+        .withColumn("quality_score", round(t.qualityScoreCol, 6))
+        .filter(col("quality_score") >= 0.4)
+        .select(col("content_hash"),
+          size(graft.scale.Dedup.tokens(col("text"))).as("n_tokens"),
+          col("quality_score"),
+          when(col("quality_score") >= 0.7, "keep").otherwise("flag")
+            .as("quality_bucket"),
+          t.piiHitsCol.as("n_pii"), t.piiCleanCol.as("clean_text"))
+      assert(streamed.count() == batch.count(), "same survivor count")
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0, "curated rows must match exactly")
+    } finally q.stop()
+  }
 }
