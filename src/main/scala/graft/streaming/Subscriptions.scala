@@ -72,9 +72,125 @@ object Subscriptions {
        |FROM rated GROUP BY 1, 2""".stripMargin
   }
 
+  /** T8 — per-client delivery adjudication, the batch model of the
+    * reference's send path (`websocket_manager.py:790-800`): each
+    * message offered to a subscribed client passes `_authorize_stream
+    * _access` → `_apply_client_filters` → `_check_rate_limit` in that
+    * order (the send returns early at the first failing gate), and a
+    * delivered message with `confidence >= 0.9` additionally fires the
+    * external-callback hook (`websocket_manager.py:761-772`).
+    *
+    * Batch semantics, all deterministic so DuckDB reproduces them:
+    *  - messages = the events stream; channel from `event_id % 8`,
+    *    confidence from `(event_id % 100) / 100`;
+    *  - the CONNECTED client set is `client_id <= 60` (the reference
+    *    adjudicates per live websocket, not per account — connections
+    *    are a small working set over the customer dimension);
+    *  - auth: revoked iff `client_id % 17 == 0`;
+    *  - per-client filter: minimum confidence `(client_id % 4) * 0.25`;
+    *  - rate limit: the tier budget applied per (client, channel, day)
+    *    — a token bucket with daily refill at the test cadence (the
+    *    event tables run ~40 msgs/channel/day at sf0.01 and ~420 at
+    *    sf0.1, so retail (10) saturates at both scales, professional
+    *    (100) only at sf0.1, premium (1000) never — all three tiers
+    *    behave distinctly); the
+    *    first `rate_limit_msg_s` SURVIVING messages (auth+filter pass
+    *    first, as in the reference) are delivered in (ts, event_id)
+    *    order, the rest counted as rate-limited.
+    *
+    * Scale shape: the fan-out join keys on `channel` (8 keys) but the
+    * heavy side is events × a bounded connection set, so the
+    * subscription side broadcasts and the only shuffle is the
+    * rate-limit window's, partitioned by (client, channel, day) —
+    * thousands of independent partitions, no global ordering. Output
+    * is the per-(channel, tier) adjudication census. */
+  def t8ClientFanout(spark: SparkSession, dir: String): DataFrame = {
+    val channels = array(channelNames.map(lit): _*)
+    val msgs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"),
+        element_at(channels, (col("event_id") % 8).cast("int") + 1).as("channel"),
+        ((col("event_id") % 100).cast("double") / 100.0).as("confidence"))
+    val subs = subscriptionTable(spark, dir).filter(col("client_id") <= 60)
+    val fan = msgs.join(broadcast(subs), Seq("channel"))
+      .withColumn("authorized", col("client_id") % 17 =!= 0)
+      .withColumn("passes_filter",
+        col("confidence") >= (col("client_id") % 4).cast("double") * 0.25)
+    val gateCounts = fan.groupBy(col("channel"), col("tier"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(!col("authorized"), lit(1))).as("n_denied_auth"),
+        count(when(col("authorized") && !col("passes_filter"), lit(1)))
+          .as("n_filtered"))
+    val surviving = fan.filter(col("authorized") && col("passes_filter"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("client_id"), col("channel"), date_trunc("day", col("ts")))
+          .orderBy(col("ts"), col("event_id"))))
+      .withColumn("delivered", col("rn") <= col("rate_limit_msg_s"))
+    val sendCounts = surviving.groupBy(col("channel"), col("tier"))
+      .agg(count(when(!col("delivered"), lit(1))).as("n_rate_limited"),
+        count(when(col("delivered"), lit(1))).as("n_delivered"),
+        count(when(col("delivered") && col("confidence") >= 0.9, lit(1)))
+          .as("n_callbacks"))
+    gateCounts.join(sendCounts, Seq("channel", "tier"), "left")
+      .select(col("channel"), col("tier"), col("n_candidates"),
+        col("n_denied_auth"), col("n_filtered"),
+        coalesce(col("n_rate_limited"), lit(0L)).as("n_rate_limited"),
+        coalesce(col("n_delivered"), lit(0L)).as("n_delivered"),
+        coalesce(col("n_callbacks"), lit(0L)).as("n_callbacks"))
+  }
+
+  val t8ClientFanoutSql: String = {
+    val arr = channelNames.map(c => s"'$c'").mkString("[", ", ", "]")
+    s"""WITH subs AS (
+       |  SELECT c_custkey AS client_id, ch.channel,
+       |         CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') THEN 'premium'
+       |              WHEN c_mktsegment IN ('BUILDING', 'FURNITURE') THEN 'professional'
+       |              ELSE 'retail' END AS tier
+       |  FROM customer,
+       |       (SELECT i, ($arr)[i] AS channel
+       |        FROM unnest(generate_series(1, 8)) AS t(i)) ch
+       |  WHERE (c_custkey + ch.i - 1) % 3 = 0 AND c_custkey <= 60),
+       |rated AS (
+       |  SELECT *, CASE tier WHEN 'premium' THEN 1000
+       |                      WHEN 'professional' THEN 100 ELSE 10 END AS rate_limit_msg_s
+       |  FROM subs),
+       |msgs AS (
+       |  SELECT event_id, ts, ($arr)[CAST(event_id % 8 AS INT) + 1] AS channel,
+       |         CAST(event_id % 100 AS DOUBLE) / 100.0 AS confidence
+       |  FROM events),
+       |fan AS (
+       |  SELECT m.*, r.client_id, r.tier, r.rate_limit_msg_s,
+       |         r.client_id % 17 <> 0 AS authorized,
+       |         m.confidence >= CAST(r.client_id % 4 AS DOUBLE) * 0.25 AS passes_filter
+       |  FROM msgs m JOIN rated r USING (channel)),
+       |gates AS (
+       |  SELECT channel, tier, count(*) AS n_candidates,
+       |         count(CASE WHEN NOT authorized THEN 1 END) AS n_denied_auth,
+       |         count(CASE WHEN authorized AND NOT passes_filter THEN 1 END) AS n_filtered
+       |  FROM fan GROUP BY 1, 2),
+       |surviving AS (
+       |  SELECT *, row_number() OVER (
+       |           PARTITION BY client_id, channel, date_trunc('day', ts)
+       |           ORDER BY ts, event_id) <= rate_limit_msg_s AS delivered
+       |  FROM fan WHERE authorized AND passes_filter),
+       |sends AS (
+       |  SELECT channel, tier,
+       |         count(CASE WHEN NOT delivered THEN 1 END) AS n_rate_limited,
+       |         count(CASE WHEN delivered THEN 1 END) AS n_delivered,
+       |         count(CASE WHEN delivered AND confidence >= 0.9 THEN 1 END) AS n_callbacks
+       |  FROM surviving GROUP BY 1, 2)
+       |SELECT g.channel, g.tier, g.n_candidates, g.n_denied_auth, g.n_filtered,
+       |       coalesce(s.n_rate_limited, 0) AS n_rate_limited,
+       |       coalesce(s.n_delivered, 0) AS n_delivered,
+       |       coalesce(s.n_callbacks, 0) AS n_callbacks
+       |FROM gates g LEFT JOIN sends s USING (channel, tier)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t7_subscriptions" -> (t7Subscriptions _))
+    "t7_subscriptions" -> (t7Subscriptions _),
+    "t8_client_fanout" -> (t8ClientFanout _))
 
   def oracles: Map[String, String] = Map(
-    "t7_subscriptions" -> t7SubscriptionsSql)
+    "t7_subscriptions" -> t7SubscriptionsSql,
+    "t8_client_fanout" -> t8ClientFanoutSql)
 }
