@@ -113,13 +113,19 @@ object Curation {
     * the doc covered by its top bigram. Docs with fewer than two tokens
     * keep null bigram metrics (left join) in both engines. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = toks
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .filter(col("t1").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("b"))
+    // token rows and bigram rows are both pure map stages: counts don't
+    // need positions, and adjacent pairs come from zipping the token
+    // array with its own tail (the bpeMergesImpl shape) — the
+    // posexplode+lead window this replaces paid a doc_id shuffle and a
+    // per-doc sort before the first aggregate
+    val tokArr = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+    val toks = tokArr.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val n1 = greatest(size(col("ts")) - 1, lit(0))
+    val bigrams = tokArr
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), n1), slice(col("ts"), lit(2), n1),
+        (l, r) => concat_ws(" ", l, r))).as("b"))
     val tokStats = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

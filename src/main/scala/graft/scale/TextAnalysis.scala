@@ -282,14 +282,23 @@ object TextAnalysis {
     * hash-partitioned by (l,r) from their own count aggregate, and AQE
     * picks a shuffle join (or a broadcast one while the table is still
     * small) without the executor-OOM failure mode a forced broadcast
-    * has at 100 TB. */
+    * has at 100 TB.
+    *
+    * Bigram rows come from zipping the token array with its own tail
+    * (the [[bpeMergesImpl]] shape) — a pure map stage; the
+    * posexplode+lead window it replaces paid a doc_id shuffle AND a
+    * per-doc sort before the first aggregate. The token array is
+    * projected in its own select so the two `slice` references stay on
+    * an attribute (CollapseProject only inlines non-cheap expressions
+    * used once — the regex split runs exactly once per doc). */
   def bigramNll(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val n1 = greatest(size(col("ts")) - 1, lit(0))
     val bg = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "l")))
-      .withColumn("r", lead(col("l"), 1).over(w))
-      .filter(col("r").isNotNull)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), n1), slice(col("ts"), lit(2), n1),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
     val uni = bg.groupBy(col("l")).agg(count(lit(1)).as("cl"))
     val bic = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("clr"))
     bg.join(bic, Seq("l", "r")).join(broadcast(uni), Seq("l"))

@@ -283,4 +283,22 @@ class PlanSpec extends SparkSpec {
     // condition; the block keys are the equi-side
     assert(p.toLowerCase.contains("noun"), "block key missing from the join:\n" + p)
   }
+
+  test("bigram LM rows are a pure map stage: no window, no sort below the first aggregate") {
+    // adjacent pairs come from zipping the token array with its own
+    // tail — the posexplode+lead form paid a doc_id shuffle AND a
+    // per-doc sort before any aggregate ran
+    val p = plan(scale.TextAnalysis.bigramNll(spark, sfDir))
+    assert(!p.contains(") Window"), "no window in the pair build:\n" + p)
+    assert(!p.contains(") Sort"), "no sort in the pair build:\n" + p)
+  }
+
+  test("T8 fan-out broadcasts the connected-client set; rate-limit window is per client-channel-day") {
+    val p = plan(streaming.Subscriptions.t8ClientFanout(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "subscriptions must broadcast against the event stream:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("client_id"),
+      "rate-limit window must partition by client:\n" + p)
+  }
 }
