@@ -300,15 +300,82 @@ object Sinks {
        |FROM z GROUP BY zfile""".stripMargin
   }
 
+  // ------------------------------------------------------- K3/K7 round-trips
+  /** K3 — indicator-rows save as a driver-verified ROUND-TRIP: daily
+    * indicator rows are physically written date-partitioned (the §1.1
+    * storage layout), then read back through a partition-pruning
+    * predicate, and the read-back content is what the oracle checks —
+    * so the write path, the partition encoding (date → directory →
+    * DATE-typed column on read), and chunk-exclusion pruning are all
+    * under the hash gate, not just a spec. The pruned week is the
+    * query result; `PlanSpec` asserts the scan carries PartitionFilters
+    * rather than reading all 30 days. */
+  def k3IndicatorRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k3_${math.abs(dir.hashCode)}"
+    Tables.candles(spark, dir)
+      .groupBy(col("user_id"), to_date(col("bucket")).as("date"))
+      .agg(count(lit(1)).as("n_candles"),
+        round(avg(col("close")), 6).as("avg_close"),
+        round(max(col("high")), 6).as("max_high"),
+        round(min(col("low")), 6).as("min_low"))
+      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .option("compression", "zstd").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("date") >= lit("2024-01-08") && col("date") < lit("2024-01-15"))
+      // pruning happens on the DATE-typed partition column above; the
+      // output carries it as a timestamp (the driver compare's
+      // canonical temporal type)
+      .select(col("user_id"), col("date").cast("timestamp").as("day"),
+        col("n_candles"), col("avg_close"), col("max_high"), col("min_low"))
+  }
+
+  val k3IndicatorRoundtripSql: String = Tables.candlesSql +
+    """, daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', bucket) AS DATE) AS date,
+      |         count(*) AS n_candles,
+      |         round(avg(close), 6) + 0 AS avg_close,
+      |         round(max(high), 6) + 0 AS max_high,
+      |         round(min(low), 6) + 0 AS min_low
+      |  FROM candles GROUP BY 1, 2)
+      |SELECT user_id, CAST(date AS TIMESTAMP) AS day,
+      |       n_candles, avg_close, max_high, min_low
+      |FROM daily
+      |WHERE date >= DATE '2024-01-08' AND date < DATE '2024-01-15'""".stripMargin
+
+  /** K7 — JSON export as a driver-verified ROUND-TRIP: the per-type
+    * report is exported through [[exportJson]] (single-part, the
+    * reference's report shape), read back under an EXPLICIT schema (no
+    * inference — the contract a downstream consumer codes against),
+    * and the read-back rows are what the oracle checks. Pins that
+    * doubles survive the JSON text round-trip exactly (Spark writes
+    * shortest-round-trip representations). */
+  def k7JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k7_${math.abs(dir.hashCode)}"
+    exportJson(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value")),
+      tmp)
+    spark.read.schema("event_type STRING, n BIGINT, total_value DOUBLE").json(tmp)
+  }
+
+  val k7JsonRoundtripSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 6) + 0 AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_upsert_merge"    -> (upsertMerged _),
     "k2_feature_save"    -> (k2FeatureSave _),
+    "k3_indicator_roundtrip" -> (k3IndicatorRoundtrip _),
+    "k7_json_roundtrip"  -> (k7JsonRoundtrip _),
     "layout_zorder"      -> (layoutZorder _),
     "k5_retention"       -> (retentionFilter _))
 
   def oracles: Map[String, String] = Map(
     "k1_upsert_merge"    -> upsertMergedSql,
     "k2_feature_save"    -> k2FeatureSaveSql,
+    "k3_indicator_roundtrip" -> k3IndicatorRoundtripSql,
+    "k7_json_roundtrip"  -> k7JsonRoundtripSql,
     "layout_zorder"      -> layoutZorderSql,
     "k5_retention"       -> retentionFilterSql)
 }

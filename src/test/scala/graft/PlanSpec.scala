@@ -284,6 +284,13 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("noun"), "block key missing from the join:\n" + p)
   }
 
+  test("K3 round-trip read prunes date partitions at the scan") {
+    val p = plan(sources.Sinks.k3IndicatorRoundtrip(spark, sfDir))
+    assert(p.contains("PartitionFilters") &&
+      (p.contains("date#") || p.contains("date >=") || p.toLowerCase.contains("partitionfilters: [isnotnull(date")),
+      "read-back must prune on the date partition column:\n" + p)
+  }
+
   test("bigram LM rows are a pure map stage: no window, no sort below the first aggregate") {
     // adjacent pairs come from zipping the token array with its own
     // tail — the posexplode+lead form paid a doc_id shuffle AND a
