@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Sweep audit over EVERY registered query's optimized physical plan.
+  *
+  * Two invariants:
+  *  1. No query may plan a `CartesianProduct` — Spark only falls back
+  *     to it when NEITHER side broadcasts, i.e. a genuine corpus×corpus
+  *     product, which is never acceptable at 100 TB.
+  *  2. `BroadcastNestedLoopJoin` stages are PINNED per query. The
+  *     engine uses BNLJ in exactly two deliberate shapes — the
+  *     fit-then-fold idiom (`crossJoin(broadcast(oneRowFitFrame))`:
+  *     the broadcast side is a keyless aggregate's single row, so the
+  *     "nested loop" degenerates to a constant fold) and the
+  *     documented blocked/bounded all-pairs kernels (embedding
+  *     near-dup cogroup, brute-force ANN ground truth). A refactor
+  *     that introduces a NEW nested-loop stage — the classic silent
+  *     cross-product regression — changes a count and fails here,
+  *     forcing a conscious review instead of a cluster incident. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** query → expected BroadcastNestedLoopJoin stages in its optimized
+    * plan at sf0.001. Every entry is one of the two deliberate shapes
+    * above; queries absent from the map must plan zero. */
+  private val pinnedBnlj: Map[String, Int] = Map.empty ++ PlanAuditSpec.expected
+
+  test("no CartesianProduct anywhere; nested-loop stages match the pinned census") {
+    val drift = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val p = fn(spark, sfDir).queryExecution
+            .explainString(ExplainMode.fromString("formatted"))
+          // count numbered node entries only — the formatted explain
+          // prints each physical node once in the tree and once in the
+          // "(n) NodeName" detail section
+          val cart = """\(\d+\) CartesianProduct""".r.findAllIn(p).nonEmpty
+          val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+          val want = pinnedBnlj.getOrElse(name, 0)
+          if (cart) Some(s"$name: CartesianProduct")
+          else if (bnlj != want) Some(s"$name: $bnlj BNLJ (pinned $want)")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name: failed to plan (${e.getClass.getSimpleName})")
+        }
+    }
+    assert(drift.isEmpty, "plan-shape drift:\n  " + drift.mkString("\n  "))
+  }
+}
+
+object PlanAuditSpec {
+  /** The audited census. Fold-idiom entries broadcast a one-row fit
+    * frame (stats row, census row, total row); kernel entries are the
+    * documented bounded all-pairs stages. */
+  val expected: Seq[(String, Int)] = Seq(
+    // --- bounded all-pairs kernels (documented at their impl sites) --
+    // dedup_embedding_cos and rank_ndcg serve memoized checkpoints
+    // (plan = ExistingRDD scan, 0 joins); their BUILD shapes are
+    // plan-asserted separately in PlanSpec
+    "ann_brute_force" -> 1,     // broadcast query set over the corpus
+    "ann_recall" -> 2,          // ground truth + LSH probe, both bounded
+    // --- fit-then-fold one-row broadcasts (count = folds in the plan)
+    "a7_normalize" -> 1, "ann_dot_expr" -> 1, "ann_ivf_assign" -> 1,
+    "ann_ivf_search" -> 2, "assoc_rules" -> 1, "dataset_card" -> 1,
+    "dedup_funnel" -> 3, "dedup_semantic" -> 2, "emb_pca_power" -> 4,
+    "f8_liquidity" -> 1, "feat_target_encode" -> 1, "layout_zorder" -> 1,
+    "pairs_contrastive" -> 1, "pipeline_full" -> 1, "qc_score" -> 1,
+    "sample_dsir" -> 2, "sample_hardneg" -> 2, "sample_mixture" -> 3,
+    "sample_temperature" -> 3, "search_hybrid_rrf" -> 2,
+    "shard_balance" -> 1, "sk_hll_rollup" -> 1, "skew_census" -> 2,
+    "split_time_folds" -> 1, "text_bm25_search" -> 1,
+    "text_cluster_topics" -> 1, "text_quality_adaptive" -> 1,
+    "text_tfidf_topterms" -> 1, "text_unigram_nll" -> 1,
+    "ts_similar_windows" -> 1, "w3_sma_segmented" -> 2,
+    "w4_ema_segmented" -> 2)
+}
