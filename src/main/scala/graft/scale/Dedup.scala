@@ -198,9 +198,13 @@ object Dedup {
       .join(s.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(s.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    // sizes is corpus-sized (one row per doc) — never hint it broadcast;
+    // inter is the near-dup pair set, the genuinely small side, and AQE
+    // broadcasts IT at runtime. A forced broadcast of sizes OOMs
+    // executors at corpus scale.
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.5)
@@ -702,8 +706,10 @@ object Dedup {
       .join(sh.select(col("doc_id").as("new_id"), col("s")), "new_id")
       .join(sh.select(col("doc_id").as("corpus_id"), col("s")), Seq("corpus_id", "s"))
       .groupBy(col("new_id"), col("corpus_id")).agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("new_id"), col("n").as("n_a"))), "new_id")
-      .join(broadcast(sizes.select(col("doc_id").as("corpus_id"), col("n").as("n_b"))), "corpus_id")
+      // sizes is corpus-sized — no broadcast hint (the aggregated pair
+      // set above is the small side; AQE broadcasts it at runtime)
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("n_a")), "new_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n").as("n_b")), "corpus_id")
       .filter(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")) >= 0.5)
       .groupBy(col("new_id")).agg(min(col("corpus_id")).as("near_dup_of"))
@@ -812,8 +818,12 @@ object Dedup {
   private[graft] def containmentPairsImpl(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // graft_intersect_count
     val s = shingleReps(spark, dir)
+    // df is shingle-vocab-sized and distinct shingles grow ~linearly
+    // with the corpus (unlike a word vocab, 5-gram shingles never
+    // saturate) — a broadcast hint here is the bigram-table OOM failure
+    // mode; the shuffle hash join on s is the scale-safe shape
     val df = s.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val docs = s.join(broadcast(df), "s")
+    val docs = s.join(df, "s")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("by_df"),
         count(lit(1)).as("n"))
@@ -823,21 +833,27 @@ object Dedup {
       .withColumn("arr", array_sort(transform(col("by_df"), x => x("s"))))
       .drop("by_df")
       .cache()
-    val sizes = docs.select(col("doc_id"), col("n"))
     val prefix = docs.select(col("doc_id").as("pa"), col("n").as("n_p"),
       explode(col("prefix")).as("s"))
-    val full = s.join(broadcast(sizes), "doc_id")
-      .select(col("doc_id").as("pb"), col("n").as("n_f"), col("s"))
+    // docs is corpus-sized (one row per doc carrying the full sorted
+    // shingle array) — broadcast hints on it would ship the whole
+    // corpus to every executor; the small sides are the prefix rows
+    // (candidate join) and the candidate pair set (verify joins), and
+    // AQE broadcasts the right side at runtime. The full shingle rows
+    // re-explode from the cached docs arrays — one Generate over the
+    // cache instead of a corpus-shuffle join against a sizes table.
+    val full = docs.select(col("doc_id").as("pb"), col("n").as("n_f"),
+      explode(col("arr")).as("s"))
     val cand = prefix.join(full, "s")
       .filter(col("pa") =!= col("pb") && col("n_p") <= col("n_f"))
       .select(least(col("pa"), col("pb")).as("doc_a"),
         greatest(col("pa"), col("pb")).as("doc_b"))
       .distinct()
     cand
-      .join(broadcast(docs.select(col("doc_id").as("doc_a"),
-        col("arr").as("arr_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(docs.select(col("doc_id").as("doc_b"),
-        col("arr").as("arr_b"), col("n").as("n_b"))), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a"), col("n").as("n_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b"), col("n").as("n_b")), "doc_b")
       .withColumn("inter",
         graft.functions.GraftFunctions.intersectCount(col("arr_a"), col("arr_b")))
       .withColumn("containment",

@@ -406,7 +406,10 @@ object Sampling {
       .select(col("tok"),
         (log((col("ct") + 1.0) / (col("nt") + col("v"))) -
           log((col("cs") + 1.0) / (col("ns") + col("v")))).as("lr"))
-    val weighted = tok.join(broadcast(ratios), Seq("tok"))
+    // ratios is vocab-sized and a raw-token vocab never truly saturates
+    // at web scale (numbers, typos, URLs) — no broadcast hint; AQE
+    // broadcasts it while it is actually small and shuffles past that
+    val weighted = tok.join(ratios, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(round(avg(col("lr")), 6).as("log_ratio"))
     val prob = round(least(lit(1.0), exp(col("log_ratio"))), 6)

@@ -287,7 +287,11 @@ object Similarity {
       .filter(col("rk") <= 2)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cid"))
-    val cand = c.join(broadcast(lists), "vec_id")
+    // lists is corpus-sized (one assignment row per vector) — no
+    // broadcast hint; the equi-join on vec_id shuffles (or AQE
+    // broadcasts the smaller side at runtime). probes is nprobe×queries
+    // rows — genuinely tiny, hint it.
+    val cand = c.join(lists, "vec_id")
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
@@ -438,7 +442,8 @@ object Similarity {
       .filter(col("rk") <= 2)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cid"))
-    val ivf = rank(c.join(broadcast(lists), "vec_id")
+    // lists is corpus-sized — no broadcast hint (see annIvfSearch)
+    val ivf = rank(c.join(lists, "vec_id")
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cos))

@@ -26,6 +26,11 @@ class PlanAuditSpec extends SparkSpec {
   private val pinnedBnlj: Map[String, Int] = Map.empty ++ PlanAuditSpec.expected
 
   test("no CartesianProduct anywhere; nested-loop stages match the pinned census") {
+    // the census is calibrated against CLEAN-session plans: a cached
+    // frame left by an earlier suite substitutes an InMemoryRelation —
+    // and an already-EXECUTED adaptive cached plan prints final+initial
+    // trees in formatted explain, double-counting its nodes
+    spark.catalog.clearCache()
     val drift = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

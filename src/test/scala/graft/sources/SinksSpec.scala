@@ -138,5 +138,9 @@ class SinksSpec extends SparkSpec {
       .filter(col("min_day") <= someDay && col("max_day") >= someDay).count()
     assert(dayTouched < nFiles,
       s"day predicate should skip at least one file: $dayTouched/$nFiles")
+    // suites share one session: a leaked cache entry substitutes an
+    // executed AQE plan into later suites' explains (PlanAuditSpec saw
+    // final+initial plans double-counted)
+    manifest.unpersist()
   }
 }
