@@ -1096,11 +1096,16 @@ object Similarity {
   private[graft] def pcaPowerImpl(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val dims = 0 until 64
-    val nRows = c.count()
-    val mean: Array[Double] = c
+    // one corpus pass for BOTH n and the per-dim means (count rides the
+    // same 64-group aggregate; a separate c.count() is a whole extra
+    // scan — at 100 TB the fit is 4 passes, not 5)
+    val meanRows = c
       .select(posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("d")).agg(avg(col("x")).as("m"))
-      .collect().map(r => r.getInt(0) -> (math.rint(r.getDouble(1) * 1e6) / 1e6 + 0.0))
+      .groupBy(col("d")).agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+      .collect()
+    val nRows = meanRows.head.getLong(2)
+    val mean: Array[Double] = meanRows
+      .map(r => r.getInt(0) -> (math.rint(r.getDouble(1) * 1e6) / 1e6 + 0.0))
       .sortBy(_._1).map(_._2)
     val cx = c.select(col("vec_id"),
       array(dims.map(d => element_at(col("v"), d + 1) - lit(mean(d))): _*).as("cx"))
@@ -1119,23 +1124,22 @@ object Similarity {
     val e1 = Array.tabulate(64)(d => if (d == 0) 1.0 else 0.0)
     val v1 = normQuant(step(e1))
     val v2 = normQuant(step(v1))
-    // the final iterate is consumed THREE times below (norm, eigenvalue,
-    // loadings) and each consumer would re-run the whole corpus pass —
-    // checkpoint the 64-row result so the pass runs once
-    val u3 = step(v2).localCheckpoint()
-    val nrm3 = u3.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
-    val lam = u3.agg(round(
-      sum(col("u") * element_at(typedLit(v2.toSeq), col("d") + 1)) / (nRows - 1), 6)
-      .as("explained_var"))
-    val v3 = u3.crossJoin(broadcast(nrm3))
-      .select(col("d"), round(col("u") / col("nrm"), 6).as("loading"))
-    val flip = v3.orderBy(abs(col("loading")).desc, col("d")).limit(1)
-      .select(when(col("loading") < 0, -1.0).otherwise(1.0).as("flip"))
-    v3.crossJoin(broadcast(flip)).crossJoin(broadcast(lam))
-      .select((col("d") + 1).as("dim"),
-        element_at(typedLit(mean.toSeq), col("d") + 1).as("mean_d"),
-        (col("loading") * col("flip") + lit(0.0)).as("loading"),
-        col("explained_var"))
+    // the final iterate is 64 doubles — collect it ONCE and finish the
+    // fit (norm, Rayleigh eigenvalue, sign flip) in the driver. The
+    // previous shape (checkpoint + 3 broadcast-subquery crossJoins)
+    // launched 5 extra jobs over a 64-row frame; per-job scheduling
+    // overhead was the whole cost. Driver sums over 64 dims are
+    // deterministic (d-order), which the distributed agg wasn't.
+    val u3: Array[Double] = step(v2).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val nrm3 = math.sqrt(u3.map(x => x * x).sum)
+    val lam = math.rint(dims.map(d => u3(d) * v2(d)).sum / (nRows - 1) * 1e6) / 1e6
+    val loadings = u3.map(x => math.rint(x / nrm3 * 1e6) / 1e6)
+    val flipDim = dims.maxBy(d => (math.abs(loadings(d)), -d))
+    val flip = if (loadings(flipDim) < 0) -1.0 else 1.0
+    import spark.implicits._
+    dims.map(d => (d + 1, mean(d), loadings(d) * flip + 0.0, lam))
+      .toDF("dim", "mean_d", "loading", "explained_var")
   }
 
   val pcaPowerSql: String = {

@@ -437,8 +437,15 @@ object TextAnalysis {
 
   private[graft] def bpeMergesImpl(spark: SparkSession, dir: String): DataFrame = {
       import spark.implicits._
+      // materialize the tokenized stream ONCE: the fit loop's per-step
+      // plan otherwise re-runs the regexp tokenizer over the corpus on
+      // every iteration (4 scans × regexp split ≈ half the fit's cost);
+      // steps stack only the cheap delimiter-guarded replaces on top of
+      // this checkpoint. At 100 TB this is the same call pattern — one
+      // tokenize pass persisted, k cheap merge passes over it.
       var txt = Tables.documents(spark, dir).select(col("doc_id"),
         concat(lit(" "), concat_ws(" ", Dedup.tokens(col("text"))), lit(" ")).as("t"))
+        .localCheckpoint()
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (step <- 1 to 4) {
         val toks = filter(split(col("t"), " "), x => x =!= "")
