@@ -444,6 +444,91 @@ object Importance {
     plantedRanked(spark, eliminated.toSeq, "rfe_rank")
   }
 
+  // ------------------------------------------------------- permutation
+  /** Model-agnostic PERMUTATION importance (Breiman 2001, the
+    * `sklearn.inspection.permutation_importance` shape) with a
+    * DETERMINISTIC permutation, so the driver oracle can replay it:
+    * instead of a random shuffle, feature j's column is cyclically
+    * shifted by 7 rows within each user's time-ordered series
+    * (`rn → (rn + 7 - 1) % n_u + 1` — a derangement for every series
+    * length not dividing 7, which breaks the row alignment exactly like
+    * a shuffle while keeping the marginal distribution bit-identical).
+    * The scorer is the fixed equal-weight z-score model over the 5
+    * features — no fit, so the metric isolates ALIGNMENT, and the whole
+    * probe is: one moments aggregate (fit-then-fold), one co-partitioned
+    * self-join on (user_id, rn) for the shifted columns, and ONE
+    * aggregate computing the baseline R² and all 5 permuted R²s
+    * side-by-side. importance_j = R²_base − R²_perm(j). At 100 TB:
+    * two shuffles on the user key and a 1-row broadcast — no
+    * per-feature pass, no global sort. */
+  def permImportance(spark: SparkSession, dir: String): DataFrame = {
+    val f = featureFrame(spark, dir)
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("bucket"))
+    val fr = f
+      .withColumn("rn", row_number().over(wu))
+      .withColumn("nu", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+    val shiftedCols = Seq(col("user_id").as("s_user"), col("rn").as("s_rn")) ++
+      featureNames.map(n => col(n).as(s"p_$n"))
+    val shifted = fr.select(shiftedCols: _*)
+    val joined = fr.join(shifted,
+      col("user_id") === col("s_user") &&
+        col("s_rn") === pmod(col("rn") + 6, col("nu")) + 1)
+    val stats = f.agg(
+      featureNames.flatMap(n => Seq(
+        avg(col(n)).as(s"m_$n"), stddev_pop(col(n)).as(s"sd_$n"))).head,
+      featureNames.flatMap(n => Seq(
+        avg(col(n)).as(s"m_$n"), stddev_pop(col(n)).as(s"sd_$n"))).tail: _*)
+    def z(x: Column, n: String): Column =
+      when(col(s"sd_$n") =!= 0, (x - col(s"m_$n")) / col(s"sd_$n"))
+    val zs = featureNames.map(n => z(col(n), n))
+    val base = zs.reduce(_ + _)
+    def r2(s: Column): Column = pow(corrSafe(s, col("target")), 2)
+    val aggCols = r2(base).as("r2_base") +:
+      featureNames.map { n =>
+        r2(base - z(col(n), n) + z(col(s"p_$n"), n)).as(s"r2_$n") }
+    val one = joined.crossJoin(broadcast(stats)).agg(aggCols.head, aggCols.tail: _*)
+    one.select(expr(s"stack(${featureNames.size}, " +
+        featureNames.map(n => s"'$n', round(r2_base, 6), round(r2_$n, 6), " +
+          s"round(r2_base - r2_$n, 6)").mkString(", ") +
+        ") AS (feature, r2_base, r2_permuted, importance)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("importance").desc, col("feature"))))
+  }
+
+  val permImportanceSql: String = {
+    val moments = featureNames.map(n =>
+      s"avg($n) AS m_$n, stddev_pop($n) AS sd_$n").mkString(", ")
+    val zBase = featureNames.map(n =>
+      s"(a.$n - st.m_$n) / nullif(st.sd_$n, 0)").mkString(" + ")
+    def zPerm(j: String) = featureNames.map(n =>
+      if (n == j) s"(b.$n - st.m_$n) / nullif(st.sd_$n, 0)"
+      else s"(a.$n - st.m_$n) / nullif(st.sd_$n, 0)").mkString(" + ")
+    val corrs = (s"corr($zBase, a.target) AS c_base" +:
+      featureNames.map(j => s"corr(${zPerm(j)}, a.target) AS c_$j")).mkString(", ")
+    val unioned = featureNames.map(j =>
+      s"""SELECT '$j' AS feature, round(c_base * c_base, 6) + 0 AS r2_base,
+         |  round(c_$j * c_$j, 6) + 0 AS r2_permuted,
+         |  round(c_base * c_base - c_$j * c_$j, 6) + 0 AS importance FROM ag""".stripMargin)
+      .mkString("\nUNION ALL ")
+    featureFrameSql +
+      s""",
+         |fr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn,
+         |         count(*) OVER (PARTITION BY user_id) AS nu
+         |  FROM feat),
+         |st AS (SELECT $moments FROM feat),
+         |ag AS (
+         |  SELECT $corrs
+         |  FROM fr a JOIN fr b
+         |    ON a.user_id = b.user_id AND b.rn = (a.rn + 6) % a.nu + 1, st)
+         |SELECT feature, r2_base, r2_permuted, importance,
+         |       CAST(row_number() OVER (ORDER BY importance DESC, feature) AS INT) AS rank
+         |FROM ($unioned) u""".stripMargin
+  }
+
   /** Shared planted-table oracle: expected ranks derive from the SAME
     * coefficient table the fixture plants. */
   private def plantedSql(rankCol: String): String = {
@@ -463,6 +548,7 @@ object Importance {
     "imp_lasso"       -> (lassoPlanted _),
     "imp_fstat"       -> (fstatImportance _),
     "imp_consensus"   -> (consensusImportance _),
+    "imp_permutation" -> (permImportance _),
     "imp_rfe"         -> (rfePlanted _))
 
   def oracles: Map[String, String] = Map(
@@ -473,5 +559,6 @@ object Importance {
     "imp_lasso"       -> plantedSql("lasso_rank"),
     "imp_rfe"         -> plantedSql("rfe_rank"),
     "imp_fstat"       -> fstatImportanceSql,
+    "imp_permutation" -> permImportanceSql,
     "imp_consensus"   -> consensusImportanceSql)
 }

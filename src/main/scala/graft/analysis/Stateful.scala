@@ -18,6 +18,9 @@ case class TradeRow(user_id: Long,
                     trade_type: String, size: Double, commission: Double,
                     pnl: Double, return_pct: Double)
 
+case class HaRow(user_id: Long, bucket: java.sql.Timestamp,
+    ha_open: Double, ha_high: Double, ha_low: Double, ha_close: Double, is_bull: Boolean)
+
 case class SigRow(user_id: Long, bucket: java.sql.Timestamp, close: Double, signal: Int)
 case class RateRow(event_type: String, day: java.sql.Timestamp, n: Long, z: Double)
 case class CusumRow(event_type: String, day: java.sql.Timestamp,
@@ -630,7 +633,74 @@ object Stateful {
       |       round(s, 6) + 0 AS cusum, s > 4.0 AS alarm
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- W39
+  /** Heikin-Ashi candles — the smoothed-candle transform FOREX trend
+    * systems chart on (beyond the reference's surface, same family as
+    * its candle anatomy / pattern operators). ha_close is the OHLC
+    * mean; ha_open is RECURSIVE — the midpoint of the previous HA
+    * candle — so this is a [[psar]]-style sorted-group fold with O(1)
+    * state per key, not a window. ha_high/low clamp the raw extremes
+    * around the synthetic body; is_bull tags the smoothed direction.
+    * Oracle: the same recurrence as a lockstep recursive CTE, identical
+    * arithmetic order per step ⇒ bit-identical doubles. */
+  def heikinAshi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = candleDs(spark, dir)
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[CandleRow]) =>
+        var prevO = 0.0
+        var prevC = 0.0
+        var first = true
+        rows.map { r =>
+          val haClose = (r.open + r.high + r.low + r.close) / 4
+          val haOpen = if (first) { first = false; (r.open + r.close) / 2 }
+                       else (prevO + prevC) / 2
+          prevO = haOpen; prevC = haClose
+          HaRow(uid, r.bucket, haOpen,
+            math.max(r.high, math.max(haOpen, haClose)),
+            math.min(r.low, math.min(haOpen, haClose)),
+            haClose, haClose > haOpen)
+        }
+      }
+    // NOT round(_, 6): the /2 and /4 recurrence makes HA values dyadic
+    // rationals, so landing EXACTLY on a .5 at the 6th decimal is
+    // routine (not the usual 1-in-10^5 ulp fluke) and Spark's HALF_UP
+    // disagrees with DuckDB's half-to-even there. floor(x·1e6 + 0.5) is
+    // HALF_UP spelled in IEEE ops both engines run bit-identically.
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    out.select(col("user_id"), col("bucket"),
+      r6(col("ha_open")).as("ha_open"),
+      r6(col("ha_high")).as("ha_high"),
+      r6(col("ha_low")).as("ha_low"),
+      r6(col("ha_close")).as("ha_close"),
+      col("is_bull"))
+  }
+
+  val heikinAshiSql: String =
+    s"""$recursiveCandles,
+       |hc AS (SELECT user_id, bucket, open, high, low, close,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+       |       FROM candles),
+       |ha(user_id, rn, bucket, high, low, ha_open, ha_close) AS (
+       |  SELECT user_id, rn, bucket, high, low,
+       |         (open + close) / 2,
+       |         (open + high + low + close) / 4
+       |  FROM hc WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.user_id, c.rn, c.bucket, c.high, c.low,
+       |         (p.ha_open + p.ha_close) / 2,
+       |         (c.open + c.high + c.low + c.close) / 4
+       |  FROM hc c JOIN ha p ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+       |SELECT user_id, bucket,
+       |  floor(ha_open * 1e6 + 0.5) / 1e6 AS ha_open,
+       |  floor(greatest(high, ha_open, ha_close) * 1e6 + 0.5) / 1e6 AS ha_high,
+       |  floor(least(low, ha_open, ha_close) * 1e6 + 0.5) / 1e6 AS ha_low,
+       |  floor(ha_close * 1e6 + 0.5) / 1e6 AS ha_close,
+       |  ha_close > ha_open AS is_bull
+       |FROM ha""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w39_heikin_ashi"   -> (heikinAshi _),
     "drift_cusum"       -> (driftCusum _),
     "w19_psar"          -> (psar _),
     "w34_backtest"      -> (backtestTrades _),
@@ -640,6 +710,7 @@ object Stateful {
     "a11_metrics_fixture"  -> (a11MetricsFixture _))
 
   def oracles: Map[String, String] = Map(
+    "w39_heikin_ashi"   -> heikinAshiSql,
     "drift_cusum"       -> driftCusumSql,
     "w19_psar"          -> psarSql,
     "w34_backtest"      -> w34BacktestSql,

@@ -442,7 +442,67 @@ object Windows {
       |FROM candles
       |""".stripMargin + windowClause(10, 20, 50)
 
+  // ---------------------------------------------------------------- W38
+  /** W38 — Ichimoku cloud (beyond the reference's indicator set; the
+    * remaining canonical FOREX system its TA surface lacks): tenkan
+    * (9-period midpoint), kijun (26), senkou A = displaced midpoint of
+    * the two, senkou B = displaced 52-period midpoint, chikou = close
+    * displaced backward, plus the cloud position signal. All five lines
+    * are rolling max/min + lag/lead over the per-user candle window —
+    * the same single exchange + sort every other w-series spec rides;
+    * warmup rows null out via the full-window count guard. */
+  def w38Ichimoku(spark: SparkSession, dir: String): DataFrame = {
+    val mid = (n: Int) =>
+      (rollMax(col("high"), n, w) + rollMin(col("low"), n, w)) / 2
+    val sa = lag((col("tenkan") + col("kijun")) / 2, 26).over(w)
+    val sb = lag(col("sb_raw"), 26).over(w)
+    candleBase(spark, dir)
+      .withColumn("tenkan", mid(9))
+      .withColumn("kijun", mid(26))
+      .withColumn("sb_raw", mid(52))
+      .withColumn("senkou_a", round(sa, 6))
+      .withColumn("senkou_b", round(sb, 6))
+      .select(col("user_id"), col("bucket"),
+        round(col("tenkan"), 6).as("tenkan"),
+        round(col("kijun"), 6).as("kijun"),
+        col("senkou_a"), col("senkou_b"),
+        round(lead(col("close"), 26).over(w), 6).as("chikou"),
+        when(col("senkou_a").isNull || col("senkou_b").isNull, lit(null))
+          .when(col("close") > greatest(col("senkou_a"), col("senkou_b")), "above_cloud")
+          .when(col("close") < least(col("senkou_a"), col("senkou_b")), "below_cloud")
+          .otherwise("in_cloud").as("cloud_position"))
+  }
+
+  val w38Sql: String = Tables.candlesSql +
+    """, i1 AS (
+      |  SELECT user_id, bucket, close,
+      |    (CASE WHEN count(*) OVER w9  = 9  THEN max(high) OVER w9  END
+      |     + CASE WHEN count(*) OVER w9  = 9  THEN min(low) OVER w9  END) / 2 AS tenkan,
+      |    (CASE WHEN count(*) OVER w26 = 26 THEN max(high) OVER w26 END
+      |     + CASE WHEN count(*) OVER w26 = 26 THEN min(low) OVER w26 END) / 2 AS kijun,
+      |    (CASE WHEN count(*) OVER w52 = 52 THEN max(high) OVER w52 END
+      |     + CASE WHEN count(*) OVER w52 = 52 THEN min(low) OVER w52 END) / 2 AS sb_raw
+      |  FROM candles
+      |  """.stripMargin + windowClause(9, 26, 52) +
+    """),
+      |i2 AS (
+      |  SELECT user_id, bucket, close,
+      |    tenkan, kijun,
+      |    round(lag((tenkan + kijun) / 2, 26) OVER wi, 6) + 0 AS senkou_a,
+      |    round(lag(sb_raw, 26) OVER wi, 6) + 0 AS senkou_b,
+      |    lead(close, 26) OVER wi AS chikou_raw
+      |  FROM i1 WINDOW wi AS (PARTITION BY user_id ORDER BY bucket))
+      |SELECT user_id, bucket,
+      |  round(tenkan, 6) + 0 AS tenkan, round(kijun, 6) + 0 AS kijun,
+      |  senkou_a, senkou_b, round(chikou_raw, 6) + 0 AS chikou,
+      |  CASE WHEN senkou_a IS NULL OR senkou_b IS NULL THEN NULL
+      |       WHEN close > greatest(senkou_a, senkou_b) THEN 'above_cloud'
+      |       WHEN close < least(senkou_a, senkou_b) THEN 'below_cloud'
+      |       ELSE 'in_cloud' END AS cloud_position
+      |FROM i2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w38_ichimoku"      -> (w38Ichimoku _),
     "w9_volume_sma"     -> (w9VolumeSma _),
     "w1_gaps"           -> (w1Gaps _),
     "w2_w3_sma_returns" -> (w2w3SmaReturns _),
@@ -459,6 +519,7 @@ object Windows {
     "w28_open_gap"      -> (w28OpenGap _))
 
   def oracles: Map[String, String] = Map(
+    "w38_ichimoku"      -> w38Sql,
     "w9_volume_sma"     -> w9Sql,
     "w1_gaps"           -> w1Sql,
     "w2_w3_sma_returns" -> w2w3Sql,

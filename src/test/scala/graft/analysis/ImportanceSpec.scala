@@ -39,6 +39,25 @@ class ImportanceSpec extends SparkSpec {
     assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("permutation importance: shared baseline, consistent ranks, identity-shift sanity") {
+    val rows = Importance.permImportance(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("ret_1", "vol_5", "mom_5", "rng_ratio", "body_ratio"))
+    // one fixed scorer => every row carries the same baseline R^2
+    assert(rows.map(_.getDouble(1)).distinct.length == 1)
+    val base = rows.head.getDouble(1)
+    assert(base > 0 && base <= 1)
+    rows.foreach { r =>
+      // importance = r2_base - r2_permuted (each rounded at 6)
+      assert(math.abs(r.getDouble(3) - (base - r.getDouble(2))) < 2e-6, r.toString)
+    }
+    // ranks are a permutation ordered by importance desc
+    val byRank = rows.sortBy(_.getInt(4))
+    assert(byRank.map(_.getInt(4)).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(byRank.map(_.getDouble(3)).toSeq.reverse.sorted.reverse ==
+      byRank.map(_.getDouble(3)).toSeq)
+  }
+
   test("consensus rank averages the corr and MI ranks") {
     val rows = Importance.consensusImportance(spark, sfDir).collect()
     rows.foreach { r =>
