@@ -67,8 +67,11 @@ object PlanAuditSpec {
     // --- fit-then-fold one-row broadcasts (count = folds in the plan)
     "a7_normalize" -> 1, "ann_dot_expr" -> 1, "ann_ivf_assign" -> 1,
     "ann_ivf_search" -> 2, "assoc_rules" -> 1, "dataset_card" -> 1,
-    "dedup_funnel" -> 3, "dedup_semantic" -> 2, "emb_pca_power" -> 4,
-    "f8_liquidity" -> 1, "feat_target_encode" -> 1, "layout_zorder" -> 1,
+    // emb_pca_power dropped out of this list when its fit tail moved
+    // driver-side (the 64-double iterate collects once; no fold joins)
+    "dedup_funnel" -> 3, "dedup_semantic" -> 2,
+    "f8_liquidity" -> 1, "feat_target_encode" -> 1,
+    "imp_permutation" -> 1, "layout_zorder" -> 1,
     "pairs_contrastive" -> 1, "pipeline_full" -> 1, "qc_score" -> 1,
     "sample_dsir" -> 2, "sample_hardneg" -> 2, "sample_mixture" -> 3,
     "sample_temperature" -> 3, "search_hybrid_rrf" -> 2,
