@@ -638,7 +638,73 @@ object WindowsAdvanced {
       |SELECT user_id, sign, max(run_length) AS longest_streak, count(*) AS n_runs
       |FROM runs GROUP BY user_id, sign""".stripMargin
 
+  // ---------------------------------------------------------------- W40
+  /** W40 — daily floor-trader PIVOT POINTS (beyond the reference's
+    * surface, the level system its support/resistance operator W29
+    * approximates geometrically): yesterday's (H, L, C) per key fix
+    * today's pivot P = (H+L+C)/3 and the R1/S1/R2/S2 ladder, applied to
+    * every intraday candle with a position tag. The fit frame is
+    * days × keys (tiny); the recurrence-free lag(1) over it plus ONE
+    * equi-join on (key, day) back to the fact is the fit-then-apply
+    * shape — at 100 TB the daily frame broadcasts and the corpus is
+    * touched once, no window over the fact at all. */
+  def w40PivotPoints(spark: SparkSession, dir: String): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val daily = graft.Tables.candles(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("bucket")).as("day"))
+      .agg(max(col("high")).as("h"), min(col("low")).as("l"),
+        max_by(col("close"), col("bucket")).as("c"))
+    val piv = daily
+      .withColumn("ph", lag(col("h"), 1).over(wd))
+      .withColumn("pl", lag(col("l"), 1).over(wd))
+      .withColumn("pc", lag(col("c"), 1).over(wd))
+      .filter(col("ph").isNotNull)
+      .withColumn("p", (col("ph") + col("pl") + col("pc")) / 3)
+      .select(col("user_id"), col("day"),
+        col("p"), (col("p") * 2 - col("pl")).as("r1"),
+        (col("p") * 2 - col("ph")).as("s1"),
+        (col("p") + (col("ph") - col("pl"))).as("r2"),
+        (col("p") - (col("ph") - col("pl"))).as("s2"))
+    val cd = graft.Tables.candles(spark, dir)
+    cd.join(piv, cd("user_id") === piv("user_id") &&
+        date_trunc("day", cd("bucket")) === piv("day"))
+      .drop(piv("user_id"))
+      .select(col("user_id"), col("bucket"), round(col("close"), 6).as("close"),
+        round(col("p"), 6).as("pivot"),
+        round(col("r1"), 6).as("r1"), round(col("s1"), 6).as("s1"),
+        round(col("r2"), 6).as("r2"), round(col("s2"), 6).as("s2"),
+        when(col("close") > col("r1"), "above_r1")
+          .when(col("close") < col("s1"), "below_s1")
+          .otherwise("inside").as("zone"))
+  }
+
+  val w40Sql: String = graft.Tables.candlesSql +
+    """, dly AS (
+      |  SELECT user_id, date_trunc('day', bucket) AS day,
+      |         max(high) AS h, min(low) AS l, arg_max(close, bucket) AS c
+      |  FROM candles GROUP BY 1, 2),
+      |pp AS (
+      |  SELECT user_id, day,
+      |         lag(h) OVER wp AS ph, lag(l) OVER wp AS pl, lag(c) OVER wp AS pc
+      |  FROM dly WINDOW wp AS (PARTITION BY user_id ORDER BY day)),
+      |pv AS (
+      |  SELECT user_id, day, (ph + pl + pc) / 3 AS p, ph, pl
+      |  FROM pp WHERE ph IS NOT NULL)
+      |SELECT c.user_id, c.bucket, round(c.close, 6) + 0 AS close,
+      |  round(pv.p, 6) + 0 AS pivot,
+      |  round(pv.p * 2 - pv.pl, 6) + 0 AS r1,
+      |  round(pv.p * 2 - pv.ph, 6) + 0 AS s1,
+      |  round(pv.p + (pv.ph - pv.pl), 6) + 0 AS r2,
+      |  round(pv.p - (pv.ph - pv.pl), 6) + 0 AS s2,
+      |  CASE WHEN c.close > pv.p * 2 - pv.pl THEN 'above_r1'
+      |       WHEN c.close < pv.p * 2 - pv.ph THEN 'below_s1'
+      |       ELSE 'inside' END AS zone
+      |FROM candles c
+      |JOIN pv ON c.user_id = pv.user_id AND date_trunc('day', c.bucket) = pv.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w40_pivot_points"   -> (w40PivotPoints _),
     "w16_cci"            -> (w16Cci _),
     "w17_adx"            -> (w17Adx _),
     "w18_aroon"          -> (w18Aroon _),
@@ -653,6 +719,7 @@ object WindowsAdvanced {
     "w36_streaks"        -> (w36Streaks _))
 
   def oracles: Map[String, String] = Map(
+    "w40_pivot_points"   -> w40Sql,
     "w16_cci"            -> w16Sql,
     "w17_adx"            -> w17Sql,
     "w18_aroon"          -> w18Sql,

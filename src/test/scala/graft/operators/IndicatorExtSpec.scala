@@ -58,6 +58,36 @@ class IndicatorExtSpec extends SparkSpec {
     }
   }
 
+  test("pivot points derive from yesterday's daily OHLC per key") {
+    val dayMs = 86400000L
+    val daily: Map[(Long, Long), (Double, Double, Double)] =
+      byUser.toSeq.flatMap { case (uid, rows) =>
+        rows.groupBy(_._1 / dayMs).map { case (d, rs) =>
+          (uid, d) -> (rs.map(_._3).max, rs.map(_._4).min, rs.maxBy(_._1)._5)
+        }
+      }.toMap
+    val got = WindowsAdvanced.w40PivotPoints(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    var checked = 0
+    got.foreach { r =>
+      val uid = r.getLong(0)
+      val day = r.getTimestamp(1).getTime / dayMs
+      // lag(1) over the per-key daily frame = the LATEST prior day with data
+      val prevDays = daily.keys.collect { case (u, d) if u == uid && d < day => d }
+      if (prevDays.nonEmpty) {
+        val (h, l, c) = daily((uid, prevDays.max))
+        val p = (h + l + c) / 3
+        assert(math.abs(r.getDouble(3) - p) < 1e-5, s"pivot $uid@$day")
+        assert(math.abs(r.getDouble(4) - (2 * p - l)) < 1e-5, s"r1 $uid@$day")
+        assert(math.abs(r.getDouble(5) - (2 * p - h)) < 1e-5, s"s1 $uid@$day")
+        assert(math.abs(r.getDouble(6) - (p + (h - l))) < 1e-5, s"r2 $uid@$day")
+        assert(math.abs(r.getDouble(7) - (p - (h - l))) < 1e-5, s"s2 $uid@$day")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
   test("heikin-ashi matches the local recurrence and brackets the body") {
     val got = Stateful.heikinAshi(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
