@@ -51,6 +51,7 @@ object SparkEntry {
     "ngram_novelty"       -> (scale.CorpusOps.ngramNoveltyImpl _),
     "graph_pagerank"      -> (scale.GraphOps.graphPagerankImpl _),
     "text_bpe_merges"     -> (scale.TextAnalysis.bpeMergesImpl _),
+    "w34_backtest"        -> (analysis.Stateful.backtestTradesImpl _),
     "w32_candle_patterns" -> (operators.WindowsAdvanced.w32CandlePatternsImpl _))
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

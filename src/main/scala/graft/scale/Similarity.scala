@@ -227,7 +227,7 @@ object Similarity {
   /** IVF coarse assignment (the second ANN index family — inverted file):
     * 16 deterministic centroids (`vec_id < 16` — reproducible in the
     * oracle without k-means), every vector assigned to its nearest by
-    * squared L2 via a rank-1 pick on (dist, cid) — one broadcast join and one
+    * squared L2 via a hash-aggregate argmin on (dist, cid) — one broadcast join and one
     * aggregate, the index-build shape (at scale the centroid set comes
     * from a sampled k-means fit, the assignment plan is identical). */
   def annIvfAssign(spark: SparkSession, dir: String): DataFrame = {
@@ -239,13 +239,17 @@ object Similarity {
         val diff = element_at(col("v"), d + 1) - element_at(col("cv"), d + 1)
         diff * diff
       }.reduce(_ + _)
+    // argmin as a HASH AGGREGATE, not a rank-1 window: min over the
+    // lexicographic struct (dist, cid) is exactly ORDER BY dist, cid
+    // LIMIT 1 per vector, but partial-aggregates map-side (16 centroid
+    // rows collapse to 1 before the shuffle) and never sorts — the
+    // assignment shape that holds at corpus scale
     c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cid"), dist.as("dist"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("centroid_id"),
-        round(col("dist"), 6).as("dist_sq"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("centroid_id"),
+        round(col("m.dist"), 6).as("dist_sq"))
   }
 
   val annIvfAssignSql: String =
@@ -276,11 +280,13 @@ object Similarity {
       }.reduce(_ + _)
     val assigned = c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+    // hash-agg argmin (see annIvfAssign) for the corpus-wide list
+    // assignment; the nprobe=2 probe set keeps the rank window — it's
+    // 10 query rows, and top-k(>1) has no aggregate form
     val lists = assigned
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
     val probes = assigned.filter(col("vec_id") < 10)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
@@ -433,9 +439,10 @@ object Similarity {
     }.reduce(_ + _)
     val assigned = c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
-    val lists = assigned.withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-      .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+    val lists = assigned
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
     val probes = assigned.filter(col("vec_id") < 10)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
@@ -465,9 +472,9 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("sub"))
       .join(broadcast(scents), Seq("s"))
       .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cid"))))
-      .filter(col("rk") === 1).select(col("vec_id"), col("s"), col("cid"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
     val qds = pqPieces(c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v")), "v")
       .select(col("query_id"), col("s"), col("sub"))
@@ -789,7 +796,7 @@ object Similarity {
     * subspaces × 16 deterministic sub-centroids (subvectors of
     * `vec_id < 16`, reproducible in the oracle like IVF); each vector's
     * code is its per-subspace nearest sub-centroid by squared L2
-    * (rank-1 on (dist, cid)). One broadcast join over (vec, subspace)
+    * (hash-aggregate argmin on (dist, cid)). One broadcast join over (vec, subspace)
     * rows — a map-side stage, no corpus shuffle beyond the code
     * reassembly. */
   def annPqEncode(spark: SparkSession, dir: String): DataFrame = {
@@ -801,9 +808,9 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("sub"))
       .join(broadcast(cents), Seq("s"))
       .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cid"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
       .groupBy(col("vec_id"))
       .agg(collect_list(struct(col("s"), col("cid"))).as("sc"))
       .select(col("vec_id"),
@@ -849,10 +856,9 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("sub"))
       .join(broadcast(cents), Seq("s"))
       .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("s"), col("cid"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
     val qd = pqPieces(c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v")), "v")
       .select(col("query_id"), col("s"), col("sub"))
@@ -948,12 +954,17 @@ object Similarity {
         val diff = element_at(col("v"), d + 1) - element_at(col("cv"), d + 1)
         diff * diff
       }.reduce(_ + _)
+    // hash-agg argmin (see annIvfAssign): lexicographic min over
+    // (dist, cid, v) picks the same row as the rank-1 window — v rides
+    // along for the update step, never reached by the comparison
+    // because (dist, cid) is already unique per vector
     def assign(cents: DataFrame): DataFrame =
       c.join(broadcast(cents), lit(true))
         .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-        .filter(col("rk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"),
+          col("m.dist").as("dist"))
     val init = c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     assign(kmeansUpdate(assign(kmeansUpdate(assign(init)))))
