@@ -32,6 +32,14 @@ case class PatternAlert(symbol: String, bucket: java.sql.Timestamp,
 /** Last-2-candles state for pattern detection across micro-batches. */
 case class CandleHistory(last: Vector[StreamCandle])
 
+/** Heikin-Ashi recurrence state: the previous HA candle's midpoint pair. */
+case class HaState(prevOpen: Double, prevClose: Double)
+
+/** One Heikin-Ashi candle emitted by the streaming channel. */
+case class HaStreamRow(symbol: String, bucket: java.sql.Timestamp,
+    ha_open: Double, ha_high: Double, ha_low: Double, ha_close: Double,
+    is_bull: Boolean)
+
 /** Structured Streaming channels — SURVEY §2.10.
   *
   * The reference streams 8 processing-time asyncio channels over
@@ -227,6 +235,39 @@ object Channels {
             doji.toSeq ++ engulf.toSeq
           }
           state.update(CandleHistory(hist))
+          out.iterator
+      }
+  }
+
+  /** Heikin-Ashi candles over a candle stream — the streaming form of
+    * the batch [[graft.analysis.Stateful.heikinAshi]] fold, with the
+    * IDENTICAL recurrence (ha_open = midpoint of the previous HA
+    * candle) carried as 2-double state per symbol in
+    * `flatMapGroupsWithState`. Batch-equivalence is CHECKED, not
+    * asserted: `ChannelsSpec` streams the real candle table through
+    * this and diffs against the oracled batch query row-for-row.
+    * State at scale: (prevOpen, prevClose) per symbol — O(symbols). */
+  def heikinAshiStream(spark: SparkSession,
+      candles: Dataset[StreamCandle]): Dataset[HaStreamRow] = {
+    import spark.implicits._
+    candles.groupByKey(_.symbol)
+      .flatMapGroupsWithState[HaState, HaStreamRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[StreamCandle], state: GroupState[HaState]) =>
+          var seeded = state.exists
+          var pO = if (seeded) state.get.prevOpen else 0.0
+          var pC = if (seeded) state.get.prevClose else 0.0
+          val out = rows.toSeq.sortBy(_.bucket.getTime).map { c =>
+            val haC = (c.open + c.high + c.low + c.close) / 4
+            val haO = if (!seeded) { seeded = true; (c.open + c.close) / 2 }
+                      else (pO + pC) / 2
+            pO = haO; pC = haC
+            HaStreamRow(symbol, c.bucket, haO,
+              math.max(c.high, math.max(haO, haC)),
+              math.min(c.low, math.min(haO, haC)),
+              haC, haC > haO)
+          }
+          if (seeded) state.update(HaState(pO, pC))
           out.iterator
       }
   }

@@ -275,6 +275,39 @@ class ChannelsSpec extends SparkSpec {
     ev.foreach(r => assert(math.abs(r.getDouble(3)) <= 0.5))
   }
 
+  test("streaming Heikin-Ashi reproduces the oracled batch fold row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the REAL candle table through the streaming channel, two
+    // micro-batches split mid-series so the recurrence state genuinely
+    // crosses a batch boundary
+    val candles = graft.Tables.candles(spark, sfDir)
+      .select(col("bucket"), col("user_id").cast("string").as("symbol"),
+        col("open"), col("high"), col("low"), col("close"))
+      .as[StreamCandle].collect().sortBy(c => (c.symbol, c.bucket.getTime))
+    assert(candles.length > 100)
+    val (b1, b2) = candles.splitAt(candles.length / 2)
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.heikinAshiStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("ha_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+      val streamed = spark.table("ha_equiv")
+        .select(col("symbol").cast("long").as("user_id"), col("bucket"),
+          r6(col("ha_open")).as("ha_open"), r6(col("ha_high")).as("ha_high"),
+          r6(col("ha_low")).as("ha_low"), r6(col("ha_close")).as("ha_close"),
+          col("is_bull"))
+      val batch = graft.analysis.Stateful.heikinAshi(spark, sfDir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream/batch Heikin-Ashi rows differ")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: each high-impact event collects exactly the ticks in its 2-minute window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
