@@ -232,6 +232,74 @@ object Dedup {
         |WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
         |      len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin
 
+  // ------------------------------------------------------ fuzzy decontam
+  /** FUZZY decontamination — the MinHash leg of the decontam family
+    * (exact n-gram overlap and Bloom prefilter live in
+    * [[graft.scale.Curation]]): a near-duplicate of a benchmark doc
+    * leaks the benchmark even when no 3-gram matches verbatim (GPT-3
+    * appendix-C style fuzzy dedup against eval sets). Benchmark side =
+    * `doc_id % 97 = 0` (the suite's held-out convention). Corpus bands
+    * join BENCHMARK bands — never corpus×corpus — and the benchmark
+    * side broadcasts (eval sets are tiny relative to any training
+    * corpus, the asymmetry that makes fuzzy decontam cheap at 100 TB);
+    * candidates verify by exact shingle Jaccard ≥ 0.2 — a LOWER bar
+    * than the dedup path's 0.5, the usual decontam asymmetry (flagging
+    * a training doc cheaply beats leaking an eval set). Output: the contaminated corpus docs with their
+    * benchmark match and similarity. */
+  def decontamMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigArr(spark, dir)
+    val bands = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            (((element_at(col("minhash"), b * 4 + 1) * 31 +
+               element_at(col("minhash"), b * 4 + 2)) * 31 +
+               element_at(col("minhash"), b * 4 + 3)) * 31 +
+               element_at(col("minhash"), b * 4 + 4)).as("bh"))))
+          .as("bandrec"))
+      .select(col("doc_id"), col("bandrec.band").as("band"), col("bandrec.bh").as("bh"))
+    val benchBands = bands.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("band"), col("bh"))
+    val cand = bands.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchBands), Seq("band", "bh"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val s = shingleReps(spark, dir)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(s, "doc_id")
+      .join(s.select(col("doc_id").as("bench_id"), col("s")), Seq("bench_id", "s"))
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes, "doc_id")
+      .join(sizes.select(col("doc_id").as("bench_id"), col("n").as("n_b")), "bench_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_id"), col("bench_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val decontamMinhashSql: String =
+    minhashSigCte +
+      """,
+        |dbands AS (
+        |  SELECT doc_id, b AS band,
+        |         ((minhash[b*4+1] * 31 + minhash[b*4+2]) * 31 +
+        |           minhash[b*4+3]) * 31 + minhash[b*4+4] AS bh
+        |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
+        |dcand AS (
+        |  SELECT DISTINCT c.doc_id, e.doc_id AS bench_id
+        |  FROM dbands c JOIN dbands e
+        |    ON c.band = e.band AND c.bh = e.bh
+        |   AND c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0)
+        |SELECT dcand.doc_id, dcand.bench_id,
+        |       round(len(list_intersect(sc.sh, se.sh)) * 1.0 /
+        |             len(list_distinct(list_concat(sc.sh, se.sh))), 6) + 0 AS jaccard
+        |FROM dcand
+        |JOIN sig sc ON sc.doc_id = dcand.doc_id
+        |JOIN sig se ON se.doc_id = dcand.bench_id
+        |WHERE len(list_intersect(sc.sh, se.sh)) * 1.0 /
+        |      len(list_distinct(list_concat(sc.sh, se.sh))) >= 0.2""".stripMargin
+
   // ---------------------------------------------------------------- simhash
   /** 32-bit SimHash over distinct tokens (md5-derived token hashes), with
     * byte-band LSH pairing at Hamming distance ≤ 3. Vote aggregation is a
@@ -1139,7 +1207,8 @@ object Dedup {
     "dedup_simhash_pairs"  -> (simhashPairs _),
     "dedup_ngram_jaccard"  -> (ngramJaccardPairs _),
     "dedup_embedding_cos"  -> (embeddingNearDup _),
-    "dedup_embedding_lsh"  -> (embeddingLshPairs _))
+    "dedup_embedding_lsh"  -> (embeddingLshPairs _),
+    "decontam_minhash"     -> (decontamMinhash _))
 
   def oracles: Map[String, String] = Map(
     "dedup_incremental"    -> dedupIncrementalSql,
@@ -1156,5 +1225,6 @@ object Dedup {
     "dedup_simhash_pairs"  -> simhashPairsSql,
     "dedup_ngram_jaccard"  -> ngramJaccardSql,
     "dedup_embedding_cos"  -> embeddingNearDupSql,
-    "dedup_embedding_lsh"  -> embeddingLshPairsSql)
+    "dedup_embedding_lsh"  -> embeddingLshPairsSql,
+    "decontam_minhash"     -> decontamMinhashSql)
 }

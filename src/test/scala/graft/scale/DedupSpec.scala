@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((2L, 1L, rep3)), "in-doc repetition collapses to one copy")
   }
 
+  test("fuzzy decontam flags the near-copy of a benchmark doc, not unrelated text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 97 is "benchmark" (97 % 97 = 0). doc 5 copies it with a small
+    // edit (high shingle Jaccard, not exact). doc 6 shares nothing.
+    val base = (1 to 40).map(i => s"bench$i").mkString(" ")
+    val nearCopy = ((1 to 38).map(i => s"bench$i") ++ Seq("edited", "tail")).mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    Seq(
+      (97L, base, "en", "eval", 300L),
+      (5L, nearCopy, "en", "web", 300L),
+      (6L, other, "en", "web", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.decontamMinhash(spark, tmp).collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.getLong(0) == 5L && out.head.getLong(1) == 97L)
+    assert(out.head.getDouble(2) > 0.8, "near-copy similarity should be high")
+    // the real corpus: whatever is flagged must cross the 97-split
+    val real = Dedup.decontamMinhash(spark, dir)
+      .filter(col("doc_id") % 97 === 0 || col("bench_id") % 97 =!= 0)
+    assert(real.count() == 0, "pairs must be corpus-vs-benchmark only")
+  }
+
   test("keep-best retains exactly one doc per cluster and it has the top quality score") {
     val out = Dedup.dedupKeepBest(spark, dir).cache()
     val perCluster = out.groupBy(col("cluster_key"))
