@@ -236,15 +236,52 @@ object EntityResolution {
        |FROM recs r LEFT JOIN best b ON r.key = b.a_key
        |WHERE r.key % 20 = 0""".stripMargin
 
+  /** TRUE transitive entity ids — connected components over the match
+    * graph, dropping [[erGolden]]'s min-direct-partner shorthand (exact
+    * only when match-cliques coincide with components; a chain
+    * A–B–C with no A–C match resolves A and C apart under the
+    * shorthand, together here). The component loop is the shared
+    * [[GraphOps.connectedComponents]] min-label propagation
+    * (checkpointed state, label-sum convergence); the oracle replays it
+    * as the same recursive-CTE transitive closure the dedup clusters
+    * use. One row per matched record: (key, entity_id, n_members of
+    * its entity). */
+  def erClusters(spark: SparkSession, dir: String): DataFrame = {
+    val comps = GraphOps.connectedComponents(
+      erMatches(spark, dir).select(col("a_id").as("a"), col("b_id").as("b")))
+    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    comps.join(sizes, "label")
+      .select(col("id").as("key"), col("label").as("entity_id"), col("n_members"))
+  }
+
+  val erClustersSql: String =
+    s"""WITH RECURSIVE $candSql,
+       |mm AS (SELECT a_id, b_id FROM cand WHERE score >= 120),
+       |medges AS (
+       |  SELECT a_id AS a, b_id AS b FROM mm
+       |  UNION
+       |  SELECT b_id AS a, a_id AS b FROM mm),
+       |mreach(a, b) AS (
+       |  SELECT a, b FROM medges
+       |  UNION
+       |  SELECT r.a, e.b FROM mreach r JOIN medges e ON e.a = r.b),
+       |mcc AS (
+       |  SELECT a AS key, least(a, min(b)) AS entity_id FROM mreach GROUP BY a)
+       |SELECT key, entity_id,
+       |       count(*) OVER (PARTITION BY entity_id) AS n_members
+       |FROM mcc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_candidates" -> (erCandidates _),
     "er_matches"    -> (erMatches _),
     "er_golden"     -> (erGolden _),
+    "er_clusters"   -> (erClusters _),
     "er_incremental" -> (erIncremental _))
 
   def oracles: Map[String, String] = Map(
     "er_candidates" -> erCandidatesSql,
     "er_matches"    -> erMatchesSql,
     "er_golden"     -> erGoldenSql,
+    "er_clusters"   -> erClustersSql,
     "er_incremental" -> erIncrementalSql)
 }

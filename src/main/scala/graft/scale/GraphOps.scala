@@ -103,6 +103,43 @@ object GraphOps {
        |FROM pr3 p JOIN deg d ON d.a = p.id""".stripMargin
   }
 
+  /** Shared iterative min-label connected components over an
+    * undirected pair set (columns `a`, `b`) — the
+    * [[Dedup.computeClusters]] loop generalized to any edge frame:
+    * per round, closed-neighborhood min as union + one aggregate (two
+    * shuffles), state localCheckpointed so per-iteration planning is
+    * O(1), convergence detected by the strictly-decreasing label sum
+    * (labels only ever shrink). The edge graph is assumed
+    * orders-of-magnitude smaller than the corpus (only matched pairs
+    * appear), hence the small fixed partition count. */
+  private[scale] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .coalesce(4).cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).coalesce(4).cache()
+    var prevSum = Long.MinValue
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      val updated = edges
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .select(col("a").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .coalesce(4).localCheckpoint()
+      val row = updated.agg(sum(col("label"))).head()
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
+      labels.unpersist()
+      changed = s != prevSum
+      prevSum = s
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _))
 

@@ -26,6 +26,24 @@ class EntityResolutionSpec extends SparkSpec {
       .join(c, Seq("a_id", "b_id"), "left_anti").count() === 0)
   }
 
+  test("transitive entity ids: every match edge is intra-entity, ids are component minima") {
+    val comps = EntityResolution.erClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val byKey = comps.toMap
+    assert(byKey.nonEmpty)
+    // every matched pair lands in ONE entity (the clique shorthand can't
+    // guarantee this for chains; components must)
+    EntityResolution.erMatches(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(byKey(a)._1 == byKey(b)._1, s"match $a-$b split across entities")
+    }
+    // entity_id is the minimum member key; n_members is the component size
+    comps.groupBy(_._2._1).foreach { case (eid, members) =>
+      assert(members.map(_._1).min == eid, s"entity $eid not the min key")
+      members.foreach { case (_, (_, n)) => assert(n == members.length) }
+    }
+  }
+
   test("incremental resolution covers exactly the batch, never maps into it") {
     val inc = EntityResolution.erIncremental(spark, sfDir)
     val batch = graft.Tables.part(spark, sfDir)
