@@ -671,59 +671,15 @@ object Dedup {
     * rewriting the documents under it. */
   def invalidateClusters(dir: String): Unit = DirMemo.invalidateDir(dir)
 
-  private[graft] def computeClusters(spark: SparkSession, dir: String): DataFrame = {
-    // the pair graph is orders of magnitude smaller than the corpus
-    // (only near-dups appear) — coalesce the loop state so each
-    // iteration is a handful of tasks, not 32 shuffle partitions of a
-    // few rows; at web scale the partition count follows |edges|
-    val pairs = minhashLshPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .coalesce(4).cache()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).coalesce(4).cache()
-    // labels only ever DECREASE (min over the closed neighborhood), so
-    // the label sum strictly decreases iff any label changed — one
-    // aggregate per iteration replaces a join+filter+count change scan;
-    // Long.MinValue seeds the first comparison (a nonempty graph always
-    // changes in round 1), saving the init-sum job
-    var prevSum = Long.MinValue
-    var changed = true
-    var iter = 0
-    while (changed && iter < 20) {
-      // closed-neighborhood min as union + one aggregate: two shuffles
-      // per round (join on doc_b, groupBy doc_id) instead of three
-      // localCheckpoint (not cache): each iteration's plan nests the
-      // previous one, so by convergence the LOGICAL tree is the whole
-      // unrolled loop over the full LSH pipeline — and Catalyst
-      // re-optimizes that tree on EVERY consumer action before cache
-      // substitution even applies (measured 1.5 s/action of pure
-      // driver planning at sf0.1). Truncating lineage to a LogicalRDD
-      // makes per-iteration planning O(1) and consumer planning
-      // instant — the same reason GraphFrames checkpoints its CC loop;
-      // at cluster scale swap for reliable checkpoint (executor loss
-      // recomputes a localCheckpoint from nothing).
-      val updated = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("label")), "doc_b")
-        .select(col("doc_a").as("doc_id"), col("label"))
-        .unionByName(labels)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .coalesce(4).localCheckpoint()
-      // sum() over zero rows is NULL — a clean corpus (no near-dup
-      // pairs) must converge to an empty label set, not NPE
-      val row = updated.agg(sum(col("label"))).head()
-      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
-      labels.unpersist()
-      changed = s != prevSum
-      prevSum = s
-      labels = updated
-      iter += 1
-    }
-    edges.unpersist()
-    System.err.println(s"[dedup_clusters] converged after $iter rounds")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-  }
+  private[graft] def computeClusters(spark: SparkSession, dir: String): DataFrame =
+    // the shared min-label propagation loop (GraphOps.connectedComponents):
+    // checkpointed state, label-sum convergence, small fixed partition
+    // count because the pair graph is orders of magnitude smaller than
+    // the corpus (only near-dups appear)
+    GraphOps.connectedComponents(
+        minhashLshPairs(spark, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
 
   // ---------------------------------------------------------------- incremental
   /** Incremental ingest dedup — the shape a 100 TB pipeline actually
