@@ -113,6 +113,36 @@ object GraphOps {
     * orders-of-magnitude smaller than the corpus (only matched pairs
     * appear), hence the small fixed partition count. */
   private[scale] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // ADAPTIVE small-graph path: a match/near-dup graph is usually
+    // orders of magnitude smaller than its corpus, and the distributed
+    // loop costs ~3 scheduled jobs per iteration — pure overhead when
+    // the edge set fits the driver. Below the threshold, collect and
+    // run union-find (same labels: component MINIMUM). The distributed
+    // min-label loop below is the ≥ threshold path and the semantics
+    // both paths share; 100k edges ≈ 1.6 MB of longs, far under any
+    // sane driver budget, while a graph OVER it is exactly when the
+    // loop's per-iteration cost amortizes.
+    val collected = pairs.select(col("a"), col("b")).limit(100001).collect()
+    if (collected.length <= 100000) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
+    }
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .coalesce(4).cache()
