@@ -35,7 +35,35 @@ object GraphOps {
       graphPagerankImpl(spark, dir))
 
   private[graft] def graphPagerankImpl(spark: SparkSession, dir: String): DataFrame = {
-    val p = Dedup.minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val p0 = Dedup.minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // ADAPTIVE small-graph path (same threshold reasoning as
+    // [[connectedComponents]]): the fixed-point iteration is INTEGER
+    // micro-units throughout, so a driver replay is bit-exact against
+    // the distributed loop AND the oracle — order-insensitivity is the
+    // whole point of the integer design. Each distributed round costs
+    // ~3 scheduled jobs; below 100k edges that overhead IS the query.
+    val smallPairs = p0.limit(100001).collect()
+    if (smallPairs.length <= 100000) {
+      val edges = smallPairs.flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+      val n = deg.size
+      val prInit = if (n == 0) 0L else math.round(1e6 / n)
+      val base = if (n == 0) 0L else math.round(0.15 * 1e6 / n)
+      var pr = deg.map { case (k, _) => k -> prInit }
+      for (_ <- 1 to 3) {
+        val sums = scala.collection.mutable.HashMap.empty[Long, Long]
+        edges.foreach { case (a, b) =>
+          sums(b) = sums.getOrElse(b, 0L) + pr(a) / deg(a) }
+        pr = deg.map { case (k, _) => k -> (base + sums.getOrElse(k, 0L) * 85 / 100) }
+      }
+      import spark.implicits._
+      return deg.keys.toSeq.map(id => (id, deg(id), pr(id)))
+        .toDF("doc_id", "deg", "pr_units")
+        .select(col("doc_id"), col("deg"), col("pr_units"),
+          round(col("pr_units") / 1e6, 6).as("pagerank"))
+    }
+    val p = p0
     // coalesce(4): the pair graph is a few hundred rows — without it
     // every iteration schedules 32 near-empty shuffle tasks (the same
     // reasoning as Dedup.computeClusters)
