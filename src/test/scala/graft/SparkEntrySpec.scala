@@ -50,6 +50,19 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("every query carries an oracle: the driver gate covers the full registry") {
+    // the correctness gate is only as strong as its coverage — a query
+    // registered without oracle SQL silently downgrades to a rows-only
+    // check; as of round 5 the registry is 100% oracled and this pins it
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
+  }
+
+  test("benchImpls only overrides registered queries") {
+    val orphans = SparkEntry.benchImpls.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"benchImpls without queries: $orphans")
+  }
+
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
