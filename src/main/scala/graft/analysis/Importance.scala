@@ -529,6 +529,63 @@ object Importance {
          |FROM ($unioned) u""".stripMargin
   }
 
+  // --------------------------------------------------------------- PDP
+  /** PARTIAL-DEPENDENCE curves for the per-feature univariate OLS fits
+    * (the model-inspection artifact next to importance ranks: not just
+    * WHICH feature matters but the direction and slope of its effect).
+    * For the single-feature linear model the PDP is closed-form —
+    * pdp_j(g) = mean(y) + β_j·(g − mean_j) with β_j = cov(x_j,y)/var(x_j)
+    * — so the whole probe is ONE moments-plus-quantiles aggregate over
+    * the feature frame (exact `percentile` grid at the 10/30/50/70/90th,
+    * the same quantile machinery driftPsi/quality_calibrate already
+    * oracle), folded driver-side into the 5×5 curve table. At 100 TB:
+    * one aggregate pass, 25 output rows, `percentile_approx` swap noted
+    * at the percentile call sites repo-wide. */
+  def pdpImportance(spark: SparkSession, dir: String): DataFrame = {
+    val f = featureFrame(spark, dir)
+    val aggs = Seq(avg(col("target")).as("my")) ++ featureNames.flatMap(n => Seq(
+      avg(col(n)).as(s"m_$n"),
+      (avg(col(n) * col("target")) - avg(col(n)) * avg(col("target"))).as(s"cov_$n"),
+      (avg(col(n) * col(n)) - avg(col(n)) * avg(col(n))).as(s"var_$n"),
+      expr(s"percentile($n, array(0.1, 0.3, 0.5, 0.7, 0.9))").as(s"q_$n")))
+    val row = f.agg(aggs.head, aggs.tail: _*).head()
+    val my = row.getDouble(0)
+    import spark.implicits._
+    featureNames.flatMap { n =>
+      val m = row.getDouble(row.fieldIndex(s"m_$n"))
+      val cov = row.getDouble(row.fieldIndex(s"cov_$n"))
+      val vr = row.getDouble(row.fieldIndex(s"var_$n"))
+      val beta = if (vr == 0) 0.0 else cov / vr
+      val grid = row.getSeq[Double](row.fieldIndex(s"q_$n"))
+      // + 0.0 normalizes −0.0 (the oracle's `round(...) + 0` trick)
+      grid.zipWithIndex.map { case (g, i) =>
+        (n, i + 1, math.rint(g * 1e6) / 1e6 + 0.0,
+          math.rint(beta * 1e6) / 1e6 + 0.0,
+          math.rint((my + beta * (g - m)) * 1e6) / 1e6 + 0.0)
+      }
+    }.toDF("feature", "grid_idx", "grid_value", "beta", "pdp")
+  }
+
+  val pdpImportanceSql: String = {
+    val qs = featureNames.map(n =>
+      s"quantile_cont($n, [0.1, 0.3, 0.5, 0.7, 0.9]) AS q_$n").mkString(", ")
+    val ms = featureNames.map(n =>
+      s"avg($n) AS m_$n, covar_pop($n, target) AS cov_$n, var_pop($n) AS var_$n")
+      .mkString(", ")
+    val branches = featureNames.map { n =>
+      s"""SELECT '$n' AS feature, CAST(i AS INT) AS grid_idx,
+         |  round(q_$n[i], 6) + 0 AS grid_value,
+         |  round(CASE WHEN var_$n = 0 THEN 0 ELSE cov_$n / var_$n END, 6) + 0 AS beta,
+         |  round(my + (CASE WHEN var_$n = 0 THEN 0 ELSE cov_$n / var_$n END)
+         |            * (q_$n[i] - m_$n), 6) + 0 AS pdp
+         |FROM st, unnest(generate_series(1, 5)) AS g(i)""".stripMargin
+    }.mkString("\nUNION ALL ")
+    featureFrameSql +
+      s""",
+         |st AS (SELECT avg(target) AS my, $ms, $qs FROM feat)
+         |$branches""".stripMargin
+  }
+
   /** Shared planted-table oracle: expected ranks derive from the SAME
     * coefficient table the fixture plants. */
   private def plantedSql(rankCol: String): String = {
@@ -549,6 +606,7 @@ object Importance {
     "imp_fstat"       -> (fstatImportance _),
     "imp_consensus"   -> (consensusImportance _),
     "imp_permutation" -> (permImportance _),
+    "imp_pdp"         -> (pdpImportance _),
     "imp_rfe"         -> (rfePlanted _))
 
   def oracles: Map[String, String] = Map(
@@ -560,5 +618,6 @@ object Importance {
     "imp_rfe"         -> plantedSql("rfe_rank"),
     "imp_fstat"       -> fstatImportanceSql,
     "imp_permutation" -> permImportanceSql,
+    "imp_pdp"         -> pdpImportanceSql,
     "imp_consensus"   -> consensusImportanceSql)
 }

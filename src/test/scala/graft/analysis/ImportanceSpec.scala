@@ -58,6 +58,25 @@ class ImportanceSpec extends SparkSpec {
       byRank.map(_.getDouble(3)).toSeq)
   }
 
+  test("pdp curves are linear in the grid with the fitted slope") {
+    val rows = Importance.pdpImportance(spark, sfDir).collect()
+    assert(rows.length == 25)
+    rows.groupBy(_.getString(0)).foreach { case (feat, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4, 5), feat)
+      // grid values are nondecreasing quantiles
+      val gs = sorted.map(_.getDouble(2))
+      assert(gs.zip(gs.tail).forall { case (a, b) => a <= b }, feat)
+      // the curve is linear: pdp differences track beta * grid differences
+      val beta = sorted.head.getDouble(3)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        val dg = b.getDouble(2) - a.getDouble(2)
+        val dp = b.getDouble(4) - a.getDouble(4)
+        assert(math.abs(dp - beta * dg) < 1e-4, s"$feat: dp=$dp beta*dg=${beta * dg}")
+      }
+    }
+  }
+
   test("consensus rank averages the corr and MI ranks") {
     val rows = Importance.consensusImportance(spark, sfDir).collect()
     rows.foreach { r =>
