@@ -549,8 +549,13 @@ object Importance {
       (avg(col(n) * col(n)) - avg(col(n)) * avg(col(n))).as(s"var_$n"),
       expr(s"percentile($n, array(0.1, 0.3, 0.5, 0.7, 0.9))").as(s"q_$n")))
     val row = f.agg(aggs.head, aggs.tail: _*).head()
-    val my = row.getDouble(0)
     import spark.implicits._
+    if (row.isNullAt(0)) {
+      // empty feature frame: the aggregate row is all-NULL — no curve
+      return Seq.empty[(String, Int, Double, Double, Double)]
+        .toDF("feature", "grid_idx", "grid_value", "beta", "pdp")
+    }
+    val my = row.getDouble(0)
     featureNames.flatMap { n =>
       val m = row.getDouble(row.fieldIndex(s"m_$n"))
       val cov = row.getDouble(row.fieldIndex(s"cov_$n"))

@@ -1043,6 +1043,13 @@ object Similarity {
     val stats = c.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    if (stats.isEmpty) {
+      // empty corpus: nothing to quantize — emit the empty result frame
+      // instead of NPEing on the per-dim stats lookup
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("vec_id", "code_sum", "mse", "max_err")
+    }
     def codeCol(d: Int): Column = {
       val (mn, mx) = stats(d)
       if (mx == mn) lit(0L)
@@ -1114,6 +1121,12 @@ object Similarity {
       .select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
       .collect()
+    if (meanRows.isEmpty) {
+      // empty corpus: no component to fit — empty curve, not a crash
+      import spark.implicits._
+      return Seq.empty[(Int, Double, Double, Double)]
+        .toDF("dim", "mean_d", "loading", "explained_var")
+    }
     val nRows = meanRows.head.getLong(2)
     val mean: Array[Double] = meanRows
       .map(r => r.getInt(0) -> (math.rint(r.getDouble(1) * 1e6) / 1e6 + 0.0))

@@ -458,8 +458,13 @@ object TextAnalysis {
           .groupBy(col("p.tok").as("tok"), col("p.nx").as("nx"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("tok"), col("nx"))
-          .limit(1).collect()(0)
-        val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          .limit(1).collect()
+        // an empty/single-token corpus has no adjacent pair to merge —
+        // the learned table just ends early (bpeEncode folds zero merges)
+        if (top.isEmpty) {
+          return out.toSeq.toDF("step", "left_tok", "right_tok", "n_pair")
+        }
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((step, l, r, n))
         txt = txt.withColumn("t",
           expr(s"replace(t, ' $l $r ', ' ${l}_$r ')"))

@@ -312,15 +312,17 @@ object Sinks {
     * rather than reading all 30 days. */
   def k3IndicatorRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k3_${math.abs(dir.hashCode)}"
-    Tables.candles(spark, dir)
+    val daily = Tables.candles(spark, dir)
       .groupBy(col("user_id"), to_date(col("bucket")).as("date"))
       .agg(count(lit(1)).as("n_candles"),
         round(avg(col("close")), 6).as("avg_close"),
         round(max(col("high")), 6).as("max_high"),
         round(min(col("low")), 6).as("min_low"))
-      .write.mode(SaveMode.Overwrite).partitionBy("date")
+    daily.write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd").parquet(tmp)
-    spark.read.parquet(tmp)
+    // explicit schema: the consumer contract — and an EMPTY write leaves
+    // no footers to infer from (schema inference would throw)
+    spark.read.schema(daily.schema).parquet(tmp)
       .filter(col("date") >= lit("2024-01-08") && col("date") < lit("2024-01-15"))
       // pruning happens on the DATE-typed partition column above; the
       // output carries it as a timestamp (the driver compare's
