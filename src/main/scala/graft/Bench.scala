@@ -35,7 +35,8 @@ object Bench {
     "ann_brute_force", "ann_lsh_search", "ann_ivf_search",
     "text_quality", "text_heavy_hitters", "sk_heavy_hitters_cms",
     "text_pii_scrub", "mm_phash_dedup", "profile_documents",
-    "w19_psar", "split_by_cluster", "s6_vwap")
+    "w19_psar", "split_by_cluster", "s6_vwap",
+    "w39_heikin_ashi", "imp_permutation", "er_clusters", "decontam_minhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
