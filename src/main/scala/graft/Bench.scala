@@ -73,10 +73,19 @@ object Bench {
     // WARM pass: index-serving queries run their build plan (see the
     // scaladoc) — their warm time is the real marginal cost of the
     // index, not a count over the checkpoint the cold pass left behind.
+    // MEDIAN of 3 samples per query (r5 verdict item 2): this VM is
+    // shared hardware and a single warm sample catches contention
+    // windows often enough that ~30 queries showed phantom warm>cold
+    // inversions in BENCH_r05 — medians make per-query deltas
+    // adjudicable without manual re-runs; min/max go to BENCH_FULL as
+    // the per-query noise band.
     val impls = SparkEntry.benchImpls
-    val results = ordered.map { case (name, fn) =>
-      timed(name, impls.getOrElse(name, fn))
+    val warmSamples = ordered.map { case (name, fn) =>
+      name -> (1 to 3).map(_ => timed(name, impls.getOrElse(name, fn))._2)
     }
+    val results = warmSamples.map { case (name, ts) => name -> ts.sorted.apply(1) }
+    val warmMin = warmSamples.map { case (name, ts) => name -> ts.min }
+    val warmMax = warmSamples.map { case (name, ts) => name -> ts.max }
     val total = results.map(_._2).sum
     val maxQ = results.maxBy(_._2)
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -87,7 +96,7 @@ object Bench {
     // summary stats + one headline query per family.
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fw = new java.io.PrintWriter("BENCH_FULL.json")
-    try fw.println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"errors":$errs,"queries":${m(results)},"queries_cold":${m(cold)},"sf":"$sfDir"}""")
+    try fw.println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"errors":$errs,"queries":${m(results)},"queries_cold":${m(cold)},"queries_warm_min":${m(warmMin)},"queries_warm_max":${m(warmMax)},"sf":"$sfDir"}""")
     finally fw.close()
     val byName = results.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + f(v)))

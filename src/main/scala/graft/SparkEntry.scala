@@ -49,7 +49,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (scale.Dedup.minhashLshPairsImpl _),
     "er_candidates"       -> (scale.EntityResolution.erCandidatesImpl _),
     "ngram_novelty"       -> (scale.CorpusOps.ngramNoveltyImpl _),
-    "graph_pagerank"      -> (scale.GraphOps.graphPagerankImpl _),
+    "graph_pagerank"      -> ((s, d) => scale.GraphOps.graphPagerankImpl(s, d)),
     "text_bpe_merges"     -> (scale.TextAnalysis.bpeMergesImpl _),
     "w34_backtest"        -> (analysis.Stateful.backtestTradesImpl _),
     "w32_candle_patterns" -> (operators.WindowsAdvanced.w32CandlePatternsImpl _))

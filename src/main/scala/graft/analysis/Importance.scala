@@ -371,16 +371,27 @@ object Importance {
     * from md5 bits (no RNG state — identical on any partitioning, any
     * run), target = the exact planted linear combination. Generated,
     * not read from `dir`: the recovery property must not depend on what
-    * the testdata generator emits. */
-  private def plantedFrame(spark: SparkSession): DataFrame = {
-    def u(salt: String): Column =
-      conv(substring(md5(concat_ws("_", lit(salt), col("id").cast("string"))
-        .cast("binary")), 1, 8), 16, 10).cast("double") / 4294967296.0 - 0.5
-    spark.range(10000).toDF("id")
-      .select(col("id") +: plantedCoefs.map { case (n, _) => u(n).as(n) }: _*)
-      .withColumn("target",
-        plantedCoefs.map { case (n, c) => col(n) * lit(c) }.reduce(_ + _))
-  }
+    * the testdata generator emits.
+    *
+    * Cached once per session (r5 verdict item 4): the RF fit and RFE's
+    * elimination refits each make several passes over this frame, and
+    * uncached every pass re-paid the 5×10k md5 generation — ~5.4 s warm
+    * for imp_rf/imp_rfe, all of it upstream of the fit. The FITS stay
+    * unmemoized (bench's warm pass must measure real MLlib work);
+    * sharing the input frame is the sanctioned memo shape. */
+  private def plantedFrame(spark: SparkSession): DataFrame =
+    graft.scale.DirMemo.getOrCompute(spark, "imp_planted", "<fixture>") {
+      def u(salt: String): Column =
+        conv(substring(md5(concat_ws("_", lit(salt), col("id").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("double") / 4294967296.0 - 0.5
+      val f = spark.range(10000).toDF("id")
+        .select(col("id") +: plantedCoefs.map { case (n, _) => u(n).as(n) }: _*)
+        .withColumn("target",
+          plantedCoefs.map { case (n, c) => col(n) * lit(c) }.reduce(_ + _))
+        .cache()
+      f.count() // materialize eagerly so the first fit's timing is honest
+      f
+    }
 
   private def plantedRanked(spark: SparkSession, scores: Seq[(String, Double)],
                             rankCol: String): DataFrame = {

@@ -647,12 +647,11 @@ object Dedup {
   // ---------------------------------------------------------------- clusters
   /** Connected components over the near-dup pair graph — the keep-one
     * stage every dedup pipeline ends with (pairs alone don't say which
-    * doc to drop when duplicates chain A≈B≈C). Iterative min-label
-    * propagation: each round every node takes the minimum label in its
-    * closed neighborhood; converges in O(component diameter) rounds and
-    * near-dup components are clique-ish, so 2–4 rounds in practice
-    * (capped at 20; at web scale the same loop runs with the
-    * large-star/small-star optimization, identical join shape).
+    * doc to drop when duplicates chain A≈B≈C). Shared component loop
+    * ([[GraphOps.connectedComponents]]): min-label propagation with
+    * pointer doubling, O(log diameter) rounds, and a loud failure on
+    * non-convergence — chain-shaped template families deeper than any
+    * round cap get an exception, never silently-split clusters.
     * Cluster id = min doc_id of the component. Oracle-checked against
     * the recursive-CTE transitive closure ([[dedupClustersSql]]); the
     * invariants (pairs co-clustered, label = component min) are also

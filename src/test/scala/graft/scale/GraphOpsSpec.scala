@@ -1,0 +1,74 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the shared connected-components loop — specifically
+  * the distributed pointer-doubling path, which the adaptive driver
+  * threshold would otherwise keep dead under test (the r5 verdict's
+  * exact complaint: the propagation cap divergence could only ever
+  * surface in production). `driverEdgeCap = 0` forces the branch. */
+class GraphOpsSpec extends SparkSpec {
+
+  /** Path graph 1000–1000+n-1: the worst case for label propagation
+    * (diameter n-1), the shape the r5 cap silently mislabeled. */
+  private def chainPairs(n: Int) = {
+    import spark.implicits._
+    (0 until n - 1).map(i => (1000L + i, 1001L + i)).toDF("a", "b")
+  }
+
+  test("distributed pointer doubling labels a diameter-30 chain exactly within 8 rounds") {
+    // plain propagation needs 30 rounds; doubling reaches offset
+    // 2^(k+1)-2 after k rounds, so 8 is ample for doubling and fatal
+    // for a propagation regression
+    val labels = GraphOps.connectedComponents(chainPairs(31), driverEdgeCap = 0, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 31)
+    assert(labels.values.forall(_ == 1000L), s"all labels must be the component min: $labels")
+  }
+
+  test("non-convergence at the round cap fails loudly instead of returning wrong labels") {
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(chainPairs(40), driverEdgeCap = 0, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("no convergence"))
+  }
+
+  test("driver union-find and distributed loop agree label-for-label") {
+    import spark.implicits._
+    // mixed shapes: a chain with a late merge, a 4-chain, a pair, a self-loop
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L), (7L, 7L)).toDF("a", "b")
+    val drv = GraphOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val dist = GraphOps.connectedComponents(pairs, driverEdgeCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(drv.sameElements(dist), s"paths diverged: ${drv.toSeq} vs ${dist.toSeq}")
+  }
+
+  test("distributed pagerank replays bit-exactly against the driver path") {
+    // the integer micro-unit design promises order-insensitivity; this
+    // is the promise, checked (and keeps the ≥cap branch from rotting)
+    def rows(cap: Int) = GraphOps.graphPagerankImpl(spark, sfDir, driverEdgeCap = cap)
+      .select(col("doc_id"), col("deg"), col("pr_units"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows(100000).sameElements(rows(0)))
+  }
+
+  test("graph_deep_chain co-labels whole chains of 26 with the chain-min id") {
+    val out = GraphOps.graphDeepChain(spark, sfDir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // every cluster: size ≤ 26, label = min member id, positions contiguous
+    val bad = out.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"), min(col("doc_id")).as("lo"),
+        min(col("chain_pos")).as("p0"), max(col("chain_pos")).as("p1"))
+      .filter(col("sz") > 26 || col("lo") =!= col("cluster_id") ||
+        col("p1") - col("p0") =!= col("sz") - 1)
+    assert(bad.isEmpty, s"cluster invariant violated: ${bad.collect().toSeq}")
+    // chains of 26 dominate: at least one full-diameter-25 component
+    assert(out.groupBy(col("cluster_id")).count().filter(col("count") === 26).count() > 0,
+      "fixture must contain at least one diameter-25 chain")
+    out.unpersist()
+  }
+}
