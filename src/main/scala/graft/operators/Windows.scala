@@ -456,15 +456,21 @@ object Windows {
       (rollMax(col("high"), n, w) + rollMin(col("low"), n, w)) / 2
     val sa = lag((col("tenkan") + col("kijun")) / 2, 26).over(w)
     val sb = lag(col("sb_raw"), 26).over(w)
+    // every line here is a /2- or /4-dyadic midpoint, which lands
+    // exactly on .5 at the 6th decimal often enough that Spark's
+    // HALF_UP round and DuckDB's half-to-even diverge — same trap and
+    // same fix as w39 Heikin-Ashi (Stateful.r6): floor(x·1e6+0.5)/1e6
+    // computes identically in both engines
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
     candleBase(spark, dir)
       .withColumn("tenkan", mid(9))
       .withColumn("kijun", mid(26))
       .withColumn("sb_raw", mid(52))
-      .withColumn("senkou_a", round(sa, 6))
-      .withColumn("senkou_b", round(sb, 6))
+      .withColumn("senkou_a", r6(sa))
+      .withColumn("senkou_b", r6(sb))
       .select(col("user_id"), col("bucket"),
-        round(col("tenkan"), 6).as("tenkan"),
-        round(col("kijun"), 6).as("kijun"),
+        r6(col("tenkan")).as("tenkan"),
+        r6(col("kijun")).as("kijun"),
         col("senkou_a"), col("senkou_b"),
         round(lead(col("close"), 26).over(w), 6).as("chikou"),
         when(col("senkou_a").isNull || col("senkou_b").isNull, lit(null))
@@ -488,12 +494,13 @@ object Windows {
       |i2 AS (
       |  SELECT user_id, bucket, close,
       |    tenkan, kijun,
-      |    round(lag((tenkan + kijun) / 2, 26) OVER wi, 6) + 0 AS senkou_a,
-      |    round(lag(sb_raw, 26) OVER wi, 6) + 0 AS senkou_b,
+      |    floor((lag((tenkan + kijun) / 2, 26) OVER wi) * 1e6 + 0.5) / 1e6 AS senkou_a,
+      |    floor((lag(sb_raw, 26) OVER wi) * 1e6 + 0.5) / 1e6 AS senkou_b,
       |    lead(close, 26) OVER wi AS chikou_raw
       |  FROM i1 WINDOW wi AS (PARTITION BY user_id ORDER BY bucket))
       |SELECT user_id, bucket,
-      |  round(tenkan, 6) + 0 AS tenkan, round(kijun, 6) + 0 AS kijun,
+      |  floor(tenkan * 1e6 + 0.5) / 1e6 AS tenkan,
+      |  floor(kijun * 1e6 + 0.5) / 1e6 AS kijun,
       |  senkou_a, senkou_b, round(chikou_raw, 6) + 0 AS chikou,
       |  CASE WHEN senkou_a IS NULL OR senkou_b IS NULL THEN NULL
       |       WHEN close > greatest(senkou_a, senkou_b) THEN 'above_cloud'

@@ -33,7 +33,7 @@ case class PatternAlert(symbol: String, bucket: java.sql.Timestamp,
 case class CandleHistory(last: Vector[StreamCandle])
 
 /** Heikin-Ashi recurrence state: the previous HA candle's midpoint pair. */
-case class HaState(prevOpen: Double, prevClose: Double)
+case class HaState(prevOpen: Double, prevClose: Double, lastBucketMs: Long)
 
 /** One Heikin-Ashi candle emitted by the streaming channel. */
 case class HaStreamRow(symbol: String, bucket: java.sql.Timestamp,
@@ -246,7 +246,15 @@ object Channels {
     * `flatMapGroupsWithState`. Batch-equivalence is CHECKED, not
     * asserted: `ChannelsSpec` streams the real candle table through
     * this and diffs against the oracled batch query row-for-row.
-    * State at scale: (prevOpen, prevClose) per symbol — O(symbols). */
+    *
+    * Late-arrival contract (ADVICE r5): the recurrence is
+    * order-SENSITIVE — folding a stale candle after newer ones would
+    * corrupt ha_open for the symbol from then on, silently and forever.
+    * Rows are sorted within a micro-batch, and a row at or behind the
+    * last folded bucket (cross-batch disorder) is DROPPED rather than
+    * folded: a gap in the output is visible and recoverable (re-run the
+    * batch fold), corrupted state is neither. State at scale:
+    * (prevOpen, prevClose, lastBucket) per symbol — O(symbols). */
   def heikinAshiStream(spark: SparkSession,
       candles: Dataset[StreamCandle]): Dataset[HaStreamRow] = {
     import spark.implicits._
@@ -257,17 +265,20 @@ object Channels {
           var seeded = state.exists
           var pO = if (seeded) state.get.prevOpen else 0.0
           var pC = if (seeded) state.get.prevClose else 0.0
-          val out = rows.toSeq.sortBy(_.bucket.getTime).map { c =>
-            val haC = (c.open + c.high + c.low + c.close) / 4
-            val haO = if (!seeded) { seeded = true; (c.open + c.close) / 2 }
-                      else (pO + pC) / 2
-            pO = haO; pC = haC
-            HaStreamRow(symbol, c.bucket, haO,
-              math.max(c.high, math.max(haO, haC)),
-              math.min(c.low, math.min(haO, haC)),
-              haC, haC > haO)
-          }
-          if (seeded) state.update(HaState(pO, pC))
+          var lastMs = if (seeded) state.get.lastBucketMs else Long.MinValue
+          val out = rows.toSeq.sortBy(_.bucket.getTime)
+            .filter(c => c.bucket.getTime > lastMs) // late duplicates/stragglers
+            .map { c =>
+              val haC = (c.open + c.high + c.low + c.close) / 4
+              val haO = if (!seeded) { seeded = true; (c.open + c.close) / 2 }
+                        else (pO + pC) / 2
+              pO = haO; pC = haC; lastMs = c.bucket.getTime
+              HaStreamRow(symbol, c.bucket, haO,
+                math.max(c.high, math.max(haO, haC)),
+                math.min(c.low, math.min(haO, haC)),
+                haC, haC > haO)
+            }
+          if (seeded) state.update(HaState(pO, pC, lastMs))
           out.iterator
       }
   }

@@ -308,6 +308,37 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heikin-ashi stream drops cross-batch late candles instead of corrupting the recurrence") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    def c(m: Int, o: Double) = StreamCandle(ts(m), "S", o, o + 2, o - 2, o + 1)
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.heikinAshiStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("ha_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(c(1, 10), c(2, 11), c(3, 12)); q.processAllAvailable()
+      // batch 2 delivers a STALE candle (minute 2 again, wild values)
+      // behind a fresh one — the stale row must be dropped, and minute
+      // 4's ha_open must continue from minute 3's state untouched
+      mem.addData(c(2, 99), c(4, 13)); q.processAllAvailable()
+      val rows = spark.table("ha_late").as[HaStreamRow].collect()
+        .sortBy(_.bucket.getTime)
+      assert(rows.length == 4, s"late row must be dropped: ${rows.toSeq}")
+      assert(rows.map(_.bucket) sameElements Array(ts(1), ts(2), ts(3), ts(4)))
+      // replay the fold without the late row; state must match exactly
+      var (pO, pC) = ((10.0 + 11.0) / 2, (10 + 12 + 8 + 11) / 4.0)
+      for ((r, o) <- rows.drop(1).zip(Seq(11.0, 12.0, 13.0))) {
+        val haC = (o + (o + 2) + (o - 2) + (o + 1)) / 4
+        val haO = (pO + pC) / 2
+        assert(r.ha_open == haO && r.ha_close == haC,
+          s"recurrence corrupted at ${r.bucket}: $r")
+        pO = haO; pC = haC
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: each high-impact event collects exactly the ticks in its 2-minute window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
