@@ -36,7 +36,8 @@ object Bench {
     "text_quality", "text_heavy_hitters", "sk_heavy_hitters_cms",
     "text_pii_scrub", "mm_phash_dedup", "profile_documents",
     "w19_psar", "split_by_cluster", "s6_vwap",
-    "w39_heikin_ashi", "imp_permutation", "er_clusters", "decontam_minhash")
+    "w39_heikin_ashi", "imp_permutation", "er_clusters", "decontam_minhash",
+    "graph_deep_chain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,7 +48,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ONLY=headline restricts to the headline set — used for
+    // the sf1 scale run, where the full 225-query suite would measure
+    // VM contention more than plans
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_ONLY").contains("headline"))
+        all.filter(q => headline.contains(q._1))
+      else all
     // COLD pass: warms the session (codegen compiler, parquet footer
     // cache, JIT) and materializes every cache/memo a query registers.
     // Timed per-query so the cost the memos absorb stays attributable:

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× scaler for the driver testdata — the empirical leg
+  * of the scale posture (r5 verdict item 5: "10× data is the cheapest
+  * empirical test"). Replica 0 is the identity copy, so id-keyed
+  * queries (point lookups, vec_id<10 ANN queries) keep their rows;
+  * replicas 1..N−1 shift every key by a replica offset chosen to
+  * preserve the id-derived classes the operators key on (doc offset
+  * 970 000 is divisible by 97 — the benchmark split — and by 10 — the
+  * incremental-batch split).
+  *
+  * Linearity by construction: replicated TEXT gets a per-replica token
+  * prefix (distinct shingle vocabularies → no cross-replica near-dups,
+  * so the pair graphs grow 10×, not 45× per clique), and replicated
+  * EMBEDDINGS are rotated by k dims (a per-replica isometry: all
+  * within-replica cosines are bit-preserved, cross-replica vectors
+  * decorrelate). Without these, a naive copy makes every doc a 10-way
+  * exact duplicate and the near-dup stages go quadratic inside each
+  * clone family — a different (harder) workload than 10× data.
+  *
+  * Usage: runMain graft.GenScale <srcDir> <outDir> [factor=10] */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(table: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val scaled = (0 until factor).map(k => shift(base, k)).reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[genscale] $table: ${base.count()} -> ${scaled.count()}")
+    }
+
+    // dimension tables: copy as-is (joins fan out through the fact side)
+    for (t <- Seq("region", "nation")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[genscale] $t: copied")
+    }
+    replicate("customer")((df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + k * 15000L))
+    replicate("supplier")((df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + k * 1000L))
+    // part names get a replica-tagged noun (the ER block key is
+    // (noun, type, size_bucket)): a verbatim clone would grow every ER
+    // block 10× → 100× candidate pairs — a quadratic clone-family
+    // workload, not 10× data (measured: er_clusters 14.9 s vs the
+    // ~linear 1.5 s after this perturbation)
+    replicate("part")((df, k) =>
+      if (k == 0) df
+      else df.withColumn("p_partkey", col("p_partkey") + k * 20000L)
+        .withColumn("p_name", regexp_replace(col("p_name"), " ", s" r$k")))
+    replicate("orders")((df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + k * 150000L)
+        .withColumn("o_custkey", col("o_custkey") + k * 15000L))
+    replicate("lineitem")((df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + k * 150000L)
+        .withColumn("l_partkey", col("l_partkey") + k * 20000L)
+        .withColumn("l_suppkey", col("l_suppkey") + k * 1000L))
+    // events: new user population per replica, identical per-user series
+    // (window operators scale by key count, the production shape)
+    replicate("events")((df, k) =>
+      df.withColumn("event_id", col("event_id") + k * 10000000L)
+        .withColumn("user_id", col("user_id") + k * 1500L))
+    // documents: replica-tagged vocabulary (see scaladoc); n_chars tracks
+    // the rewritten text (the fixture invariant n_chars = length(text))
+    replicate("documents") { (df, k) =>
+      if (k == 0) df
+      else {
+        val tagged = concat(lit(s"r$k"),
+          regexp_replace(col("text"), " ", s" r$k"))
+        df.withColumn("doc_id", col("doc_id") + k * 970000L)
+          .withColumn("text", tagged)
+          .withColumn("n_chars", length(tagged).cast("long"))
+      }
+    }
+    // embeddings: rotate by k dims per replica (within-replica isometry)
+    replicate("embeddings") { (df, k) =>
+      if (k == 0) df
+      else df.withColumn("vec_id", col("vec_id") + k * 2000000L)
+        .withColumn("embedding",
+          concat(slice(col("embedding"), k + 1, 64 - k),
+            slice(col("embedding"), 1, k)))
+    }
+    spark.stop()
+  }
+}
