@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Pipeline.queries ++
       operators.Sessions.queries ++
       analysis.Stateful.queries ++
+      analysis.ZigzagRenko.queries ++
       scale.Dedup.queries ++
       scale.Similarity.queries ++
       scale.TextAnalysis.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       operators.Pipeline.oracles ++
       operators.Sessions.oracles ++
       analysis.Stateful.oracles ++
+      analysis.ZigzagRenko.oracles ++
       scale.Dedup.oracles ++
       scale.Similarity.oracles ++
       scale.TextAnalysis.oracles ++

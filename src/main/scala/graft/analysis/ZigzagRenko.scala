@@ -1,0 +1,267 @@
+package graft.analysis
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One confirmed (or final provisional) ZigZag pivot. */
+case class ZigzagRow(user_id: Long, bucket: java.sql.Timestamp,
+    price: Double, pivot_type: String, swing_pct: Option[Double])
+
+/** Renko fold input: candle close + the user's fitted brick size. */
+case class RenkoInRow(user_id: Long, bucket: java.sql.Timestamp,
+    close: Double, brick: Double)
+
+/** One Renko brick (bucket = the candle whose close produced it). */
+case class RenkoRow(user_id: Long, bucket: java.sql.Timestamp,
+    brick_no: Long, brick_open: Double, brick_close: Double, direction: String)
+
+/** W41 — ZigZag pivots and Renko bricks (r5 verdict item 7: the last
+  * common TA family beyond the reference's 50+ indicator set). Both are
+  * inherently sequential state machines like W19/W39, so they ride the
+  * same `groupByKey(user).flatMapSortedGroups(bucket)` streaming fold —
+  * O(1) state per key, parallelism = number of keys — and both are
+  * oracled as lockstep recursive CTEs carrying the identical state
+  * tuple through the identical arithmetic (bit-exact doubles, not
+  * approximately equal).
+  *
+  * ZigZag (close-based, 10% reversal): track the running extreme in the
+  * current direction; when price retraces ≥10% from it, the extreme is
+  * confirmed as a pivot and direction flips. The series end emits the
+  * live extreme as a provisional pivot (charting convention).
+  *
+  * Renko (simple 1-brick reversal): brick size = 1/16 of the user's
+  * full price range (a fit-then-fold two-pass, like the normalizer);
+  * each close emits floor(|close − anchor| / brick) bricks in its
+  * direction and advances the anchor by exactly that many bricks, so
+  * brick boundaries live on the anchor lattice, never on raw prices. */
+object ZigzagRenko {
+
+  private val Thr = 0.1 // ZigZag reversal fraction
+
+  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  // ---------------------------------------------------------------- zigzag
+  def w41Zigzag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Stateful.candleDs(spark, dir)
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[CandleRow]) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val first = rows.next()
+          var d = 0 // 0 = direction not yet established (anchor phase)
+          var extV = first.close
+          var extB = first.bucket
+          var prevPivot = Option.empty[Double]
+          val buf = scala.collection.mutable.ArrayBuffer.empty[ZigzagRow]
+          def emit(tp: String): Unit = {
+            val swing = prevPivot.filter(_ != 0.0)
+              .map(pp => r6d((extV - pp) / pp))
+            buf += ZigzagRow(uid, extB, r6d(extV), tp, swing)
+            prevPivot = Some(extV)
+          }
+          rows.foreach { r =>
+            val c = r.close
+            if (d == 0) {
+              // anchor phase: the first close is a FIXED anchor; the
+              // first ±10% move both sets the direction and confirms
+              // the anchor as the opposite-type pivot
+              if (c >= extV * (1 + Thr)) { emit("low"); d = 1; extV = c; extB = r.bucket }
+              else if (c <= extV * (1 - Thr)) { emit("high"); d = -1; extV = c; extB = r.bucket }
+            } else if (d == 1) {
+              if (c > extV) { extV = c; extB = r.bucket }
+              else if (c <= extV * (1 - Thr)) { emit("high"); d = -1; extV = c; extB = r.bucket }
+            } else {
+              if (c < extV) { extV = c; extB = r.bucket }
+              else if (c >= extV * (1 + Thr)) { emit("low"); d = 1; extV = c; extB = r.bucket }
+            }
+          }
+          if (d != 0) emit(if (d == 1) "high" else "low") // provisional
+          buf.iterator
+        }
+      }
+      .toDF()
+  }
+
+  /** ZigZag oracle: state (d, ext, prev_pivot) advanced in lockstep,
+    * emission columns NULL on non-pivot steps; the provisional final
+    * pivot comes from each user's terminal state row. */
+  private val recursiveCandles: String =
+    "WITH RECURSIVE " + Tables.candlesSql.stripPrefix("WITH ")
+
+  val w41ZigzagSql: String =
+    s"""$recursiveCandles,
+       |zc AS (SELECT user_id, bucket, close,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+       |       FROM candles),
+       |zn AS (SELECT user_id, max(rn) AS mr FROM zc GROUP BY user_id),
+       |zp(user_id, rn, d, ext_v, ext_b, prev_piv, piv_b, piv_v, piv_t, piv_prev) AS (
+       |  SELECT user_id, rn, 0, close, bucket, NULL::DOUBLE,
+       |         NULL::TIMESTAMP, NULL::DOUBLE, NULL::VARCHAR, NULL::DOUBLE
+       |  FROM zc WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.user_id, c.rn,
+       |    CASE WHEN p.d = 0 THEN
+       |           CASE WHEN c.close >= p.ext_v * (1 + $Thr) THEN 1
+       |                WHEN c.close <= p.ext_v * (1 - $Thr) THEN -1 ELSE 0 END
+       |         WHEN p.d = 1 THEN
+       |           CASE WHEN c.close <= p.ext_v * (1 - $Thr) AND c.close <= p.ext_v THEN -1 ELSE 1 END
+       |         ELSE
+       |           CASE WHEN c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v THEN 1 ELSE -1 END
+       |    END AS nd,
+       |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |         THEN c.close
+       |         WHEN p.d = 1 AND c.close > p.ext_v THEN c.close
+       |         WHEN p.d = -1 AND c.close < p.ext_v THEN c.close
+       |         ELSE p.ext_v END,
+       |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |         THEN c.bucket
+       |         WHEN p.d = 1 AND c.close > p.ext_v THEN c.bucket
+       |         WHEN p.d = -1 AND c.close < p.ext_v THEN c.bucket
+       |         ELSE p.ext_b END,
+       |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |         THEN p.ext_v ELSE p.prev_piv END,
+       |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |         THEN p.ext_b END,
+       |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |         THEN p.ext_v END,
+       |    CASE WHEN (p.d = 0 AND c.close >= p.ext_v * (1 + $Thr))
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr)) THEN 'low'
+       |         WHEN (p.d = 0 AND c.close <= p.ext_v * (1 - $Thr))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr)) THEN 'high' END,
+       |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |         THEN p.prev_piv END
+       |  FROM zp p JOIN zc c ON c.user_id = p.user_id AND c.rn = p.rn + 1
+       |),
+       |confirmed AS (
+       |  SELECT user_id, piv_b AS bucket, piv_v AS price, piv_t AS pivot_type,
+       |         piv_prev AS prev_piv
+       |  FROM zp WHERE piv_t IS NOT NULL),
+       |provisional AS (
+       |  SELECT p.user_id, p.ext_b AS bucket, p.ext_v AS price,
+       |         CASE WHEN p.d = 1 THEN 'high' ELSE 'low' END AS pivot_type,
+       |         p.prev_piv
+       |  FROM zp p JOIN zn n ON n.user_id = p.user_id AND p.rn = n.mr
+       |  WHERE p.d <> 0),
+       |pivots AS (SELECT * FROM confirmed UNION ALL SELECT * FROM provisional)
+       |SELECT user_id, bucket, floor(price * 1e6 + 0.5) / 1e6 AS price, pivot_type,
+       |       CASE WHEN prev_piv IS NOT NULL AND prev_piv <> 0
+       |            THEN floor((price - prev_piv) / prev_piv * 1e6 + 0.5) / 1e6 END AS swing_pct
+       |FROM pivots""".stripMargin
+
+  // ---------------------------------------------------------------- renko
+  def w41Renko(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val candles = Tables.candles(spark, dir)
+    // fit: per-user brick size from the full range — one hash aggregate,
+    // broadcastable back onto the fold input (key-sized frame)
+    val bricks = candles.groupBy(col("user_id"))
+      .agg(((max(col("high")) - min(col("low"))) / 16).as("brick"))
+    candles.join(broadcast(bricks), "user_id")
+      .select(col("user_id"), col("bucket"), col("close"), col("brick"))
+      .as[RenkoInRow]
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[RenkoInRow]) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val first = rows.next()
+          val b = first.brick
+          var anchor = first.close
+          var no = 0L
+          val buf = scala.collection.mutable.ArrayBuffer.empty[RenkoRow]
+          if (b > 0) rows.foreach { r =>
+            val up = if (r.close > anchor)
+              math.floor((r.close - anchor) / b).toLong else 0L
+            val dn = if (r.close < anchor)
+              math.floor((anchor - r.close) / b).toLong else 0L
+            if (up >= 1) {
+              var k = 1L
+              while (k <= up) {
+                no += 1
+                buf += RenkoRow(uid, r.bucket, no,
+                  r6d(anchor + (k - 1) * b), r6d(anchor + k * b), "up")
+                k += 1
+              }
+              anchor = anchor + up * b
+            } else if (dn >= 1) {
+              var k = 1L
+              while (k <= dn) {
+                no += 1
+                buf += RenkoRow(uid, r.bucket, no,
+                  r6d(anchor - (k - 1) * b), r6d(anchor - k * b), "down")
+                k += 1
+              }
+              anchor = anchor - dn * b
+            }
+          }
+          buf.iterator
+        }
+      }
+      .toDF()
+  }
+
+  /** Renko oracle: anchor state in lockstep; each step records how many
+    * bricks it emitted and its pre-step anchor, and the final select
+    * expands them with generate_series on the same anchor lattice. */
+  val w41RenkoSql: String =
+    s"""$recursiveCandles,
+       |rc AS (SELECT user_id, bucket, close,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+       |       FROM candles),
+       |rb AS (SELECT user_id, (max(high) - min(low)) / 16 AS brick
+       |       FROM candles GROUP BY user_id),
+       |rp(user_id, rn, bucket, brick, anchor, prev_anchor, n_up, n_dn, tot) AS (
+       |  SELECT c.user_id, c.rn, c.bucket, b.brick, c.close, c.close,
+       |         0::BIGINT, 0::BIGINT, 0::BIGINT
+       |  FROM rc c JOIN rb b ON b.user_id = c.user_id WHERE c.rn = 1
+       |  UNION ALL
+       |  SELECT c.user_id, c.rn, c.bucket, p.brick,
+       |    CASE WHEN p.brick > 0 AND c.close > p.anchor
+       |           THEN p.anchor + CAST(floor((c.close - p.anchor) / p.brick) AS BIGINT) * p.brick
+       |         WHEN p.brick > 0 AND c.close < p.anchor
+       |           THEN p.anchor - CAST(floor((p.anchor - c.close) / p.brick) AS BIGINT) * p.brick
+       |         ELSE p.anchor END,
+       |    p.anchor,
+       |    CASE WHEN p.brick > 0 AND c.close > p.anchor
+       |         THEN CAST(floor((c.close - p.anchor) / p.brick) AS BIGINT) ELSE 0 END,
+       |    CASE WHEN p.brick > 0 AND c.close < p.anchor
+       |         THEN CAST(floor((p.anchor - c.close) / p.brick) AS BIGINT) ELSE 0 END,
+       |    p.tot
+       |      + CASE WHEN p.brick > 0 AND c.close > p.anchor
+       |             THEN CAST(floor((c.close - p.anchor) / p.brick) AS BIGINT) ELSE 0 END
+       |      + CASE WHEN p.brick > 0 AND c.close < p.anchor
+       |             THEN CAST(floor((p.anchor - c.close) / p.brick) AS BIGINT) ELSE 0 END
+       |  FROM rp p JOIN rc c ON c.user_id = p.user_id AND c.rn = p.rn + 1
+       |)
+       |SELECT p.user_id, p.bucket,
+       |       p.tot - p.n_up - p.n_dn + g.k AS brick_no,
+       |       floor((CASE WHEN p.n_up >= 1 THEN p.prev_anchor + (g.k - 1) * p.brick
+       |                   ELSE p.prev_anchor - (g.k - 1) * p.brick END) * 1e6 + 0.5) / 1e6
+       |         AS brick_open,
+       |       floor((CASE WHEN p.n_up >= 1 THEN p.prev_anchor + g.k * p.brick
+       |                   ELSE p.prev_anchor - g.k * p.brick END) * 1e6 + 0.5) / 1e6
+       |         AS brick_close,
+       |       CASE WHEN p.n_up >= 1 THEN 'up' ELSE 'down' END AS direction
+       |FROM rp p, unnest(generate_series(1, p.n_up + p.n_dn)) AS g(k)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w41_zigzag" -> (w41Zigzag _),
+    "w41_renko"  -> (w41Renko _))
+
+  def oracles: Map[String, String] = Map(
+    "w41_zigzag" -> w41ZigzagSql,
+    "w41_renko"  -> w41RenkoSql)
+}

@@ -17,6 +17,7 @@ class SparkEntrySpec extends SparkSpec {
     "Pipeline"        -> operators.Pipeline.queries,
     "Sessions"        -> operators.Sessions.queries,
     "Stateful"        -> analysis.Stateful.queries,
+    "ZigzagRenko"     -> analysis.ZigzagRenko.queries,
     "Dedup"           -> scale.Dedup.queries,
     "Similarity"      -> scale.Similarity.queries,
     "TextAnalysis"    -> scale.TextAnalysis.queries,
