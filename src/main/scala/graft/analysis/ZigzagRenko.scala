@@ -37,11 +37,60 @@ case class RenkoRow(user_id: Long, bucket: java.sql.Timestamp,
   * brick boundaries live on the anchor lattice, never on raw prices. */
 object ZigzagRenko {
 
-  private val Thr = 0.1 // ZigZag reversal fraction
+  private[graft] val Thr = 0.1 // ZigZag reversal fraction
 
   private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   // ---------------------------------------------------------------- zigzag
+  /** ZigZag state: direction (0 = anchor phase), running extreme
+    * (value + bucket millis), previous confirmed pivot. Shared verbatim
+    * by the batch fold and [[graft.streaming.Channels.zigzagStream]] so
+    * the two cannot drift — the equivalence spec then only has to check
+    * the plumbing, not the arithmetic. */
+  private[graft] final case class ZzCore(d: Int, extV: Double, extBMs: Long,
+      prevPiv: Double, hasPrev: Boolean)
+
+  private[graft] def zzInit(close: Double, bMs: Long): ZzCore =
+    ZzCore(0, close, bMs, 0.0, hasPrev = false)
+
+  /** One pivot emission: (bucket ms, rounded price, type, swing). */
+  private[graft] type ZzPivot = (Long, Double, String, Option[Double])
+
+  private def pivotOf(st: ZzCore, tp: String): ZzPivot = {
+    val swing = if (st.hasPrev && st.prevPiv != 0.0)
+      Some(r6d((st.extV - st.prevPiv) / st.prevPiv)) else None
+    (st.extBMs, r6d(st.extV), tp, swing)
+  }
+
+  /** One transition of the ZigZag machine for `close` at `bMs`. */
+  private[graft] def zzStep(st: ZzCore, close: Double, bMs: Long):
+      (ZzCore, Option[ZzPivot]) = {
+    def confirm(tp: String, nd: Int): (ZzCore, Option[ZzPivot]) =
+      (ZzCore(nd, close, bMs, st.extV, hasPrev = true), Some(pivotOf(st, tp)))
+    if (st.d == 0) {
+      // anchor phase: the first close is a FIXED anchor; the first ±10%
+      // move both sets the direction and confirms the anchor as the
+      // opposite-type pivot
+      if (close >= st.extV * (1 + Thr)) confirm("low", 1)
+      else if (close <= st.extV * (1 - Thr)) confirm("high", -1)
+      else (st, None)
+    } else if (st.d == 1) {
+      if (close > st.extV) (st.copy(extV = close, extBMs = bMs), None)
+      else if (close <= st.extV * (1 - Thr)) confirm("high", -1)
+      else (st, None)
+    } else {
+      if (close < st.extV) (st.copy(extV = close, extBMs = bMs), None)
+      else if (close >= st.extV * (1 + Thr)) confirm("low", 1)
+      else (st, None)
+    }
+  }
+
+  /** Series-end provisional pivot (charting convention; the streaming
+    * channel cannot emit it — append mode admits no retraction). */
+  private[graft] def zzFinish(st: ZzCore): Option[ZzPivot] =
+    if (st.d == 0) None
+    else Some(pivotOf(st, if (st.d == 1) "high" else "low"))
+
   def w41Zigzag(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Stateful.candleDs(spark, dir)
@@ -50,34 +99,18 @@ object ZigzagRenko {
         if (!rows.hasNext) Iterator.empty
         else {
           val first = rows.next()
-          var d = 0 // 0 = direction not yet established (anchor phase)
-          var extV = first.close
-          var extB = first.bucket
-          var prevPivot = Option.empty[Double]
+          var core = zzInit(first.close, first.bucket.getTime)
           val buf = scala.collection.mutable.ArrayBuffer.empty[ZigzagRow]
-          def emit(tp: String): Unit = {
-            val swing = prevPivot.filter(_ != 0.0)
-              .map(pp => r6d((extV - pp) / pp))
-            buf += ZigzagRow(uid, extB, r6d(extV), tp, swing)
-            prevPivot = Some(extV)
+          def add(p: ZzPivot): Unit = p match {
+            case (ms, v, tp, sw) =>
+              buf += ZigzagRow(uid, new java.sql.Timestamp(ms), v, tp, sw)
           }
           rows.foreach { r =>
-            val c = r.close
-            if (d == 0) {
-              // anchor phase: the first close is a FIXED anchor; the
-              // first ±10% move both sets the direction and confirms
-              // the anchor as the opposite-type pivot
-              if (c >= extV * (1 + Thr)) { emit("low"); d = 1; extV = c; extB = r.bucket }
-              else if (c <= extV * (1 - Thr)) { emit("high"); d = -1; extV = c; extB = r.bucket }
-            } else if (d == 1) {
-              if (c > extV) { extV = c; extB = r.bucket }
-              else if (c <= extV * (1 - Thr)) { emit("high"); d = -1; extV = c; extB = r.bucket }
-            } else {
-              if (c < extV) { extV = c; extB = r.bucket }
-              else if (c >= extV * (1 + Thr)) { emit("low"); d = 1; extV = c; extB = r.bucket }
-            }
+            val (nc, piv) = zzStep(core, r.close, r.bucket.getTime)
+            core = nc
+            piv.foreach(add)
           }
-          if (d != 0) emit(if (d == 1) "high" else "low") // provisional
+          zzFinish(core).foreach(add)
           buf.iterator
         }
       }

@@ -232,7 +232,11 @@ object GraphOps {
       // half-round 2: pointer doubling — label := label(label). Every
       // label value is itself a node id present in `prop` (mins over
       // node ids), and prop guarantees label(x) ≤ x, so the shortcut is
-      // non-increasing and stays inside the component.
+      // non-increasing and stays inside the component. (Measured: NOT
+      // checkpointing prop and relying on ReuseExchange recomputes the
+      // final aggregate in both join branches and is no faster — the
+      // per-round floor is shuffle count, which is the honest cost of a
+      // to-fixpoint graph loop.)
       val updated = prop
         .join(prop.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")

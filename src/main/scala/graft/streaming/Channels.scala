@@ -40,6 +40,16 @@ case class HaStreamRow(symbol: String, bucket: java.sql.Timestamp,
     ha_open: Double, ha_high: Double, ha_low: Double, ha_close: Double,
     is_bull: Boolean)
 
+/** ZigZag per-symbol streaming state: the shared batch core
+  * ([[graft.analysis.ZigzagRenko.ZzCore]] fields, flattened for a plain
+  * product encoder) plus the last folded bucket for late-row drops. */
+case class ZzStreamState(d: Int, extV: Double, extBMs: Long,
+    prevPiv: Double, hasPrev: Boolean, lastMs: Long, seeded: Boolean)
+
+/** One CONFIRMED ZigZag pivot emitted by the streaming channel. */
+case class ZigzagAlert(symbol: String, bucket: java.sql.Timestamp,
+    price: Double, pivot_type: String, swing_pct: Option[Double])
+
 /** Structured Streaming channels — SURVEY §2.10.
   *
   * The reference streams 8 processing-time asyncio channels over
@@ -279,6 +289,49 @@ object Channels {
                 haC, haC > haO)
             }
           if (seeded) state.update(HaState(pO, pC, lastMs))
+          out.iterator
+      }
+  }
+
+  /** ZigZag pivot alerts over a candle stream — the streaming form of
+    * the batch [[graft.analysis.ZigzagRenko.w41Zigzag]] fold, driving
+    * the SAME transition function (`ZigzagRenko.zzStep`) so the two
+    * implementations cannot drift; the equivalence spec checks the
+    * plumbing (state carry across micro-batches, late-row drops).
+    * Only CONFIRMED pivots are emitted: the batch query's series-end
+    * provisional pivot is a retractable row, and append mode admits no
+    * retraction — a downstream consumer reads the live extreme from its
+    * own last candle instead. Late candles (at or behind the last
+    * folded bucket) are dropped, same contract as
+    * [[heikinAshiStream]]. State: 5 scalars + 2 longs per symbol. */
+  def zigzagStream(spark: SparkSession,
+      candles: Dataset[StreamCandle]): Dataset[ZigzagAlert] = {
+    import spark.implicits._
+    import graft.analysis.ZigzagRenko
+    candles.groupByKey(_.symbol)
+      .flatMapGroupsWithState[ZzStreamState, ZigzagAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[StreamCandle], state: GroupState[ZzStreamState]) =>
+          var st = state.getOption.getOrElse(
+            ZzStreamState(0, 0.0, 0L, 0.0, hasPrev = false, Long.MinValue, seeded = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ZigzagAlert]
+          rows.toSeq.sortBy(_.bucket.getTime)
+            .filter(c => c.bucket.getTime > st.lastMs)
+            .foreach { c =>
+              val ms = c.bucket.getTime
+              if (!st.seeded)
+                st = ZzStreamState(0, c.close, ms, 0.0, hasPrev = false, ms, seeded = true)
+              else {
+                val core = ZigzagRenko.ZzCore(st.d, st.extV, st.extBMs, st.prevPiv, st.hasPrev)
+                val (nc, piv) = ZigzagRenko.zzStep(core, c.close, ms)
+                piv.foreach { case (pms, v, tp, sw) =>
+                  out += ZigzagAlert(symbol, new java.sql.Timestamp(pms), v, tp, sw)
+                }
+                st = ZzStreamState(nc.d, nc.extV, nc.extBMs, nc.prevPiv, nc.hasPrev,
+                  ms, seeded = true)
+              }
+            }
+          if (st.seeded) state.update(st)
           out.iterator
       }
   }

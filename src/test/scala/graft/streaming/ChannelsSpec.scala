@@ -339,6 +339,38 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ZigZag reproduces the batch fold's confirmed pivots across a micro-batch boundary") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val candles = graft.Tables.candles(spark, sfDir)
+      .select(col("bucket"), col("user_id").cast("string").as("symbol"),
+        col("open"), col("high"), col("low"), col("close"))
+      .as[StreamCandle].collect().sortBy(c => (c.symbol, c.bucket.getTime))
+    val (b1, b2) = candles.splitAt(candles.length / 2)
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.zigzagStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("zz_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("zz_equiv")
+        .select(col("symbol").cast("long").as("user_id"), col("bucket"),
+          col("price"), col("pivot_type"), col("swing_pct"))
+      // batch minus each user's final pivot (the provisional one the
+      // append-mode channel deliberately never emits)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket").desc)
+      val confirmed = graft.analysis.ZigzagRenko.w41Zigzag(spark, sfDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") > 1).drop("rn")
+      assert(streamed.count() > 0, "fixture must confirm pivots")
+      assert(streamed.count() == confirmed.count())
+      assert(streamed.exceptAll(confirmed).count() == 0 &&
+        confirmed.exceptAll(streamed).count() == 0,
+        "stream/batch confirmed ZigZag pivots differ")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: each high-impact event collects exactly the ticks in its 2-minute window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
