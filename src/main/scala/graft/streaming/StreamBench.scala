@@ -78,7 +78,13 @@ object StreamBench {
         Channels.patternAlertStream(spark, tickCandles).toDF())),
       "microstructure"     -> (() => counting("microstructure", Channels.microstructureStream(ticks))),
       "economic_events"    -> (() => counting("economic_events",
-        Channels.economicEventsStream(spark, rate))))
+        Channels.economicEventsStream(spark, rate))),
+      // beyond-reference stateful channels, measured at tick rate like
+      // pattern_alerts (both fold per-symbol state over every candle)
+      "heikin_ashi"        -> (() => counting("heikin_ashi",
+        Channels.heikinAshiStream(spark, tickCandles).toDF())),
+      "zigzag_alerts"      -> (() => counting("zigzag_alerts",
+        Channels.zigzagStream(spark, tickCandles).toDF())))
 
     val stats = runs.map { case (name, start) =>
       val s = measure(start(), seconds)
