@@ -314,11 +314,70 @@ object GraphOps {
        |SELECT c.doc_id, c.cluster_id, CAST(n.rn % 26 AS INT) AS chain_pos
        |FROM cc c JOIN nodes n ON n.doc_id = c.doc_id""".stripMargin
 
+  /** Triangle counts + local clustering coefficient over the near-dup
+    * pair graph — the cohesion signal that separates CLIQUE-shaped dup
+    * families (true near-dup sets: coefficient → 1) from CHAIN-shaped
+    * template drift (coefficient → 0), i.e. a cheap detector for
+    * exactly the deep-diameter pathology the component loop now guards
+    * against. Edge-iterator shape: canonical a<b edges self-join twice,
+    * so each triangle {a<b<c} is found exactly once as
+    * (a,b)⋈(b,c)⋈(a,c) — the standard distributed triangle count; the
+    * canonical orientation plays the role of the degree-ordering trick
+    * (each triangle materializes once, not six times), and all three
+    * legs are equi-joins on edge keys, never corpus². */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** The triangle kernel over canonical (a < b) edges — factored so the
+    * spec can drive it with known clique/chain fixtures. */
+  private[graft] def trianglesOf(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          floor(lit(2.0) * coalesce(col("triangles"), lit(0L))
+            / (col("deg") * (col("deg") - 1)) * 1e6 + 0.5) / 1e6)
+          .as("clustering_coeff"))
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH pairs AS (
+       |${Dedup.minhashLshPairsSql}
+       |),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |deg AS (
+       |  SELECT id, count(*) AS deg
+       |  FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+       |  GROUP BY id),
+       |tris AS (
+       |  SELECT t.id, count(*) AS triangles FROM (
+       |    SELECT unnest([e1.a, e1.b, e2.b]) AS id
+       |    FROM e e1
+       |    JOIN e e2 ON e2.a = e1.b
+       |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |  ) t GROUP BY t.id)
+       |SELECT d.id AS doc_id, d.deg AS deg,
+       |       coalesce(t.triangles, 0) AS triangles,
+       |       CASE WHEN d.deg >= 2 THEN
+       |         floor(2.0 * coalesce(t.triangles, 0)
+       |               / (d.deg * (d.deg - 1)) * 1e6 + 0.5) / 1e6 END AS clustering_coeff
+       |FROM deg d LEFT JOIN tris t ON t.id = d.id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"   -> (graphPagerank _),
-    "graph_deep_chain" -> (graphDeepChain _))
+    "graph_deep_chain" -> (graphDeepChain _),
+    "graph_triangles"  -> (graphTriangles _))
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank"   -> graphPagerankSql,
-    "graph_deep_chain" -> graphDeepChainSql)
+    "graph_deep_chain" -> graphDeepChainSql,
+    "graph_triangles"  -> graphTrianglesSql)
 }

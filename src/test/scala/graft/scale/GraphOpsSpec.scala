@@ -55,6 +55,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows(100000).sameElements(rows(0)))
   }
 
+  test("triangle kernel separates cliques (coeff 1) from chains (coeff 0)") {
+    import spark.implicits._
+    // K4 on 1..4 (every node: deg 3, 3 triangles, coeff 1.0) plus a
+    // 4-chain 10-11-12-13 (no triangles; inner nodes deg 2 coeff 0.0)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val out = GraphOps.trianglesOf((k4 ++ chain).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    for (i <- 1L to 4L)
+      assert(out(i) == ((3L, 3L, Some(1.0))), s"K4 node $i: ${out(i)}")
+    assert(out(11L) == ((2L, 0L, Some(0.0))) && out(12L) == ((2L, 0L, Some(0.0))))
+    assert(out(10L)._3.isEmpty && out(13L)._3.isEmpty, "deg-1 nodes: undefined coeff")
+  }
+
   test("graph_deep_chain co-labels whole chains of 26 with the chain-min id") {
     val out = GraphOps.graphDeepChain(spark, sfDir).cache()
     val n = out.count()
