@@ -2,6 +2,7 @@ package graft.scale
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -548,7 +549,73 @@ object TextAnalysis {
        |  substr(trim(m.t), 1, 80) AS head
        |FROM m4 m JOIN tok0 t0 USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- zipf
+  /** Zipf profile per language — the corpus-naturalness census: natural
+    * text follows freq ∝ rank^s with s ≈ −1, and machine-generated /
+    * keyword-stuffed text bends the log-log head away from it, so the
+    * fitted head slope plus the hapax ratio (singleton-vocab share) is
+    * a cheap per-slice quality gate over the whole corpus.
+    *
+    * Scale shape: one token-count aggregate (map-side combine absorbs
+    * heavy tokens), then everything downstream runs on the VOCAB-sized
+    * frame — the per-lang rank window and the 200-term OLS never touch
+    * corpus-sized data. Slope is closed-form least squares of ln(freq)
+    * on ln(rank) over the head (top 200 ranks — the standard fit range;
+    * the tail's count quantization flattens it). */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.groupBy(col("lang")).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rank") <= 200)
+      .select(col("lang"), log(col("rank")).as("x"), log(col("cnt")).as("y"))
+    val fit = ranked.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("lang"),
+        when(col("n") >= 2,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("zipf_slope"))
+    stats.join(fit, "lang")
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        round(col("hapax").cast("double") / col("vocab"), 6).as("hapax_ratio"),
+        col("zipf_slope"))
+  }
+
+  val textZipfSql: String =
+    s"""WITH ztoks AS (
+       |  SELECT lang, unnest(${Dedup.tokensSql}) AS tok FROM documents),
+       |zcounts AS (SELECT lang, tok, count(*) AS cnt FROM ztoks GROUP BY 1, 2),
+       |zstats AS (
+       |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |         count(*) AS vocab,
+       |         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+       |  FROM zcounts GROUP BY lang),
+       |zranked AS (
+       |  SELECT lang, ln(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok)) AS x,
+       |         ln(cnt) AS y,
+       |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+       |  FROM zcounts QUALIFY rank <= 200),
+       |zfit AS (
+       |  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * x) AS sxx, sum(x * y) AS sxy
+       |  FROM zranked GROUP BY lang)
+       |SELECT s.lang, s.n_tokens, s.vocab,
+       |       round(s.hapax * 1.0 / s.vocab, 6) + 0 AS hapax_ratio,
+       |       CASE WHEN f.n >= 2 THEN
+       |         round((f.n * f.sxy - f.sx * f.sy)
+       |               / (f.n * f.sxx - f.sx * f.sx), 6) + 0 END AS zipf_slope
+       |FROM zstats s JOIN zfit f ON f.lang = s.lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf"        -> (textZipf _),
     "text_pii_scrub"   -> (piiScrub _),
     "text_bpe_merges"  -> (bpeMerges _),
     "text_bpe_encode"  -> (bpeEncode _),
@@ -562,6 +629,7 @@ object TextAnalysis {
     "text_quality_adaptive" -> (qualityAdaptive _))
 
   def oracles: Map[String, String] = Map(
+    "text_zipf"        -> textZipfSql,
     "text_pii_scrub"   -> piiScrubSql,
     "text_bpe_merges"  -> bpeMergesSql,
     "text_bpe_encode"  -> bpeEncodeSql,
