@@ -371,13 +371,93 @@ object GraphOps {
        |               / (d.deg * (d.deg - 1)) * 1e6 + 0.5) / 1e6 END AS clustering_coeff
        |FROM deg d LEFT JOIN tris t ON t.id = d.id""".stripMargin
 
+  /** 2-core of the near-dup graph — iterative degree peel: drop nodes
+    * with degree < 2 until stable. Survivors are the nodes embedded in
+    * CYCLES of the dup graph (every triangle-bearing family core);
+    * peeled nodes are pendant/chain attachments — together with
+    * [[graphTriangles]] this is the standard pair of structure censuses
+    * a curation pipeline runs on its duplication graph. Always the
+    * distributed loop (like [[graphDeepChain]], it doubles as a
+    * liveness probe for the iterative machinery): per round one degree
+    * aggregate + two semi-joins over the shrinking edge set, edge count
+    * is strictly decreasing until fixpoint, and — same contract as
+    * [[connectedComponents]] — hitting the round cap without
+    * convergence THROWS rather than returning a not-yet-peeled
+    * overset. Peel depth is bounded by the longest pendant chain;
+    * O(diameter) rounds worst case, 2–4 in practice on clique-ish
+    * near-dup graphs. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")), k = 2, maxRounds = 30)
+
+  private[graft] def kcoreOf(pairs: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val parts = graphParts(0L) // near-dup edge sets: floor parallelism
+    var sym = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .coalesce(parts).localCheckpoint()
+    var n = sym.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val keep = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a"))
+      val next = sym
+        .join(keep, "a", "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+        .select(col("a"), col("b"))
+        .coalesce(parts).localCheckpoint()
+      val m = next.count()
+      sym.unpersist()
+      converged = m == n
+      n = m
+      sym = next
+      rounds += 1
+    }
+    if (!converged) {
+      sym.unpersist()
+      throw new IllegalStateException(
+        s"kcoreOf: peel not stable after $maxRounds rounds — refusing to return an overset")
+    }
+    sym.groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
+      .select(col("a").as("doc_id"), col("core_deg"))
+  }
+
+  /** Oracle: the same peel as a recursive CTE — DuckDB permits the
+    * aggregate + double self-reference in the recursive member, so each
+    * iteration re-emits the surviving edges and the fixpoint is read at
+    * the iteration cap (a stable set re-emits itself every round, so
+    * the cap level IS the fixpoint; a fixture needing more rounds than
+    * the cap diverges from Spark's thrown error — loud either way). */
+  val graphKcoreSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${Dedup.minhashLshPairsSql}
+       |),
+       |ksym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |peel(iter, a, b) AS (
+       |  SELECT 0, a, b FROM ksym
+       |  UNION ALL
+       |  SELECT p.iter + 1, p.a, p.b
+       |  FROM peel p
+       |  JOIN (SELECT iter, a, count(*) AS deg FROM peel GROUP BY iter, a) da
+       |    ON da.iter = p.iter AND da.a = p.a
+       |  JOIN (SELECT iter, a AS b, count(*) AS deg FROM peel GROUP BY iter, a) db
+       |    ON db.iter = p.iter AND db.b = p.b
+       |  WHERE da.deg >= 2 AND db.deg >= 2 AND p.iter < 30)
+       |SELECT a AS doc_id, count(*) AS core_deg
+       |FROM peel WHERE iter = 30 GROUP BY a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"   -> (graphPagerank _),
     "graph_deep_chain" -> (graphDeepChain _),
-    "graph_triangles"  -> (graphTriangles _))
+    "graph_triangles"  -> (graphTriangles _),
+    "graph_kcore"      -> (graphKcore _))
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank"   -> graphPagerankSql,
     "graph_deep_chain" -> graphDeepChainSql,
-    "graph_triangles"  -> graphTrianglesSql)
+    "graph_triangles"  -> graphTrianglesSql,
+    "graph_kcore"      -> graphKcoreSql)
 }

@@ -71,6 +71,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(10L)._3.isEmpty && out(13L)._3.isEmpty, "deg-1 nodes: undefined coeff")
   }
 
+  test("2-core peel strips pendant chains and keeps exactly the cycle nodes") {
+    import spark.implicits._
+    // K3 on 1-2-3 with a pendant chain 3-4-5-6, plus an isolated pair 8-9:
+    // the peel must iterate 3 times (6, then 5, then 4 drop) and keep {1,2,3}
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (8L, 9L)).toDF("a", "b")
+    val out = GraphOps.kcoreOf(pairs, k = 2, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"2-core wrong: $out")
+    // non-convergence guard: a chain of depth > cap throws instead of
+    // returning a partially peeled overset
+    val chain = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      GraphOps.kcoreOf(chain, k = 2, maxRounds = 3).collect()
+    }
+  }
+
   test("graph_deep_chain co-labels whole chains of 26 with the chain-min id") {
     val out = GraphOps.graphDeepChain(spark, sfDir).cache()
     val n = out.count()
