@@ -36,8 +36,18 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(table: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+    /** Replicates `table` with `shift`; `keyCap` guards the replica
+      * offsets — they are constants sized to the sf0.1 key ranges, and
+      * a larger source (sf1, or chaining GenScale output) would make
+      * replica key ranges OVERLAP, silently merging distinct rows.
+      * Fail loudly instead. */
+    def replicate(table: String, keyCol: String, keyCap: Long)
+                 (shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
+      val maxKey = base.agg(max(col(keyCol))).head().getLong(0)
+      require(maxKey < keyCap,
+        s"$table: max $keyCol = $maxKey exceeds the replica offset $keyCap — " +
+          "scale the original sf data, not GenScale output")
       val scaled = (0 until factor).map(k => shift(base, k)).reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[genscale] $table: ${base.count()} -> ${scaled.count()}")
@@ -49,34 +59,34 @@ object GenScale {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[genscale] $t: copied")
     }
-    replicate("customer")((df, k) =>
+    replicate("customer", "c_custkey", 15000L)((df, k) =>
       df.withColumn("c_custkey", col("c_custkey") + k * 15000L))
-    replicate("supplier")((df, k) =>
+    replicate("supplier", "s_suppkey", 1000L)((df, k) =>
       df.withColumn("s_suppkey", col("s_suppkey") + k * 1000L))
     // part names get a replica-tagged noun (the ER block key is
     // (noun, type, size_bucket)): a verbatim clone would grow every ER
     // block 10× → 100× candidate pairs — a quadratic clone-family
     // workload, not 10× data (measured: er_clusters 14.9 s vs the
     // ~linear 1.5 s after this perturbation)
-    replicate("part")((df, k) =>
+    replicate("part", "p_partkey", 20000L)((df, k) =>
       if (k == 0) df
       else df.withColumn("p_partkey", col("p_partkey") + k * 20000L)
         .withColumn("p_name", regexp_replace(col("p_name"), " ", s" r$k")))
-    replicate("orders")((df, k) =>
+    replicate("orders", "o_orderkey", 150000L)((df, k) =>
       df.withColumn("o_orderkey", col("o_orderkey") + k * 150000L)
         .withColumn("o_custkey", col("o_custkey") + k * 15000L))
-    replicate("lineitem")((df, k) =>
+    replicate("lineitem", "l_orderkey", 150000L)((df, k) =>
       df.withColumn("l_orderkey", col("l_orderkey") + k * 150000L)
         .withColumn("l_partkey", col("l_partkey") + k * 20000L)
         .withColumn("l_suppkey", col("l_suppkey") + k * 1000L))
     // events: new user population per replica, identical per-user series
     // (window operators scale by key count, the production shape)
-    replicate("events")((df, k) =>
+    replicate("events", "user_id", 1500L)((df, k) =>
       df.withColumn("event_id", col("event_id") + k * 10000000L)
         .withColumn("user_id", col("user_id") + k * 1500L))
     // documents: replica-tagged vocabulary (see scaladoc); n_chars tracks
     // the rewritten text (the fixture invariant n_chars = length(text))
-    replicate("documents") { (df, k) =>
+    replicate("documents", "doc_id", 970000L) { (df, k) =>
       if (k == 0) df
       else {
         val tagged = concat(lit(s"r$k"),
@@ -86,8 +96,12 @@ object GenScale {
           .withColumn("n_chars", length(tagged).cast("long"))
       }
     }
-    // embeddings: rotate by k dims per replica (within-replica isometry)
-    replicate("embeddings") { (df, k) =>
+    // embeddings: rotate by k dims per replica (within-replica isometry);
+    // the slice bounds assume the 64-dim fixture layout
+    require(spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0) == 64,
+      "embedding rotation assumes 64 dims")
+    replicate("embeddings", "vec_id", 2000000L) { (df, k) =>
       if (k == 0) df
       else df.withColumn("vec_id", col("vec_id") + k * 2000000L)
         .withColumn("embedding",

@@ -279,10 +279,15 @@ object GraphOps {
     * harness scaffolding (node table is corpus-distinct, not 100 TB);
     * the operator under test is [[connectedComponents]]. */
   def graphDeepChain(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint, not cache(): read twice (chain build + label
+    // join-back), and checkpoint blocks are reclaimed by the context
+    // cleaner once the result is dropped — a cache() entry lives in the
+    // CacheManager registry until explicitly uncached, leaking one copy
+    // per bench invocation
     val nodes = Tables.documents(spark, dir)
       .select(col("doc_id"))
       .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1)
-      .cache() // read twice: chain build + label join-back
+      .localCheckpoint()
     val chain = nodes.as("x").join(nodes.as("y"),
         col("y.rn") === col("x.rn") + 1 && col("x.rn") % 26 =!= 25)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -418,8 +423,14 @@ object GraphOps {
       throw new IllegalStateException(
         s"kcoreOf: peel not stable after $maxRounds rounds — refusing to return an overset")
     }
-    sym.groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
+    // materialize the (tiny) core census, then release the peel state
+    // rather than leaving the last iteration's blocks pinned behind the
+    // returned lazy plan
+    val core = sym.groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
       .select(col("a").as("doc_id"), col("core_deg"))
+      .localCheckpoint()
+    sym.unpersist()
+    core
   }
 
   /** Oracle: the same peel as a recursive CTE — DuckDB permits the

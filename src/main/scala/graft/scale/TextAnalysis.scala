@@ -575,17 +575,21 @@ object TextAnalysis {
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))))
       .filter(col("rank") <= 200)
       .select(col("lang"), log(col("rank")).as("x"), log(col("cnt")).as("y"))
+    // floor(x*1e6+0.5)/1e6, not round(): hapax/vocab is a small-integer
+    // ratio that can land exactly on a .5 at the 6th decimal, the
+    // HALF_UP/half-to-even divergence class (see w38/w39)
+    def r6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
     val fit = ranked.groupBy(col("lang")).agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
       .select(col("lang"),
         when(col("n") >= 2,
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
-            / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+          r6((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))))
           .as("zipf_slope"))
     stats.join(fit, "lang")
       .select(col("lang"), col("n_tokens"), col("vocab"),
-        round(col("hapax").cast("double") / col("vocab"), 6).as("hapax_ratio"),
+        r6(col("hapax").cast("double") / col("vocab")).as("hapax_ratio"),
         col("zipf_slope"))
   }
 
@@ -608,10 +612,10 @@ object TextAnalysis {
        |         sum(x * x) AS sxx, sum(x * y) AS sxy
        |  FROM zranked GROUP BY lang)
        |SELECT s.lang, s.n_tokens, s.vocab,
-       |       round(s.hapax * 1.0 / s.vocab, 6) + 0 AS hapax_ratio,
+       |       floor(s.hapax * 1.0 / s.vocab * 1e6 + 0.5) / 1e6 AS hapax_ratio,
        |       CASE WHEN f.n >= 2 THEN
-       |         round((f.n * f.sxy - f.sx * f.sy)
-       |               / (f.n * f.sxx - f.sx * f.sx), 6) + 0 END AS zipf_slope
+       |         floor((f.n * f.sxy - f.sx * f.sy)
+       |               / (f.n * f.sxx - f.sx * f.sx) * 1e6 + 0.5) / 1e6 END AS zipf_slope
        |FROM zstats s JOIN zfit f ON f.lang = s.lang""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

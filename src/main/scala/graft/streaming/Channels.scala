@@ -276,17 +276,23 @@ object Channels {
           var pO = if (seeded) state.get.prevOpen else 0.0
           var pC = if (seeded) state.get.prevClose else 0.0
           var lastMs = if (seeded) state.get.lastBucketMs else Long.MinValue
+          // the stale-row guard reads the LIVE lastMs inside the fold —
+          // a strict pre-filter would evaluate against the pre-batch
+          // state and let an at-least-once source's duplicate WITHIN
+          // one micro-batch fold twice
           val out = rows.toSeq.sortBy(_.bucket.getTime)
-            .filter(c => c.bucket.getTime > lastMs) // late duplicates/stragglers
-            .map { c =>
-              val haC = (c.open + c.high + c.low + c.close) / 4
-              val haO = if (!seeded) { seeded = true; (c.open + c.close) / 2 }
-                        else (pO + pC) / 2
-              pO = haO; pC = haC; lastMs = c.bucket.getTime
-              HaStreamRow(symbol, c.bucket, haO,
-                math.max(c.high, math.max(haO, haC)),
-                math.min(c.low, math.min(haO, haC)),
-                haC, haC > haO)
+            .flatMap { c =>
+              if (c.bucket.getTime <= lastMs) None // late duplicate/straggler
+              else {
+                val haC = (c.open + c.high + c.low + c.close) / 4
+                val haO = if (!seeded) { seeded = true; (c.open + c.close) / 2 }
+                          else (pO + pC) / 2
+                pO = haO; pC = haC; lastMs = c.bucket.getTime
+                Some(HaStreamRow(symbol, c.bucket, haO,
+                  math.max(c.high, math.max(haO, haC)),
+                  math.min(c.low, math.min(haO, haC)),
+                  haC, haC > haO))
+              }
             }
           if (seeded) state.update(HaState(pO, pC, lastMs))
           out.iterator
@@ -315,11 +321,13 @@ object Channels {
           var st = state.getOption.getOrElse(
             ZzStreamState(0, 0.0, 0L, 0.0, hasPrev = false, Long.MinValue, seeded = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[ZigzagAlert]
+          // live-state stale guard, same reasoning as heikinAshiStream:
+          // a strict pre-filter misses duplicates within one micro-batch
           rows.toSeq.sortBy(_.bucket.getTime)
-            .filter(c => c.bucket.getTime > st.lastMs)
             .foreach { c =>
               val ms = c.bucket.getTime
-              if (!st.seeded)
+              if (ms <= st.lastMs) () // late duplicate/straggler
+              else if (!st.seeded)
                 st = ZzStreamState(0, c.close, ms, 0.0, hasPrev = false, ms, seeded = true)
               else {
                 val core = ZigzagRenko.ZzCore(st.d, st.extV, st.extBMs, st.prevPiv, st.hasPrev)

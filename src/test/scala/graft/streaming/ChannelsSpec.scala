@@ -320,9 +320,11 @@ class ChannelsSpec extends SparkSpec {
     try {
       mem.addData(c(1, 10), c(2, 11), c(3, 12)); q.processAllAvailable()
       // batch 2 delivers a STALE candle (minute 2 again, wild values)
-      // behind a fresh one — the stale row must be dropped, and minute
-      // 4's ha_open must continue from minute 3's state untouched
-      mem.addData(c(2, 99), c(4, 13)); q.processAllAvailable()
+      // behind a fresh one, AND an at-least-once duplicate of minute 4
+      // WITHIN the same batch — stale and duplicate rows must both be
+      // dropped (the guard reads live state, not a pre-batch snapshot),
+      // and minute 4 folds exactly once from minute 3's state
+      mem.addData(c(2, 99), c(4, 13), c(4, 13)); q.processAllAvailable()
       val rows = spark.table("ha_late").as[HaStreamRow].collect()
         .sortBy(_.bucket.getTime)
       assert(rows.length == 4, s"late row must be dropped: ${rows.toSeq}")
