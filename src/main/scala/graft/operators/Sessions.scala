@@ -353,6 +353,164 @@ object Sessions {
       |  round(sum(pos_credit), 6) + 0   AS position_based
       |FROM cr GROUP BY channel""".stripMargin
 
+  // ---------------------------------------------------------------- markov
+  /** MARKOV removal-effect attribution — the data-driven counterpart to
+    * [[attrTouch]]'s heuristic credits: model journeys as a first-order
+    * chain over channels with absorbing conv/null states, and credit
+    * each channel by how much the start→conv absorption probability
+    * drops when the channel is removed (its edges redirect to null),
+    * normalized across channels.
+    *
+    * Determinism design (the [[graft.scale.GraphOps]] fixed-point
+    * argument): transition mass and the 100-step value iteration run in
+    * BIGINT micro-units with integer division, so the numbers are
+    * bit-exact on any engine and any partitioning — float absorption
+    * solves are summation-order-sensitive and couldn't be hash-oracled.
+    * Scale shape: transition counts are one windowed pass + a hash
+    * aggregate over the events table (the only corpus-sized work); the
+    * chain itself is (channels+3)² counts — fit-sized — so the four
+    * value iterations run driver-side, exactly like the k-means/PCA
+    * driver tails. */
+  def attrMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val channels = Seq("view", "click", "signup")
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val after = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ev = Tables.events(spark, dir)
+      .withColumn("conv_after",
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(after))
+    val jw = Window.partitionBy(col("user_id"), col("conv_after"))
+      .orderBy(col("ts"), col("event_id"))
+    val touches = ev.filter(col("event_type").isin(channels.map(lit): _*))
+      .withColumn("pos", row_number().over(jw))
+      .withColumn("nxt", lead(col("event_type"), 1).over(jw))
+      .withColumn("dst", coalesce(col("nxt"),
+        when(col("conv_after") >= 1, lit("conv")).otherwise(lit("null"))))
+    val edgeRows = touches.filter(col("pos") === 1)
+      .select(lit("start").as("src"), col("event_type").as("dst"))
+      .unionByName(touches.select(col("event_type").as("src"), col("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // journeys with zero touches absorb straight from start: one per
+    // purchase not preceded by any touch inside its own journey
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    val nTouchedConv = touches.filter(col("conv_after") >= 1)
+      .select(col("user_id"), col("conv_after")).distinct().count()
+    val counts = if (nPurch > nTouchedConv)
+      edgeRows + (("start", "conv") ->
+        (edgeRows.getOrElse(("start", "conv"), 0L) + nPurch - nTouchedConv))
+    else edgeRows
+    // 100-step integer value iteration; removal redirects edges into the
+    // removed channel to null (they keep their slot in the denominator)
+    def absorb(removed: Option[String]): Long = {
+      val states = "start" +: channels.filterNot(removed.contains)
+      val out = states.map(s =>
+        s -> counts.collect { case ((a, _), n) if a == s => n }.sum).toMap
+      var p = states.map(_ -> 0L).toMap
+      for (_ <- 1 to 100) {
+        p = states.map { s =>
+          val num = counts.collect { case ((a, b), n) if a == s =>
+            n * (if (b == "conv") 1000000L
+                 else if (b == "null" || removed.contains(b)) 0L
+                 else p.getOrElse(b, 0L))
+          }.sum
+          s -> (if (out(s) == 0) 0L else num / out(s))
+        }.toMap
+      }
+      p("start")
+    }
+    val pFull = absorb(None)
+    val eff = channels.map { ch =>
+      val pRem = absorb(Some(ch))
+      val effU = if (pFull > 0) (pFull - pRem) * 1000000L / pFull else 0L
+      (ch, pRem, effU)
+    }
+    val effSum = eff.map(_._3).sum
+    eff.map { case (ch, pRem, effU) =>
+      val share = if (effSum > 0) effU * 1000000L / effSum else 0L
+      (ch, pFull, pRem, effU, share)
+    }.toDF("channel", "p_full_units", "p_removed_units", "effect_units", "share_units")
+      .select(col("channel"), col("p_full_units"), col("p_removed_units"),
+        col("effect_units"), col("share_units"),
+        round(col("p_full_units") / 1e6, 6).as("p_conv"),
+        round(col("effect_units") / 1e6, 6).as("removal_effect"),
+        round(col("share_units") / 1e6, 6).as("attribution_share"))
+  }
+
+  /** Oracle: the same counts, the same 100-step micro-unit iteration as
+    * one recursive CTE over (scenario, state) — the recursive member
+    * sees only the previous step's rows, which IS the value-iteration
+    * frontier (same machinery as the k-core peel oracle). */
+  val attrMarkovSql: String =
+    """WITH RECURSIVE c AS (
+      |  SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_after
+      |  FROM events),
+      |mtt AS (
+      |  SELECT user_id, conv_after, event_type AS src,
+      |    row_number() OVER mw AS pos,
+      |    lead(event_type) OVER mw AS nxt
+      |  FROM c WHERE event_type IN ('view', 'click', 'signup')
+      |  WINDOW mw AS (PARTITION BY user_id, conv_after ORDER BY ts, event_id)),
+      |base_edges AS (
+      |  SELECT 'start' AS src, src AS dst, count(*) AS cnt FROM mtt WHERE pos = 1 GROUP BY 2
+      |  UNION ALL
+      |  SELECT src, coalesce(nxt, CASE WHEN conv_after >= 1 THEN 'conv' ELSE 'null' END), count(*)
+      |  FROM mtt GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'start', 'conv',
+      |    (SELECT count(*) FROM c WHERE event_type = 'purchase')
+      |    - (SELECT count(DISTINCT (user_id, conv_after)) FROM mtt WHERE conv_after >= 1)),
+      |medges AS (
+      |  SELECT src, dst, CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM base_edges WHERE cnt > 0 GROUP BY 1, 2),
+      |mscn(scn) AS (SELECT * FROM (VALUES ('full'), ('view'), ('click'), ('signup'))),
+      |mstatics AS (
+      |  SELECT s.scn, st.state AS src,
+      |    coalesce((SELECT CAST(sum(cnt) AS BIGINT) FROM medges e WHERE e.src = st.state), 0) AS outn,
+      |    coalesce((SELECT CAST(sum(cnt) AS BIGINT) FROM medges e
+      |              WHERE e.src = st.state AND e.dst = 'conv'), 0) * 1000000 AS conv_c
+      |  FROM mscn s, (VALUES ('start'), ('view'), ('click'), ('signup')) st(state)
+      |  WHERE st.state <> s.scn),
+      |mtedges AS (
+      |  SELECT s.scn, e.src, e.dst, e.cnt
+      |  FROM mscn s JOIN medges e
+      |    ON e.dst IN ('view', 'click', 'signup')
+      |   AND e.dst <> s.scn AND e.src <> s.scn),
+      |vi(iter, scn, state, p) AS (
+      |  SELECT 0, scn, src, 0::BIGINT FROM mstatics
+      |  UNION ALL
+      |  SELECT v0.iter + 1, s.scn, s.src,
+      |    CAST((s.conv_c + coalesce(sum(te.cnt * tv.p), 0)) // greatest(s.outn, 1) AS BIGINT)
+      |  FROM mstatics s
+      |  JOIN (SELECT DISTINCT iter FROM vi) v0 ON v0.iter < 100
+      |  LEFT JOIN mtedges te ON te.scn = s.scn AND te.src = s.src
+      |  LEFT JOIN vi tv ON tv.scn = te.scn AND tv.state = te.dst
+      |  GROUP BY v0.iter, s.scn, s.src, s.conv_c, s.outn),
+      |fin AS (SELECT scn, p FROM vi WHERE iter = 100 AND state = 'start'),
+      |meff AS (
+      |  SELECT ch.c AS channel,
+      |    (SELECT p FROM fin WHERE scn = 'full') AS p_full_units,
+      |    (SELECT p FROM fin WHERE scn = ch.c) AS p_removed_units
+      |  FROM (VALUES ('view'), ('click'), ('signup')) ch(c)),
+      |meff2 AS (
+      |  SELECT channel, p_full_units, p_removed_units,
+      |    CASE WHEN p_full_units > 0
+      |      THEN ((p_full_units - p_removed_units) * 1000000) // p_full_units
+      |      ELSE 0 END AS effect_units
+      |  FROM meff)
+      |SELECT channel, p_full_units, p_removed_units, effect_units,
+      |  CASE WHEN (SELECT sum(effect_units) FROM meff2) > 0
+      |    THEN (effect_units * 1000000) // (SELECT CAST(sum(effect_units) AS BIGINT) FROM meff2)
+      |    ELSE 0 END AS share_units,
+      |  round(p_full_units / 1e6, 6) + 0 AS p_conv,
+      |  round(effect_units / 1e6, 6) + 0 AS removal_effect,
+      |  round(CASE WHEN (SELECT sum(effect_units) FROM meff2) > 0
+      |    THEN (effect_units * 1000000) // (SELECT CAST(sum(effect_units) AS BIGINT) FROM meff2)
+      |    ELSE 0 END / 1e6, 6) + 0 AS attribution_share
+      |FROM meff2""".stripMargin
+
   // ---------------------------------------------------------------- assoc
   /** ASSOCIATION RULES over daily user baskets — market-basket lift on
     * event types: a basket is the distinct set of event types one user
@@ -424,7 +582,8 @@ object Sessions {
     "cube_docs"         -> (cubeDocs _),
     "scd2_history"      -> (scd2History _),
     "path_trigrams"     -> (pathTrigrams _),
-    "attr_touch"        -> (attrTouch _))
+    "attr_touch"        -> (attrTouch _),
+    "attr_markov"       -> (attrMarkov _))
 
   def oracles: Map[String, String] = Map(
     "assoc_rules"       -> assocRulesSql,
@@ -435,5 +594,6 @@ object Sessions {
     "cube_docs"         -> cubeSql,
     "scd2_history"      -> scd2Sql,
     "path_trigrams"     -> pathTrigramsSql,
-    "attr_touch"        -> attrTouchSql)
+    "attr_touch"        -> attrTouchSql,
+    "attr_markov"       -> attrMarkovSql)
 }

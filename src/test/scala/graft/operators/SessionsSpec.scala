@@ -46,6 +46,30 @@ class SessionsSpec extends SparkSpec {
     assert(sess.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("markov attribution recovers hand-computed removal effects on planted journeys") {
+    import spark.implicits._
+    // u1: view -> click -> purchase; u2: click -> purchase; u3: view (no conv).
+    // Chain: start->view 2, start->click 1, view->click 1, view->null 1,
+    // click->conv 2. By hand: P(view)=1/2, P(start)=2/3; removing click
+    // kills every conversion (effect 1.0); removing view leaves the
+    // start->click journey (P drops to 1/3, effect 0.5); signup absent
+    // (effect 0). Shares normalize to 2/3 and 1/3 (micro-unit floors).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-markov").toString
+    def ev(id: Long, uid: Long, minute: Int, tp: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-08-12 10:$minute%02d:00"), uid, tp, 1.0, "{}")
+    Seq(
+      ev(1, 1, 1, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "purchase"),
+      ev(4, 2, 1, "click"), ev(5, 2, 2, "purchase"),
+      ev(6, 3, 1, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Sessions.attrMarkov(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("view") == ((666666L, 500000L, 333333L)), s"view: ${out("view")}")
+    assert(out("click") == ((666666L, 1000000L, 666666L)), s"click: ${out("click")}")
+    assert(out("signup") == ((666666L, 0L, 0L)), s"signup: ${out("signup")}")
+  }
+
   test("funnel: step counts are monotonically non-increasing and strict ordering is enforced") {
     val rows = Sessions.funnel(spark, sfDir).orderBy("step").collect()
     assert(rows.length == 3)
