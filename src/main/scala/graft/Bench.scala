@@ -37,7 +37,8 @@ object Bench {
     "text_pii_scrub", "mm_phash_dedup", "profile_documents",
     "w19_psar", "split_by_cluster", "s6_vwap",
     "w39_heikin_ashi", "imp_permutation", "er_clusters", "decontam_minhash",
-    "graph_deep_chain", "graph_kcore", "w41_zigzag", "text_zipf")
+    "graph_deep_chain", "graph_kcore", "w41_zigzag", "text_zipf",
+    "attr_markov")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
