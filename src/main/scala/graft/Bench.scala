@@ -50,8 +50,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_ONLY=headline restricts to the headline set — used for
-    // the sf1 scale run, where the full 225-query suite would measure
-    // VM contention more than plans
+    // the sf1 scale run, where the full registry would measure VM
+    // contention more than plans
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered =
       if (sys.env.get("SPARK_GRAFT_ONLY").contains("headline"))

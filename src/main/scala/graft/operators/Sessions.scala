@@ -392,10 +392,12 @@ object Sessions {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     // journeys with zero touches absorb straight from start: one per
-    // purchase not preceded by any touch inside its own journey
+    // purchase not preceded by any touch inside its own journey. The
+    // touched-journey count needs no second corpus pass: every
+    // converting journey with >= 1 touch contributes exactly one
+    // edge into 'conv' (its last touch), already in the collected map
     val nPurch = ev.filter(col("event_type") === "purchase").count()
-    val nTouchedConv = touches.filter(col("conv_after") >= 1)
-      .select(col("user_id"), col("conv_after")).distinct().count()
+    val nTouchedConv = edgeRows.collect { case ((_, "conv"), n) => n }.sum
     val counts = if (nPurch > nTouchedConv)
       edgeRows + (("start", "conv") ->
         (edgeRows.getOrElse(("start", "conv"), 0L) + nPurch - nTouchedConv))
@@ -462,18 +464,18 @@ object Sessions {
       |  SELECT 'start', 'conv',
       |    (SELECT count(*) FROM c WHERE event_type = 'purchase')
       |    - (SELECT count(DISTINCT (user_id, conv_after)) FROM mtt WHERE conv_after >= 1)),
-      |medges AS (
+      |medges AS MATERIALIZED (
       |  SELECT src, dst, CAST(sum(cnt) AS BIGINT) AS cnt
       |  FROM base_edges WHERE cnt > 0 GROUP BY 1, 2),
       |mscn(scn) AS (SELECT * FROM (VALUES ('full'), ('view'), ('click'), ('signup'))),
-      |mstatics AS (
+      |mstatics AS MATERIALIZED (
       |  SELECT s.scn, st.state AS src,
       |    coalesce((SELECT CAST(sum(cnt) AS BIGINT) FROM medges e WHERE e.src = st.state), 0) AS outn,
       |    coalesce((SELECT CAST(sum(cnt) AS BIGINT) FROM medges e
       |              WHERE e.src = st.state AND e.dst = 'conv'), 0) * 1000000 AS conv_c
       |  FROM mscn s, (VALUES ('start'), ('view'), ('click'), ('signup')) st(state)
       |  WHERE st.state <> s.scn),
-      |mtedges AS (
+      |mtedges AS MATERIALIZED (
       |  SELECT s.scn, e.src, e.dst, e.cnt
       |  FROM mscn s JOIN medges e
       |    ON e.dst IN ('view', 'click', 'signup')
