@@ -50,6 +50,14 @@ case class ZzStreamState(d: Int, extV: Double, extBMs: Long,
 case class ZigzagAlert(symbol: String, bucket: java.sql.Timestamp,
     price: Double, pivot_type: String, swing_pct: Option[Double])
 
+/** Per-window symbol tallies for the trending channel. */
+case class TrendState(counts: Map[String, Long])
+
+/** One trending-symbols row, emitted when the watermark closes the
+  * window. */
+case class TrendingRow(window_start: java.sql.Timestamp, rank: Int,
+    symbol: String, n_ticks: Long)
+
 /** Structured Streaming channels — SURVEY §2.10.
   *
   * The reference streams 8 processing-time asyncio channels over
@@ -341,6 +349,58 @@ object Channels {
             }
           if (st.seeded) state.update(st)
           out.iterator
+      }
+  }
+
+  /** Trending symbols per 1-minute event-time window — top-k by tick
+    * count, emitted exactly once per window WHEN THE WATERMARK CLOSES
+    * IT. This is the one Structured Streaming state pattern the channel
+    * suite didn't yet exercise: `EventTimeTimeout` — a windowed TOP-K
+    * needs an aggregate over an aggregate, which streaming append mode
+    * can't express as two groupBys, so the inner tally lives in
+    * `flatMapGroupsWithState` state keyed by window start and the
+    * ranking runs in the timeout callback (fires once the watermark
+    * passes the window end; state is removed on emission, so state size
+    * = |open windows × active symbols|, watermark-bounded). Input must
+    * carry `ts` + `symbol`; rows later than the 30 s watermark are
+    * dropped by the engine before they reach the state. */
+  def trendingStream(spark: SparkSession, ticks: DataFrame, k: Int = 3): Dataset[TrendingRow] = {
+    import spark.implicits._
+    val windowMs = 60000L
+    ticks
+      .withWatermark("ts", "30 seconds")
+      // ts stays in the row: the watermark tag lives on the column, and
+      // EventTimeTimeout requires the watermarked attribute to survive
+      // into the stateful operator's input
+      .select(window(col("ts"), "1 minute").getField("start").as("wstart"),
+        col("symbol"), col("ts"))
+      .as[(java.sql.Timestamp, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TrendState, TrendingRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart: java.sql.Timestamp,
+         rows: Iterator[(java.sql.Timestamp, String, java.sql.Timestamp)],
+         state: GroupState[TrendState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (s, n) => (-n, s) }.take(k).zipWithIndex
+              .map { case ((s, n), i) => TrendingRow(wstart, i + 1, s, n) }
+              .iterator
+          } else {
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val upd = rows.foldLeft(counts) { case (m, (_, sym, _)) =>
+              m.updated(sym, m.getOrElse(sym, 0L) + 1L)
+            }
+            state.update(TrendState(upd))
+            // fire just past the window end; clamp above the current
+            // watermark (allowed-lateness rows can arrive for a window
+            // whose end the watermark already passed — those emit on
+            // the next batch instead of throwing)
+            state.setTimeoutTimestamp(
+              math.max(wstart.getTime + windowMs + 1, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
       }
   }
 

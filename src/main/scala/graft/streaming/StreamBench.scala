@@ -84,7 +84,9 @@ object StreamBench {
       "heikin_ashi"        -> (() => counting("heikin_ashi",
         Channels.heikinAshiStream(spark, tickCandles).toDF())),
       "zigzag_alerts"      -> (() => counting("zigzag_alerts",
-        Channels.zigzagStream(spark, tickCandles).toDF())))
+        Channels.zigzagStream(spark, tickCandles).toDF())),
+      "trending"           -> (() => counting("trending",
+        Channels.trendingStream(spark, ticks).toDF())))
 
     val stats = runs.map { case (name, start) =>
       val s = measure(start(), seconds)

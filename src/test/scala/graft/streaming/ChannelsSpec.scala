@@ -373,6 +373,38 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending channel emits each window's exact top-k once, when the watermark closes it") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // minute-aligned base so all six seeds land in ONE tumbling window
+    def ts(sec: Int) = new java.sql.Timestamp(1700000040000L + sec * 1000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Channels.trendingStream(spark, mem.toDF().toDF("ts", "symbol"))
+      .writeStream.format("memory").queryName("trend_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window W = [t0, t0+60): A x3, B x2, C x1 (max event t0+50 keeps
+      // the watermark at t0+20 — the window stays open)
+      mem.addData(Seq("A", "B", "A", "C", "B", "A").zipWithIndex
+        .map { case (s, i) => (ts(5 + i * 9), s) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("trend_t").count() == 0, "window must not emit before the watermark closes it")
+      // advance event time past W's end + watermark delay; the timeout
+      // fires on the batch AFTER the watermark update, hence two nudges
+      mem.addData((ts(160), "D")); q.processAllAvailable()
+      mem.addData((ts(170), "D")); q.processAllAvailable()
+      val rows = spark.table("trend_t")
+        .filter(col("window_start") === ts(0))
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1, "A", 3L), (2, "B", 2L), (3, "C", 1L)),
+        s"top-k wrong: ${rows.toSeq}")
+      // exactly once: no duplicate emission on further batches
+      mem.addData((ts(180), "D")); q.processAllAvailable()
+      assert(spark.table("trend_t").filter(col("window_start") === ts(0)).count() == 3)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: each high-impact event collects exactly the ticks in its 2-minute window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
