@@ -405,6 +405,41 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending channel restores timeout state from checkpoint: a window open at crash still emits once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def tts(sec: Int) = new java.sql.Timestamp(1700000040000L + sec * 1000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trend_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_trend_out").toString + "/trend"
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def start() = Channels.trendingStream(spark, mem.toDF().toDF("ts", "symbol"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // first incarnation: fill one window, crash BEFORE the watermark
+    // closes it — its tallies exist only in state
+    val q1 = start()
+    try {
+      mem.addData(Seq("A", "A", "B").zipWithIndex.map { case (s, i) => (tts(5 + i * 10), s) }: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.schema("window_start TIMESTAMP, rank INT, symbol STRING, n_ticks LONG")
+      .parquet(out).count() == 0, "window must still be open at crash")
+    // second incarnation: advance the watermark; the restored state must
+    // produce the window's top-k exactly once, counts intact
+    mem.addData((tts(160), "D")); mem.addData((tts(170), "D"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData((tts(180), "D")); q2.processAllAvailable()
+      val rows = spark.read.parquet(out).filter(col("window_start") === tts(0))
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1, "A", 2L), (2, "B", 1L)),
+        s"restored window tallies wrong: ${rows.toSeq}")
+    } finally q2.stop()
+  }
+
   test("stream-stream interval join: each high-impact event collects exactly the ticks in its 2-minute window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
