@@ -2,6 +2,7 @@ package graft.analysis
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One confirmed (or final provisional) ZigZag pivot. */
@@ -15,6 +16,15 @@ case class RenkoInRow(user_id: Long, bucket: java.sql.Timestamp,
 /** One Renko brick (bucket = the candle whose close produced it). */
 case class RenkoRow(user_id: Long, bucket: java.sql.Timestamp,
     brick_no: Long, brick_open: Double, brick_close: Double, direction: String)
+
+/** SuperTrend fold input: candle close + midpoint + warmup-guarded ATR. */
+case class StIn(user_id: Long, bucket: java.sql.Timestamp,
+    close: Double, hl2: Double, atr: Option[Double])
+
+/** One SuperTrend row (nulls during the ATR warmup). */
+case class StRow(user_id: Long, bucket: java.sql.Timestamp,
+    supertrend: Option[Double], final_ub: Option[Double],
+    final_lb: Option[Double], is_bull: Option[Boolean])
 
 /** W41 — ZigZag pivots and Renko bricks (r5 verdict item 7: the last
   * common TA family beyond the reference's 50+ indicator set). Both are
@@ -290,11 +300,105 @@ object ZigzagRenko {
        |       CASE WHEN p.n_up >= 1 THEN 'up' ELSE 'down' END AS direction
        |FROM rp p, unnest(generate_series(1, p.n_up + p.n_dn)) AS g(k)""".stripMargin
 
+  // ------------------------------------------------------------ supertrend
+  /** W42 — SuperTrend(10, 3): ATR bands around the candle midpoint with
+    * the classic ratcheting fold — the final upper band only ever
+    * tightens downward while price stays below it (and vice versa for
+    * the lower), and the active band flips when the close breaks
+    * through it. The band recurrence is order-sensitive (like PSAR), so
+    * it rides the same sorted-group fold; the ATR feed is the plain
+    * 10-row SMA window with the engine-wide full-window warmup guard,
+    * computed BEFORE grouping so the fold state is just
+    * (fu, fl, side, prevClose). Warmup rows emit nulls. */
+  def w42Supertrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wspec = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+    val w10 = wspec.rowsBetween(-9, 0)
+    val pc = lag(col("close"), 1).over(wspec)
+    val tr = when(pc.isNull, col("high") - col("low"))
+      .otherwise(greatest(col("high") - col("low"),
+        abs(col("high") - pc), abs(col("low") - pc)))
+    Tables.candles(spark, dir)
+      .withColumn("hl2", (col("high") + col("low")) / 2)
+      .withColumn("tr", tr)
+      .withColumn("atr",
+        when(count(col("tr")).over(w10) === 10, avg(col("tr")).over(w10)))
+      .select(col("user_id"), col("bucket"), col("close"), col("hl2"), col("atr"))
+      .as[StIn]
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[StIn]) =>
+        var seeded = false
+        var fu = 0.0; var fl = 0.0; var prevC = 0.0; var isu = false
+        rows.map { r =>
+          r.atr match {
+            case None => StRow(uid, r.bucket, None, None, None, None)
+            case Some(a) =>
+              val ub = r.hl2 + 3 * a
+              val lb = r.hl2 - 3 * a
+              if (!seeded) {
+                seeded = true; fu = ub; fl = lb; isu = r.close <= ub
+              } else {
+                val nfu = if (ub < fu || prevC > fu) ub else fu
+                val nfl = if (lb > fl || prevC < fl) lb else fl
+                isu = if (isu) r.close <= nfu else r.close < nfl
+                fu = nfu; fl = nfl
+              }
+              prevC = r.close
+              StRow(uid, r.bucket, Some(r6d(if (isu) fu else fl)),
+                Some(r6d(fu)), Some(r6d(fl)), Some(!isu))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** W42 oracle: ATR windows + the band fold as a lockstep recursive
+    * CTE (state = fu/fl/side/close; the repeated CASEs ARE the fu/fl
+    * updates, so `isu` reads the post-update bands exactly like the
+    * Scala fold). Warmup rows join back as nulls. */
+  val w42SupertrendSql: String = {
+    val fuNew = "CASE WHEN c.ub < p.fu OR p.close > p.fu THEN c.ub ELSE p.fu END"
+    val flNew = "CASE WHEN c.lb > p.fl OR p.close < p.fl THEN c.lb ELSE p.fl END"
+    s"""$recursiveCandles,
+       |sca AS (
+       |  SELECT user_id, bucket, close, high, low, (high + low) / 2 AS hl2,
+       |         row_number() OVER sw42 AS rn, lag(close) OVER sw42 AS pc
+       |  FROM candles WINDOW sw42 AS (PARTITION BY user_id ORDER BY bucket)),
+       |scb AS (
+       |  SELECT *, CASE WHEN pc IS NULL THEN high - low
+       |                 ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+       |  FROM sca),
+       |scc AS (
+       |  SELECT user_id, bucket, close, hl2, rn,
+       |         CASE WHEN count(tr) OVER sw42b = 10 THEN avg(tr) OVER sw42b END AS atr
+       |  FROM scb
+       |  WINDOW sw42b AS (PARTITION BY user_id ORDER BY bucket
+       |                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+       |scd AS (
+       |  SELECT *, hl2 + 3 * atr AS ub, hl2 - 3 * atr AS lb
+       |  FROM scc WHERE atr IS NOT NULL),
+       |sp(user_id, rn, fu, fl, isu, close) AS (
+       |  SELECT user_id, rn, ub, lb, close <= ub, close FROM scd WHERE rn = 10
+       |  UNION ALL
+       |  SELECT c.user_id, c.rn, $fuNew, $flNew,
+       |    CASE WHEN p.isu THEN c.close <= ($fuNew) ELSE c.close < ($flNew) END,
+       |    c.close
+       |  FROM sp p JOIN scd c ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+       |SELECT s.user_id, s.bucket,
+       |  floor((CASE WHEN p.isu THEN p.fu ELSE p.fl END) * 1e6 + 0.5) / 1e6 AS supertrend,
+       |  floor(p.fu * 1e6 + 0.5) / 1e6 AS final_ub,
+       |  floor(p.fl * 1e6 + 0.5) / 1e6 AS final_lb,
+       |  NOT p.isu AS is_bull
+       |FROM scc s LEFT JOIN sp p ON p.user_id = s.user_id AND p.rn = s.rn""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w41_zigzag" -> (w41Zigzag _),
-    "w41_renko"  -> (w41Renko _))
+    "w41_zigzag"     -> (w41Zigzag _),
+    "w41_renko"      -> (w41Renko _),
+    "w42_supertrend" -> (w42Supertrend _))
 
   def oracles: Map[String, String] = Map(
-    "w41_zigzag" -> w41ZigzagSql,
-    "w41_renko"  -> w41RenkoSql)
+    "w41_zigzag"     -> w41ZigzagSql,
+    "w41_renko"      -> w41RenkoSql,
+    "w42_supertrend" -> w42SupertrendSql)
 }

@@ -33,6 +33,23 @@ class ZigzagRenkoSpec extends SparkSpec {
     }
   }
 
+  test("supertrend rides exactly one band and flips only when close breaks it") {
+    val rows = ZigzagRenko.w42Supertrend(spark, sfDir)
+      .filter(col("supertrend").isNotNull)
+      .orderBy(col("user_id"), col("bucket"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (uid, st, fu, fl, bull) =>
+      // the active line IS one of the two bands, chosen by the side flag
+      assert(st == (if (bull) fl else fu), s"user $uid: st $st not the ${if (bull) "lower" else "upper"} band")
+      assert(fl <= fu, s"user $uid: bands crossed ($fl > $fu)")
+    }
+    // both regimes occur on the fixture
+    assert(rows.exists(_._5) && rows.exists(!_._5), "fixture should see both trend sides")
+  }
+
   test("renko bricks chain on the anchor lattice with consecutive numbering") {
     val rows = ZigzagRenko.w41Renko(spark, sfDir)
       .orderBy(col("user_id"), col("brick_no"))
