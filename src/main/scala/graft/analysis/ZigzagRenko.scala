@@ -360,21 +360,21 @@ object ZigzagRenko {
     val fuNew = "CASE WHEN c.ub < p.fu OR p.close > p.fu THEN c.ub ELSE p.fu END"
     val flNew = "CASE WHEN c.lb > p.fl OR p.close < p.fl THEN c.lb ELSE p.fl END"
     s"""$recursiveCandles,
-       |sca AS (
+       |sca AS MATERIALIZED (
        |  SELECT user_id, bucket, close, high, low, (high + low) / 2 AS hl2,
        |         row_number() OVER sw42 AS rn, lag(close) OVER sw42 AS pc
        |  FROM candles WINDOW sw42 AS (PARTITION BY user_id ORDER BY bucket)),
-       |scb AS (
+       |scb AS MATERIALIZED (
        |  SELECT *, CASE WHEN pc IS NULL THEN high - low
        |                 ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
        |  FROM sca),
-       |scc AS (
+       |scc AS MATERIALIZED (
        |  SELECT user_id, bucket, close, hl2, rn,
        |         CASE WHEN count(tr) OVER sw42b = 10 THEN avg(tr) OVER sw42b END AS atr
        |  FROM scb
        |  WINDOW sw42b AS (PARTITION BY user_id ORDER BY bucket
        |                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
-       |scd AS (
+       |scd AS MATERIALIZED (
        |  SELECT *, hl2 + 3 * atr AS ub, hl2 - 3 * atr AS lb
        |  FROM scc WHERE atr IS NOT NULL),
        |sp(user_id, rn, fu, fl, isu, close) AS (

@@ -366,13 +366,13 @@ object Channels {
     * dropped by the engine before they reach the state. */
   def trendingStream(spark: SparkSession, ticks: DataFrame, k: Int = 3): Dataset[TrendingRow] = {
     import spark.implicits._
-    val windowMs = 60000L
+    val windowMs = 60000L // single source for the window length
     ticks
       .withWatermark("ts", "30 seconds")
       // ts stays in the row: the watermark tag lives on the column, and
       // EventTimeTimeout requires the watermarked attribute to survive
       // into the stateful operator's input
-      .select(window(col("ts"), "1 minute").getField("start").as("wstart"),
+      .select(window(col("ts"), s"$windowMs milliseconds").getField("start").as("wstart"),
         col("symbol"), col("ts"))
       .as[(java.sql.Timestamp, String, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -393,12 +393,10 @@ object Channels {
               m.updated(sym, m.getOrElse(sym, 0L) + 1L)
             }
             state.update(TrendState(upd))
-            // fire just past the window end; clamp above the current
-            // watermark (allowed-lateness rows can arrive for a window
-            // whose end the watermark already passed — those emit on
-            // the next batch instead of throwing)
-            state.setTimeoutTimestamp(
-              math.max(wstart.getTime + windowMs + 1, state.getCurrentWatermarkMs + 1))
+            // fire just past the window end — always ahead of the
+            // watermark, since any row reaching the state has
+            // ts ≥ watermark and ts < window end
+            state.setTimeoutTimestamp(wstart.getTime + windowMs + 1)
             Iterator.empty
           }
       }
