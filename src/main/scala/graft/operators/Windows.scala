@@ -508,7 +508,44 @@ object Windows {
       |       ELSE 'in_cloud' END AS cloud_position
       |FROM i2""".stripMargin
 
+  // ---------------------------------------------------------------- W43
+  /** W43 — anchored VWAP, day anchor: the running Σ(close·vol)/Σ(vol)
+    * from each session's first candle, plus the close's deviation from
+    * it — the intraday fair-value line traders anchor at the open.
+    * Pure cumulative windows over (user, day): same single exchange as
+    * the other w-series, deterministic summation order (frame order),
+    * denominator ≥ 1 because candle volume is a count. The dyadic-safe
+    * floor idiom guards both rounded ratios. */
+  def w43AnchoredVwap(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), to_date(col("bucket")))
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    candleBase(spark, dir)
+      .withColumn("av",
+        sum(col("close") * col("volume")).over(wd) / sum(col("volume")).over(wd))
+      .select(col("user_id"), col("bucket"),
+        r6(col("av")).as("anchored_vwap"),
+        // NULLIF-on-zero like every engine ratio (a day can open at 0.0)
+        r6((col("close") - col("av")) / nullif(col("av"), lit(0)) * 100)
+          .as("vwap_dev_pct"))
+  }
+
+  val w43Sql: String = Tables.candlesSql +
+    """
+      |SELECT user_id, bucket,
+      |  floor(av * 1e6 + 0.5) / 1e6 AS anchored_vwap,
+      |  floor((close - av) / nullif(av, 0) * 100 * 1e6 + 0.5) / 1e6 AS vwap_dev_pct
+      |FROM (
+      |  SELECT user_id, bucket, close,
+      |    sum(close * volume) OVER wv / sum(volume) OVER wv AS av
+      |  FROM candles
+      |  WINDOW wv AS (PARTITION BY user_id, CAST(bucket AS DATE) ORDER BY bucket
+      |                ROWS UNBOUNDED PRECEDING)) t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w43_anchored_vwap" -> (w43AnchoredVwap _),
     "w38_ichimoku"      -> (w38Ichimoku _),
     "w9_volume_sma"     -> (w9VolumeSma _),
     "w1_gaps"           -> (w1Gaps _),
@@ -526,6 +563,7 @@ object Windows {
     "w28_open_gap"      -> (w28OpenGap _))
 
   def oracles: Map[String, String] = Map(
+    "w43_anchored_vwap" -> w43Sql,
     "w38_ichimoku"      -> w38Sql,
     "w9_volume_sma"     -> w9Sql,
     "w1_gaps"           -> w1Sql,
