@@ -36,18 +36,26 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** Replicates `table` with `shift`; `keyCap` guards the replica
-      * offsets — they are constants sized to the sf0.1 key ranges, and
-      * a larger source (sf1, or chaining GenScale output) would make
-      * replica key ranges OVERLAP, silently merging distinct rows.
-      * Fail loudly instead. */
-    def replicate(table: String, keyCol: String, keyCap: Long)
+    /** Replicates `table` with `shift`; `caps` guards EVERY shifted
+      * column's replica offset — the offsets are constants sized to the
+      * sf0.1 key ranges, and a larger source (sf1, or chaining GenScale
+      * output) would make replica ranges OVERLAP, silently merging
+      * distinct rows. The guard covers shifted NON-key columns too
+      * (o_custkey, l_partkey/l_suppkey, event_id): a source whose
+      * event_id already exceeds its offset would collide replica ranges
+      * while the primary-key check stays green. Fail loudly instead. */
+    def replicate(table: String, caps: (String, Long)*)
                  (shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
-      val maxKey = base.agg(max(col(keyCol))).head().getLong(0)
-      require(maxKey < keyCap,
-        s"$table: max $keyCol = $maxKey exceeds the replica offset $keyCap — " +
-          "scale the original sf data, not GenScale output")
+      val maxRow = base.agg(
+        caps.head match { case (c, _) => max(col(c).cast("long")) },
+        caps.tail.map { case (c, _) => max(col(c).cast("long")) }: _*).head()
+      caps.zipWithIndex.foreach { case ((colName, cap), i) =>
+        val maxKey = maxRow.getLong(i)
+        require(maxKey < cap,
+          s"$table: max $colName = $maxKey exceeds the replica offset $cap — " +
+            "scale the original sf data, not GenScale output")
+      }
       val scaled = (0 until factor).map(k => shift(base, k)).reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[genscale] $table: ${base.count()} -> ${scaled.count()}")
@@ -59,34 +67,35 @@ object GenScale {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[genscale] $t: copied")
     }
-    replicate("customer", "c_custkey", 15000L)((df, k) =>
+    replicate("customer", "c_custkey" -> 15000L)((df, k) =>
       df.withColumn("c_custkey", col("c_custkey") + k * 15000L))
-    replicate("supplier", "s_suppkey", 1000L)((df, k) =>
+    replicate("supplier", "s_suppkey" -> 1000L)((df, k) =>
       df.withColumn("s_suppkey", col("s_suppkey") + k * 1000L))
     // part names get a replica-tagged noun (the ER block key is
     // (noun, type, size_bucket)): a verbatim clone would grow every ER
     // block 10× → 100× candidate pairs — a quadratic clone-family
     // workload, not 10× data (measured: er_clusters 14.9 s vs the
     // ~linear 1.5 s after this perturbation)
-    replicate("part", "p_partkey", 20000L)((df, k) =>
+    replicate("part", "p_partkey" -> 20000L)((df, k) =>
       if (k == 0) df
       else df.withColumn("p_partkey", col("p_partkey") + k * 20000L)
         .withColumn("p_name", regexp_replace(col("p_name"), " ", s" r$k")))
-    replicate("orders", "o_orderkey", 150000L)((df, k) =>
+    replicate("orders", "o_orderkey" -> 150000L, "o_custkey" -> 15000L)((df, k) =>
       df.withColumn("o_orderkey", col("o_orderkey") + k * 150000L)
         .withColumn("o_custkey", col("o_custkey") + k * 15000L))
-    replicate("lineitem", "l_orderkey", 150000L)((df, k) =>
+    replicate("lineitem", "l_orderkey" -> 150000L,
+        "l_partkey" -> 20000L, "l_suppkey" -> 1000L)((df, k) =>
       df.withColumn("l_orderkey", col("l_orderkey") + k * 150000L)
         .withColumn("l_partkey", col("l_partkey") + k * 20000L)
         .withColumn("l_suppkey", col("l_suppkey") + k * 1000L))
     // events: new user population per replica, identical per-user series
     // (window operators scale by key count, the production shape)
-    replicate("events", "user_id", 1500L)((df, k) =>
+    replicate("events", "user_id" -> 1500L, "event_id" -> 10000000L)((df, k) =>
       df.withColumn("event_id", col("event_id") + k * 10000000L)
         .withColumn("user_id", col("user_id") + k * 1500L))
     // documents: replica-tagged vocabulary (see scaladoc); n_chars tracks
     // the rewritten text (the fixture invariant n_chars = length(text))
-    replicate("documents", "doc_id", 970000L) { (df, k) =>
+    replicate("documents", "doc_id" -> 970000L) { (df, k) =>
       if (k == 0) df
       else {
         val tagged = concat(lit(s"r$k"),
@@ -101,7 +110,7 @@ object GenScale {
     require(spark.read.parquet(s"$src/embeddings.parquet")
       .select(size(col("embedding"))).head().getInt(0) == 64,
       "embedding rotation assumes 64 dims")
-    replicate("embeddings", "vec_id", 2000000L) { (df, k) =>
+    replicate("embeddings", "vec_id" -> 2000000L) { (df, k) =>
       if (k == 0) df
       else df.withColumn("vec_id", col("vec_id") + k * 2000000L)
         .withColumn("embedding",

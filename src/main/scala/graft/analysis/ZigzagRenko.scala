@@ -129,7 +129,12 @@ object ZigzagRenko {
 
   /** ZigZag oracle: state (d, ext, prev_pivot) advanced in lockstep,
     * emission columns NULL on non-pivot steps; the provisional final
-    * pivot comes from each user's terminal state row. */
+    * pivot comes from each user's terminal state row. Every confirm
+    * condition carries the close-vs-extreme conjunct (`close <= ext_v`
+    * for d=1, `>=` for d=-1) mirroring the Scala machine's branch
+    * ORDER — without it the branches only coincide for ext_v > 0, and
+    * a non-positive price would make the oracle emit a pivot where
+    * [[zzStep]] records a new extreme. */
   private val recursiveCandles: String =
     "WITH RECURSIVE " + Tables.candlesSql.stripPrefix("WITH ")
 
@@ -154,38 +159,38 @@ object ZigzagRenko {
        |           CASE WHEN c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v THEN 1 ELSE -1 END
        |    END AS nd,
        |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
-       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
-       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr) AND c.close <= p.ext_v)
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v)
        |         THEN c.close
        |         WHEN p.d = 1 AND c.close > p.ext_v THEN c.close
        |         WHEN p.d = -1 AND c.close < p.ext_v THEN c.close
        |         ELSE p.ext_v END,
        |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
-       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
-       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr) AND c.close <= p.ext_v)
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v)
        |         THEN c.bucket
        |         WHEN p.d = 1 AND c.close > p.ext_v THEN c.bucket
        |         WHEN p.d = -1 AND c.close < p.ext_v THEN c.bucket
        |         ELSE p.ext_b END,
        |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
-       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
-       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr) AND c.close <= p.ext_v)
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v)
        |         THEN p.ext_v ELSE p.prev_piv END,
        |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
-       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
-       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr) AND c.close <= p.ext_v)
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v)
        |         THEN p.ext_b END,
        |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
-       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
-       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr) AND c.close <= p.ext_v)
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v)
        |         THEN p.ext_v END,
        |    CASE WHEN (p.d = 0 AND c.close >= p.ext_v * (1 + $Thr))
-       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr)) THEN 'low'
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v) THEN 'low'
        |         WHEN (p.d = 0 AND c.close <= p.ext_v * (1 - $Thr))
-       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr)) THEN 'high' END,
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr) AND c.close <= p.ext_v) THEN 'high' END,
        |    CASE WHEN (p.d = 0 AND (c.close >= p.ext_v * (1 + $Thr) OR c.close <= p.ext_v * (1 - $Thr)))
-       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr))
-       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr))
+       |           OR (p.d = 1 AND c.close <= p.ext_v * (1 - $Thr) AND c.close <= p.ext_v)
+       |           OR (p.d = -1 AND c.close >= p.ext_v * (1 + $Thr) AND c.close >= p.ext_v)
        |         THEN p.prev_piv END
        |  FROM zp p JOIN zc c ON c.user_id = p.user_id AND c.rn = p.rn + 1
        |),
