@@ -37,8 +37,8 @@ object Bench {
     "text_pii_scrub", "mm_phash_dedup", "profile_documents",
     "w19_psar", "split_by_cluster", "s6_vwap",
     "w39_heikin_ashi", "imp_permutation", "er_clusters", "decontam_minhash",
-    "graph_deep_chain", "graph_kcore", "w41_zigzag", "text_zipf",
-    "attr_markov")
+    "graph_deep_chain", "graph_kcore", "graph_core_numbers", "w41_zigzag",
+    "text_zipf", "attr_markov", "profile_histograms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,15 +82,22 @@ object Bench {
     // WARM pass: index-serving queries run their build plan (see the
     // scaladoc) — their warm time is the real marginal cost of the
     // index, not a count over the checkpoint the cold pass left behind.
-    // MEDIAN of 3 samples per query (r5 verdict item 2): this VM is
-    // shared hardware and a single warm sample catches contention
-    // windows often enough that ~30 queries showed phantom warm>cold
-    // inversions in BENCH_r05 — medians make per-query deltas
-    // adjudicable without manual re-runs; min/max go to BENCH_FULL as
-    // the per-query noise band.
+    // MEDIAN of 3 samples per query (r5 verdict item 2), taken as 3
+    // FULL SWEEPS over the registry rather than 3 back-to-back runs of
+    // each query (r6 verdict item 3): this VM is shared hardware, and a
+    // host-contention window that lasts a few seconds used to land on
+    // ALL three samples of whichever query it straddled — medians can't
+    // reject noise that correlated (the r6 dedup-family rows committed
+    // 2.7 s while isolated re-runs measured 1.0–1.6 s). Sweeping the
+    // whole registry between samples decorrelates them: a window now
+    // taints one sample of a few queries, which the median discards.
+    // min/max still go to BENCH_FULL as the per-query noise band.
     val impls = SparkEntry.benchImpls
-    val warmSamples = ordered.map { case (name, fn) =>
-      name -> (1 to 3).map(_ => timed(name, impls.getOrElse(name, fn))._2)
+    val sweeps = (1 to 3).map { _ =>
+      ordered.map { case (name, fn) => timed(name, impls.getOrElse(name, fn)) }.toMap
+    }
+    val warmSamples = ordered.map { case (name, _) =>
+      name -> sweeps.map(_(name))
     }
     val results = warmSamples.map { case (name, ts) => name -> ts.sorted.apply(1) }
     val warmMin = warmSamples.map { case (name, ts) => name -> ts.min }
