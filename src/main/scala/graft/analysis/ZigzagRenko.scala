@@ -211,6 +211,43 @@ object ZigzagRenko {
        |FROM pivots""".stripMargin
 
   // ---------------------------------------------------------------- renko
+  /** Renko brick state: lattice anchor + running brick count. Shared
+    * verbatim by the batch fold and
+    * [[graft.streaming.Channels.renkoStream]] — same contract as
+    * [[ZzCore]]/[[zzStep]], so the equivalence spec only checks
+    * plumbing, never arithmetic. */
+  private[graft] final case class RenkoCore(anchor: Double, no: Long)
+
+  private[graft] def renkoInit(close: Double): RenkoCore = RenkoCore(close, 0L)
+
+  /** One brick emission: (brick_no, open, close, direction). */
+  private[graft] type RenkoBrick = (Long, Double, Double, String)
+
+  /** One transition: emit floor(|close − anchor| / brick) bricks in the
+    * move's direction and advance the anchor by exactly that many
+    * bricks, so boundaries stay on the anchor lattice, never on raw
+    * prices. Non-positive brick sizes fold to no-ops (degenerate fit:
+    * a constant-price key). */
+  private[graft] def renkoStep(st: RenkoCore, close: Double, brick: Double):
+      (RenkoCore, Seq[RenkoBrick]) = {
+    if (brick <= 0) (st, Nil)
+    else {
+      val up = if (close > st.anchor)
+        math.floor((close - st.anchor) / brick).toLong else 0L
+      val dn = if (close < st.anchor)
+        math.floor((st.anchor - close) / brick).toLong else 0L
+      if (up >= 1)
+        (RenkoCore(st.anchor + up * brick, st.no + up),
+          (1L to up).map(k => (st.no + k,
+            r6d(st.anchor + (k - 1) * brick), r6d(st.anchor + k * brick), "up")))
+      else if (dn >= 1)
+        (RenkoCore(st.anchor - dn * brick, st.no + dn),
+          (1L to dn).map(k => (st.no + k,
+            r6d(st.anchor - (k - 1) * brick), r6d(st.anchor - k * brick), "down")))
+      else (st, Nil)
+    }
+  }
+
   def w41Renko(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val candles = Tables.candles(spark, dir)
@@ -227,32 +264,13 @@ object ZigzagRenko {
         else {
           val first = rows.next()
           val b = first.brick
-          var anchor = first.close
-          var no = 0L
+          var core = renkoInit(first.close)
           val buf = scala.collection.mutable.ArrayBuffer.empty[RenkoRow]
-          if (b > 0) rows.foreach { r =>
-            val up = if (r.close > anchor)
-              math.floor((r.close - anchor) / b).toLong else 0L
-            val dn = if (r.close < anchor)
-              math.floor((anchor - r.close) / b).toLong else 0L
-            if (up >= 1) {
-              var k = 1L
-              while (k <= up) {
-                no += 1
-                buf += RenkoRow(uid, r.bucket, no,
-                  r6d(anchor + (k - 1) * b), r6d(anchor + k * b), "up")
-                k += 1
-              }
-              anchor = anchor + up * b
-            } else if (dn >= 1) {
-              var k = 1L
-              while (k <= dn) {
-                no += 1
-                buf += RenkoRow(uid, r.bucket, no,
-                  r6d(anchor - (k - 1) * b), r6d(anchor - k * b), "down")
-                k += 1
-              }
-              anchor = anchor - dn * b
+          rows.foreach { r =>
+            val (nc, bricks) = renkoStep(core, r.close, b)
+            core = nc
+            bricks.foreach { case (no, o, c, dir) =>
+              buf += RenkoRow(uid, r.bucket, no, o, c, dir)
             }
           }
           buf.iterator

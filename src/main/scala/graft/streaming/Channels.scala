@@ -50,6 +50,15 @@ case class ZzStreamState(d: Int, extV: Double, extBMs: Long,
 case class ZigzagAlert(symbol: String, bucket: java.sql.Timestamp,
     price: Double, pivot_type: String, swing_pct: Option[Double])
 
+/** Renko per-symbol streaming state: the shared batch core
+  * ([[graft.analysis.ZigzagRenko.RenkoCore]] fields, flattened) plus
+  * the last folded bucket for late-row drops. */
+case class RenkoStreamState(anchor: Double, no: Long, lastMs: Long, seeded: Boolean)
+
+/** One Renko brick emitted by the streaming channel. */
+case class RenkoBrickRow(symbol: String, bucket: java.sql.Timestamp,
+    brick_no: Long, brick_open: Double, brick_close: Double, direction: String)
+
 /** Per-window symbol tallies for the trending channel. */
 case class TrendState(counts: Map[String, Long])
 
@@ -345,6 +354,54 @@ object Channels {
                 }
                 st = ZzStreamState(nc.d, nc.extV, nc.extBMs, nc.prevPiv, nc.hasPrev,
                   ms, seeded = true)
+              }
+            }
+          if (st.seeded) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Renko bricks over a candle stream — the streaming form of the
+    * batch [[graft.analysis.ZigzagRenko.w41Renko]] fold, driving the
+    * SAME transition function (`ZigzagRenko.renkoStep`) so the two
+    * cannot drift. Brick sizes are a per-symbol CONFIGURATION here
+    * (broadcast-sized map in the closure): the batch query fits
+    * 1/16 of each key's full price range, which an unbounded stream
+    * cannot know — production Renko feeds take the brick as a
+    * parameter fit offline from history, and the equivalence spec does
+    * exactly that (batch-fit bricks driven through the channel
+    * reproduce the batch bricks row-for-row). Symbols without a
+    * configured brick pass through statefully but emit nothing
+    * (renkoStep no-ops on brick ≤ 0). Late candles (at or behind the
+    * last folded bucket, read from LIVE state so at-least-once
+    * duplicates within one micro-batch fold once) are dropped — same
+    * contract as [[heikinAshiStream]]/[[zigzagStream]]. State: 2
+    * scalars + 2 longs per symbol. */
+  def renkoStream(spark: SparkSession, candles: Dataset[StreamCandle],
+      bricks: Map[String, Double]): Dataset[RenkoBrickRow] = {
+    import spark.implicits._
+    import graft.analysis.ZigzagRenko
+    candles.groupByKey(_.symbol)
+      .flatMapGroupsWithState[RenkoStreamState, RenkoBrickRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[StreamCandle], state: GroupState[RenkoStreamState]) =>
+          val brick = bricks.getOrElse(symbol, 0.0)
+          var st = state.getOption.getOrElse(
+            RenkoStreamState(0.0, 0L, Long.MinValue, seeded = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RenkoBrickRow]
+          rows.toSeq.sortBy(_.bucket.getTime)
+            .foreach { c =>
+              val ms = c.bucket.getTime
+              if (ms <= st.lastMs) () // late duplicate/straggler
+              else if (!st.seeded)
+                st = RenkoStreamState(c.close, 0L, ms, seeded = true)
+              else {
+                val (nc, emitted) =
+                  ZigzagRenko.renkoStep(ZigzagRenko.RenkoCore(st.anchor, st.no), c.close, brick)
+                emitted.foreach { case (no, o, cl, dir) =>
+                  out += RenkoBrickRow(symbol, c.bucket, no, o, cl, dir)
+                }
+                st = RenkoStreamState(nc.anchor, nc.no, ms, seeded = true)
               }
             }
           if (st.seeded) state.update(st)

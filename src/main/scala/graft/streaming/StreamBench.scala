@@ -85,6 +85,11 @@ object StreamBench {
         Channels.heikinAshiStream(spark, tickCandles).toDF())),
       "zigzag_alerts"      -> (() => counting("zigzag_alerts",
         Channels.zigzagStream(spark, tickCandles).toDF())),
+      // brick ≈ 1/10 of the synthetic walk's oscillation amplitude so
+      // the channel emits steadily at tick rate
+      "renko_bricks"       -> (() => counting("renko_bricks",
+        Channels.renkoStream(spark, tickCandles,
+          Map("PAIR0" -> 0.0002, "PAIR1" -> 0.0002, "PAIR2" -> 0.0002)).toDF())),
       "trending"           -> (() => counting("trending",
         Channels.trendingStream(spark, ticks).toDF())))
 

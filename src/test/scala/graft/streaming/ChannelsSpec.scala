@@ -373,6 +373,64 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Renko reproduces the batch fold's bricks across a micro-batch boundary") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // batch-fit bricks (1/16 of each key's full range) driven through
+    // the channel as its per-symbol configuration — the production
+    // shape (offline fit, streamed apply)
+    val bricks = graft.Tables.candles(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(((max(col("high")) - min(col("low"))) / 16).as("brick"))
+      .collect().map(r => r.getLong(0).toString -> r.getDouble(1)).toMap
+    val candles = graft.Tables.candles(spark, sfDir)
+      .select(col("bucket"), col("user_id").cast("string").as("symbol"),
+        col("open"), col("high"), col("low"), col("close"))
+      .as[StreamCandle].collect().sortBy(c => (c.symbol, c.bucket.getTime))
+    val (b1, b2) = candles.splitAt(candles.length / 2)
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.renkoStream(spark, mem.toDS(), bricks)
+      .writeStream.format("memory").queryName("renko_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("renko_equiv")
+        .select(col("symbol").cast("long").as("user_id"), col("bucket"),
+          col("brick_no"), col("brick_open"), col("brick_close"), col("direction"))
+      val batch = graft.analysis.ZigzagRenko.w41Renko(spark, sfDir)
+      assert(streamed.count() > 0, "fixture must emit bricks")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream/batch Renko bricks differ")
+    } finally q.stop()
+  }
+
+  test("renko stream drops late and duplicate candles instead of corrupting the anchor") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def cts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    def c(m: Int, close: Double) = StreamCandle(cts(m), "S", close, close, close, close)
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.renkoStream(spark, mem.toDS(), Map("S" -> 1.0))
+      .writeStream.format("memory").queryName("renko_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // anchor 10; close 13.5 → three up bricks, anchor 13
+      mem.addData(c(1, 10), c(2, 13.5)); q.processAllAvailable()
+      // stale minute-2 candle (wild value) + minute 4 delivered TWICE in
+      // one batch: the stale row and the duplicate must both drop, and
+      // 10.2 folds once from anchor 13 → two down bricks, anchor 11
+      mem.addData(c(2, 99), c(4, 10.2), c(4, 10.2)); q.processAllAvailable()
+      val rows = spark.table("renko_late").as[RenkoBrickRow].collect().sortBy(_.brick_no)
+      assert(rows.map(r => (r.brick_no, r.brick_open, r.brick_close, r.direction)).toSeq ==
+        Seq((1L, 10.0, 11.0, "up"), (2L, 11.0, 12.0, "up"), (3L, 12.0, 13.0, "up"),
+          (4L, 13.0, 12.0, "down"), (5L, 12.0, 11.0, "down")),
+        s"bricks wrong: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("trending channel emits each window's exact top-k once, when the watermark closes it") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
