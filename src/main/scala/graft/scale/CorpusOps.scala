@@ -4,12 +4,22 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Packing fold input: one doc's clamped token count within its
+  * (lang, source) shard. */
+case class PackIn(lang: String, source: String, doc_id: Long, n_tokens: Long)
+
+/** One packed-document placement: the training sequence and token
+  * offset the doc landed at within its shard. */
+case class PackOut(lang: String, source: String, doc_id: Long,
+    seq_no: Long, tok_offset: Long, n_tokens: Long)
+
 /** Corpus-governance operators a 100 TB training-data pipeline runs
   * between dedup and packing: vocabulary fuzzy-matching, temperature
   * mixture weighting, diversity downsampling, feature winsorization,
-  * novelty scoring, and a k-anonymity census. Each is one declarative
-  * plan with a DuckDB oracle; none shuffles more than (vocab | census |
-  * bucket) rows beyond a single pass over its input table.
+  * novelty scoring, a k-anonymity census — and the packing step itself.
+  * Each is one declarative plan with a DuckDB oracle; none shuffles
+  * more than (vocab | census | bucket) rows beyond a single pass over
+  * its input table.
   */
 object CorpusOps {
 
@@ -447,7 +457,75 @@ object CorpusOps {
        |  round(top_lang_docs * 1.0 / n_docs, 6) + 0 AS top_lang_share
        |FROM base CROSS JOIN top""".stripMargin
 
+  // ------------------------------------------------------------- packing
+  /** Sequence packing — the LAST step of a pretraining data pipeline:
+    * lay documents end-to-end into fixed token-budget training
+    * sequences (next-fit by doc_id within each (lang, source) shard)
+    * and record each doc's (sequence, offset) placement, the index the
+    * trainer's data loader reads. Next-fit (not best-fit) is chosen
+    * because it is ORDER-DETERMINISTIC: the placement is a pure fold
+    * over the shard's doc order, so the output is reproducible
+    * run-to-run and oracle-replayable — best-fit's bin search makes
+    * placement depend on float-free but state-wide lookups that
+    * shuffle-scale poorly and are much harder to audit. Docs longer
+    * than the budget are clamped (truncation, the standard convention);
+    * packing within a shard is inherently sequential (each placement
+    * depends on the previous fill), so it rides the same
+    * `groupByKey.flatMapSortedGroups` machinery as the stateful TA
+    * folds — O(1) state, parallelism = shard count. At 100 TB the
+    * shard key grows a date/part component (packing never needs to be
+    * global — sequences don't cross shard boundaries by design, for
+    * exactly this parallelism). */
+  private[graft] val PackBudget = 2048L
+
+  def packNextFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        least(size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long"),
+          lit(PackBudget)).as("n_tokens"))
+      .as[PackIn]
+      .groupByKey(r => (r.lang, r.source))
+      .flatMapSortedGroups($"doc_id") { (_: (String, String), rows: Iterator[PackIn]) =>
+        var seqNo = 0L
+        var fill = 0L
+        rows.map { r =>
+          if (fill + r.n_tokens > PackBudget) { seqNo += 1; fill = 0L }
+          val off = fill
+          fill += r.n_tokens
+          PackOut(r.lang, r.source, r.doc_id, seqNo, off, r.n_tokens)
+        }
+      }
+      .toDF()
+  }
+
+  /** Lockstep recursive replay per (lang, source) shard — the PSAR
+    * oracle pattern; all state is BIGINT, so the fold is bit-exact. */
+  val packNextFitSql: String =
+    s"""WITH RECURSIVE pdocs AS MATERIALIZED (
+       |  SELECT lang, source, doc_id,
+       |    least(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |      t -> t <> '')) AS BIGINT), $PackBudget) AS n_tokens,
+       |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pk(lang, source, rn, doc_id, seq_no, tok_offset, n_tokens, fill) AS (
+       |  SELECT lang, source, rn, doc_id, 0::BIGINT, 0::BIGINT, n_tokens, n_tokens
+       |  FROM pdocs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.lang, d.source, d.rn, d.doc_id,
+       |    CASE WHEN p.fill + d.n_tokens > $PackBudget
+       |         THEN p.seq_no + 1 ELSE p.seq_no END,
+       |    CASE WHEN p.fill + d.n_tokens > $PackBudget
+       |         THEN 0 ELSE p.fill END,
+       |    d.n_tokens,
+       |    CASE WHEN p.fill + d.n_tokens > $PackBudget
+       |         THEN d.n_tokens ELSE p.fill + d.n_tokens END
+       |  FROM pk p JOIN pdocs d
+       |    ON d.lang = p.lang AND d.source = p.source AND d.rn = p.rn + 1)
+       |SELECT lang, source, doc_id, seq_no, tok_offset, n_tokens FROM pk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_next_fit"      -> (packNextFit _),
     "dataset_card"       -> (datasetCard _),
     "vocab_symspell"     -> (vocabSymspell _),
     "sample_temperature" -> (sampleTemperature _),
@@ -458,6 +536,7 @@ object CorpusOps {
     "k_anonymity"        -> (kAnonymity _))
 
   def oracles: Map[String, String] = Map(
+    "pack_next_fit"      -> packNextFitSql,
     "dataset_card"       -> datasetCardSql,
     "vocab_symspell"     -> vocabSymspellSql,
     "sample_temperature" -> sampleTemperatureSql,

@@ -434,20 +434,18 @@ object GraphOps {
     kcoreOf(Dedup.minhashLshPairs(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b")), k = 2, maxRounds = 30)
 
-  private[graft] def kcoreOf(pairs: DataFrame, k: Int, maxRounds: Int,
-      edgesPerPart: Long = 1000000L): DataFrame = {
-    // partition count follows the MEASURED symmetrized edge count
-    // (exactly 2× the pair count — one cheap count() before any
-    // coalesce), same as connectedComponents: the first peel rounds run
-    // over the full dup-graph edge set, the largest the loop ever sees,
-    // so a fixed floor there is the straggler anti-pattern the r5/r6
-    // verdicts flagged. `edgesPerPart` is injectable so specs can drive
-    // the loop through many partitions on fixture-sized graphs.
-    val parts = graphParts(pairs.count() * 2, edgesPerPart)
-    var sym = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .coalesce(parts).localCheckpoint()
-    var n = sym.count()
+  /** Peel the CHECKPOINTED symmetrized edge set `sym0` (rows counted as
+    * `n0`) to its k-core fixpoint: drop nodes with degree < k until
+    * stable, THROW at the round cap (same contract as
+    * [[connectedComponents]] — an unconverged overset is wrong, loud
+    * beats wrong). Returns the checkpointed fixpoint edge set; the
+    * caller owns unpersisting both input and result. Factored so the
+    * 2-core census and the full core-number decomposition share one
+    * loop. */
+  private def peelTo(sym0: DataFrame, n0: Long, k: Int, parts: Int,
+      maxRounds: Int): DataFrame = {
+    var sym = sym0
+    var n = n0
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -459,33 +457,141 @@ object GraphOps {
         .select(col("a"), col("b"))
         .coalesce(parts).localCheckpoint()
       val m = next.count()
-      sym.unpersist()
+      if (!(sym eq sym0)) sym.unpersist()
       converged = m == n
       n = m
       sym = next
       rounds += 1
     }
     if (!converged) {
-      sym.unpersist()
+      if (!(sym eq sym0)) sym.unpersist()
       throw new IllegalStateException(
-        s"kcoreOf: peel not stable after $maxRounds rounds — refusing to return an overset")
+        s"peelTo(k=$k): peel not stable after $maxRounds rounds — refusing to return an overset")
     }
+    sym
+  }
+
+  private[graft] def kcoreOf(pairs: DataFrame, k: Int, maxRounds: Int,
+      edgesPerPart: Long = 1000000L): DataFrame = {
+    // partition count follows the MEASURED symmetrized edge count
+    // (exactly 2× the pair count — one cheap count() before any
+    // coalesce), same as connectedComponents: the first peel rounds run
+    // over the full dup-graph edge set, the largest the loop ever sees,
+    // so a fixed floor there is the straggler anti-pattern the r5/r6
+    // verdicts flagged. `edgesPerPart` is injectable so specs can drive
+    // the loop through many partitions on fixture-sized graphs.
+    val n0 = pairs.count() * 2
+    val parts = graphParts(n0, edgesPerPart)
+    val sym = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .coalesce(parts).localCheckpoint()
+    val fix = peelTo(sym, n0, k, parts, maxRounds)
     // materialize the (tiny) core census, then release the peel state
     // rather than leaving the last iteration's blocks pinned behind the
     // returned lazy plan
-    val core = sym.groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
+    val core = fix.groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
       .select(col("a").as("doc_id"), col("core_deg"))
       .localCheckpoint()
-    sym.unpersist()
+    fix.unpersist()
+    if (!(fix eq sym)) sym.unpersist()
     core
   }
 
-  /** Oracle: the same peel as a recursive CTE — DuckDB permits the
-    * aggregate + double self-reference in the recursive member, so each
-    * iteration re-emits the surviving edges and the fixpoint is read at
-    * the iteration cap (a stable set re-emits itself every round, so
-    * the cap level IS the fixpoint; a fixture needing more rounds than
-    * the cap diverges from Spark's thrown error — loud either way). */
+  /** Full k-core DECOMPOSITION (r6 verdict optional item 7): every
+    * node labeled with its core number — the max k such that it
+    * survives the k-peel — grading dup-family pathology on one axis
+    * (core 1 = tree-like template drift, high core = dense near-dup
+    * clique). Nested-peel shape: the k-core is contained in the
+    * (k−1)-core, so level k peels the PREVIOUS level's fixpoint, never
+    * the full graph; total work is the sum of shrinking edge sets, and
+    * each level's survivors are recorded as a node-sized (id, k) frame,
+    * folded into `max(k)` per node at the end (one aggregate over ≤
+    * maxCore tiny frames — no per-level label join). Level count is
+    * bounded by max degree; hitting `maxK` with edges still standing
+    * THROWS, same loud-beats-wrong contract as the other graph loops. */
+  private[graft] def coreNumbersOf(pairs: DataFrame, maxK: Int, maxRounds: Int,
+      edgesPerPart: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val n0 = pairs.count() * 2
+    val parts = graphParts(n0, edgesPerPart)
+    var sym = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .coalesce(parts).localCheckpoint()
+    // every node touching an edge has core ≥ 1
+    val levels = scala.collection.mutable.ArrayBuffer(
+      sym.select(col("a").as("id")).distinct().withColumn("k", lit(1)))
+    var n = n0
+    var k = 2
+    while (n > 0 && k <= maxK) {
+      val fix = peelTo(sym, n, k, parts, maxRounds)
+      n = fix.count()
+      sym.unpersist()
+      sym = fix
+      if (n > 0)
+        levels += sym.select(col("a").as("id")).distinct().withColumn("k", lit(k))
+      k += 1
+    }
+    if (n > 0) {
+      sym.unpersist()
+      throw new IllegalStateException(
+        s"coreNumbersOf: core deeper than maxK=$maxK — refusing to return truncated labels")
+    }
+    val out = levels.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(max(col("k")).as("core_number"))
+      .select(col("id").as("doc_id"), col("core_number"))
+      .localCheckpoint()
+    sym.unpersist()
+    out
+  }
+
+  def graphCoreNumbers(spark: SparkSession, dir: String): DataFrame =
+    coreNumbersOf(Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")), maxK = 64, maxRounds = 30)
+
+  /** Oracle: nested peel as ONE recursive CTE over state rows
+    * (k, iter, a, b) — within a level the existing peel recursion runs
+    * to the fixed inner cap (a stable set re-emits itself, so the cap
+    * row IS the fixpoint), then the cap row transitions the whole
+    * fixpoint to level k+1; the recursion ends naturally when a level
+    * peels to empty. Core number = max level whose FIXPOINT (iter at
+    * the cap) contains the node, default 1 for nodes peeled before the
+    * 2-core settles. `pairs` is materialized so the corpus CTE isn't
+    * re-inlined into every recursive step (the attr_markov lesson). */
+  val graphCoreNumbersSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |${Dedup.minhashLshPairsSql}
+       |),
+       |csym AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |cpeel(k, iter, a, b) AS (
+       |  SELECT 2, 0, a, b FROM csym
+       |  UNION ALL
+       |  SELECT CASE WHEN p.iter = 30 THEN p.k + 1 ELSE p.k END,
+       |         CASE WHEN p.iter = 30 THEN 0 ELSE p.iter + 1 END,
+       |         p.a, p.b
+       |  FROM cpeel p
+       |  JOIN (SELECT k, iter, a, count(*) AS deg
+       |        FROM cpeel GROUP BY k, iter, a) da
+       |    ON da.k = p.k AND da.iter = p.iter AND da.a = p.a
+       |  JOIN (SELECT k, iter, a AS b, count(*) AS deg
+       |        FROM cpeel GROUP BY k, iter, a) db
+       |    ON db.k = p.k AND db.iter = p.iter AND db.b = p.b
+       |  WHERE da.deg >= p.k AND db.deg >= p.k AND p.k <= 64),
+       |fixp AS (SELECT k, a FROM cpeel WHERE iter = 30 GROUP BY k, a)
+       |SELECT n.id AS doc_id, coalesce(max(f.k), 1) AS core_number
+       |FROM (SELECT DISTINCT a AS id FROM csym) n
+       |LEFT JOIN fixp f ON f.a = n.id
+       |GROUP BY n.id""".stripMargin
+
+  /** Oracle (2-core census): the same peel as a recursive CTE — DuckDB
+    * permits the aggregate + double self-reference in the recursive
+    * member, so each iteration re-emits the surviving edges and the
+    * fixpoint is read at the iteration cap (a stable set re-emits
+    * itself every round, so the cap level IS the fixpoint; a fixture
+    * needing more rounds than the cap diverges from Spark's thrown
+    * error — loud either way). */
   val graphKcoreSql: String =
     s"""WITH RECURSIVE pairs AS (
        |${Dedup.minhashLshPairsSql}
@@ -508,14 +614,16 @@ object GraphOps {
        |FROM peel WHERE iter = 30 GROUP BY a""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank"   -> (graphPagerank _),
-    "graph_deep_chain" -> (graphDeepChain _),
-    "graph_triangles"  -> (graphTriangles _),
-    "graph_kcore"      -> (graphKcore _))
+    "graph_pagerank"     -> (graphPagerank _),
+    "graph_deep_chain"   -> (graphDeepChain _),
+    "graph_triangles"    -> (graphTriangles _),
+    "graph_kcore"        -> (graphKcore _),
+    "graph_core_numbers" -> (graphCoreNumbers _))
 
   def oracles: Map[String, String] = Map(
-    "graph_pagerank"   -> graphPagerankSql,
-    "graph_deep_chain" -> graphDeepChainSql,
-    "graph_triangles"  -> graphTrianglesSql,
-    "graph_kcore"      -> graphKcoreSql)
+    "graph_pagerank"     -> graphPagerankSql,
+    "graph_deep_chain"   -> graphDeepChainSql,
+    "graph_triangles"    -> graphTrianglesSql,
+    "graph_kcore"        -> graphKcoreSql,
+    "graph_core_numbers" -> graphCoreNumbersSql)
 }

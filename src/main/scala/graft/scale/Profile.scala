@@ -58,6 +58,60 @@ object Profile {
        |$rows""".stripMargin
   }
 
+  // ----------------------------------------------------------- histograms
+  /** Per-column equi-width histograms over the documents table — the
+    * dataset-card artifact a curation pipeline publishes next to the
+    * scalar profile (r6 verdict item 6): for each numeric column, 16
+    * buckets with count plus the actual min/max landing in each (the
+    * real support, which fixed edges alone hide).
+    *
+    * Determinism design: bucketing is PURE BIGINT arithmetic —
+    * `((v − mn) · B) div (mx − mn + 1)` — so the histogram is bit-exact
+    * on any engine and any partitioning, the same reproducibility
+    * argument as the integer PageRank ([[GraphOps]]); float equi-width
+    * (`floor((v−mn)/w)`) puts boundary values one ulp from flipping
+    * buckets cross-engine. Shape at scale: fit = one aggregate (3-row
+    * min/max frame, broadcast back), apply = one projection + one
+    * grouped count — two scans, no shuffle wider than (columns ×
+    * buckets). At 100 TB the same apply step would take its edges from
+    * the GK sketch ([[Sketches]]) instead of the exact min/max when
+    * quantile edges are wanted (equi-depth cards); the exact-min/max
+    * form is the one a deterministic oracle can replay. */
+  private val HistBuckets = 16
+
+  def profileHistograms(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_words"))
+    val longCols = Seq("doc_id", "n_chars", "n_words")
+    val stacked = longCols.map(c => s"'$c', $c").mkString(", ")
+    val tall = base.select(expr(s"stack(${longCols.size}, $stacked) AS (column_name, v)"))
+    val fit = tall.groupBy(col("column_name"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    tall.join(broadcast(fit), "column_name")
+      .withColumn("bucket",
+        expr(s"((v - mn) * $HistBuckets) div (mx - mn + 1)"))
+      .groupBy(col("column_name"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
+  val profileHistogramsSql: String =
+    s"""WITH tall AS (
+       |  SELECT 'doc_id' AS column_name, doc_id AS v FROM documents
+       |  UNION ALL
+       |  SELECT 'n_chars', n_chars FROM documents
+       |  UNION ALL
+       |  SELECT 'n_words',
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+       |      AS BIGINT)
+       |  FROM documents),
+       |f AS (SELECT column_name, min(v) AS mn, max(v) AS mx FROM tall GROUP BY 1)
+       |SELECT t.column_name,
+       |       ((t.v - f.mn) * $HistBuckets) // (f.mx - f.mn + 1) AS bucket,
+       |       count(*) AS n, min(t.v) AS lo, max(t.v) AS hi
+       |FROM tall t JOIN f ON f.column_name = t.column_name
+       |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- skew
   /** Join-key SKEW census — the diagnostic that decides between a plain
     * shuffle join, AQE skew splitting, and salting (`j5_skew_salted`):
@@ -169,12 +223,14 @@ object Profile {
       |FROM v1 FULL OUTER JOIN v2 ON v1.day = v2.day""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "profile_documents" -> (profileDocuments _),
-    "recon_diff"        -> (reconDiff _),
-    "skew_census"       -> (skewCensus _))
+    "profile_documents"  -> (profileDocuments _),
+    "profile_histograms" -> (profileHistograms _),
+    "recon_diff"         -> (reconDiff _),
+    "skew_census"        -> (skewCensus _))
 
   def oracles: Map[String, String] = Map(
-    "profile_documents" -> profileDocumentsSql,
-    "recon_diff"        -> reconDiffSql,
-    "skew_census"       -> skewCensusSql)
+    "profile_documents"  -> profileDocumentsSql,
+    "profile_histograms" -> profileHistogramsSql,
+    "recon_diff"         -> reconDiffSql,
+    "skew_census"        -> skewCensusSql)
 }

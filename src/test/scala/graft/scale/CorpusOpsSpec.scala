@@ -80,6 +80,32 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(col("count") > 64).count() === 0)
   }
 
+  test("sequence packing: every doc placed once, budget kept, offsets contiguous, next-fit tight") {
+    import org.apache.spark.sql.expressions.Window
+    val out = CorpusOps.packNextFit(spark, sfDir).cache()
+    try {
+      assert(out.count() === Tables.documents(spark, sfDir).count(),
+        "every doc placed exactly once")
+      // no sequence exceeds the token budget
+      val fills = out.groupBy(col("lang"), col("source"), col("seq_no"))
+        .agg(sum(col("n_tokens")).as("fill"))
+      assert(fills.filter(col("fill") > CorpusOps.PackBudget).isEmpty)
+      // offsets are the exact running fill in doc_id order
+      val w = Window.partitionBy(col("lang"), col("source"), col("seq_no"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      assert(out.withColumn("expected", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("tok_offset") =!= col("expected")).isEmpty)
+      // next-fit tightness: a doc opening sequence s > 0 must not have
+      // fit at the end of sequence s − 1
+      val prev = fills.select(col("lang"), col("source"),
+        (col("seq_no") + 1).as("seq_no"), col("fill").as("prev_fill"))
+      val loose = out.filter(col("tok_offset") === 0 && col("seq_no") > 0)
+        .join(prev, Seq("lang", "source", "seq_no"))
+        .filter(col("prev_fill") + col("n_tokens") <= CorpusOps.PackBudget)
+      assert(loose.isEmpty, "doc started a new sequence it didn't need")
+    } finally out.unpersist()
+  }
+
   test("k-anonymity census: suppression bounded by class counts") {
     val out = CorpusOps.kAnonymity(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -127,6 +127,24 @@ class GraphOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("core-number decomposition labels cliques, triangles, and pendants correctly") {
+    import spark.implicits._
+    // K4 on 1..4 (core 3) + pendant chain 4-5-6 (core 1) + triangle
+    // 7-8-9 (core 2) + isolated pair 10-11 (core 1)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val pairs = (k4 ++ Seq((4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L),
+      (10L, 11L))).toDF("a", "b")
+    val out = GraphOps.coreNumbersOf(pairs, maxK = 8, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = (1L to 4L).map(_ -> 3).toMap ++
+      Map(5L -> 1, 6L -> 1, 7L -> 2, 8L -> 2, 9L -> 2, 10L -> 1, 11L -> 1)
+    assert(out == expect, s"core numbers wrong: $out")
+    // a core deeper than maxK must throw, not return truncated labels
+    intercept[IllegalStateException] {
+      GraphOps.coreNumbersOf(pairs, maxK = 2, maxRounds = 10).collect()
+    }
+  }
+
   test("graph_deep_chain co-labels whole chains of 26 with the chain-min id") {
     val out = GraphOps.graphDeepChain(spark, sfDir).cache()
     val n = out.count()
