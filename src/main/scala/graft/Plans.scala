@@ -45,8 +45,17 @@ object Plans {
       "labels are the pointer-doubling loop's checkpointed fixpoint (LogicalRDD) joined back " +
       "to the node frame — plain propagation would throw at the 12-round cap"),
     "w41_renko"           -> "per-user brick-size fit BROADCAST onto the sorted-group fold (typed state machine)",
-    "graph_triangles"     -> "triangle census: canonical-edge three-way equi-join, each triangle found once",
-    "text_zipf"           -> "one corpus token aggregate; rank window + OLS run on the vocab-sized frame only")
+    "graph_triangles"     -> ("triangle census, DEGREE-ORIENTED: edges point low-(deg,id) to high, " +
+      "wedges enumerate from out-neighbors only (arboricity-bounded — hubs fan out zero wedges), " +
+      "closing edge checked by one semi-join"),
+    "text_zipf"           -> "one corpus token aggregate; rank window + OLS run on the vocab-sized frame only",
+    "profile_histograms"  -> ("per-column histograms: 3-row min/max fit BROADCAST back, pure-BIGINT " +
+      "bucketing, one grouped count — two scans, shuffle no wider than columns x buckets"),
+    "pack_next_fit"       -> ("next-fit sequence packing: token counts map-side, ONE sort-group " +
+      "exchange on the (lang, source) shard key, O(1) fold state"),
+    "graph_core_numbers"  -> ("nested k-core peel: each level's fixpoint is a checkpointed " +
+      "LogicalRDD feeding the next level; the plan shows the final max(k) fold over the " +
+      "node-sized per-level survivor frames"))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
