@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   * exact duplicate and the near-dup stages go quadratic inside each
   * clone family — a different (harder) workload than 10× data.
   *
+  * KNOWN LIMITATION (measured, adjudicated in SCALE.md): the word tags
+  * decorrelate shingle VOCABULARIES but not byte HISTOGRAMS — a
+  * replica doc keeps ~its original byte statistics, so the multimodal
+  * blob channel (media = utf-8 text bytes) DOES form cross-replica
+  * pHash clone families: at sf1 the pHash pair output grows 141× on
+  * 10× docs (86% cross-replica). Decorrelating bytes per (doc,
+  * replica) would also separate genuine within-corpus near-dup blobs
+  * (the salt would differ between the very pair members the operator
+  * exists to find), so the correlation is accepted and the sf1
+  * mm_phash number is read as a clone-family workload, not 10× data.
+  *
   * Usage: runMain graft.GenScale <srcDir> <outDir> [factor=10] */
 object GenScale {
   def main(args: Array[String]): Unit = {

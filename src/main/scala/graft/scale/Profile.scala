@@ -112,6 +112,64 @@ object Profile {
        |FROM tall t JOIN f ON f.column_name = t.column_name
        |GROUP BY 1, 2""".stripMargin
 
+  /** Equi-DEPTH counterpart of [[profileHistograms]] — 16 quantile
+    * buckets per column (the dataset-card form that shows distribution
+    * shape where equi-width drowns in a long tail). Tie groups stay
+    * whole: bucket = `(rows-strictly-below · B) div n` assigns every
+    * occurrence of a value to one bucket, so the histogram is a pure
+    * function of the value multiset — deterministic, BIGINT-only,
+    * hash-oracleable. Scale shape: the corpus is touched once by the
+    * (column, value) count aggregate; the cumulative window then runs
+    * over the DISTINCT-VALUE frame partitioned per column — domain-
+    * bounded (doc-length values, not documents), the same reason the
+    * Zipf rank window is safe — and the per-column totals broadcast
+    * back. No corpus-sized sort or single-partition window anywhere. */
+  def profileEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_words"))
+    val longCols = Seq("doc_id", "n_chars", "n_words")
+    val stacked = longCols.map(c => s"'$c', $c").mkString(", ")
+    val tall = base.select(expr(s"stack(${longCols.size}, $stacked) AS (column_name, v)"))
+    val counts = tall.groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy(col("column_name")).agg(sum(col("cnt")).as("n_rows"))
+    val w = Window.partitionBy(col("column_name")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(broadcast(tot), "column_name")
+      .withColumn("bucket", expr(s"(cum_before * $HistBuckets) div n_rows"))
+      .groupBy(col("column_name"), col("bucket"))
+      .agg(sum(col("cnt")).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
+  val profileEquidepthSql: String =
+    s"""WITH tall AS (
+       |  SELECT 'doc_id' AS column_name, doc_id AS v FROM documents
+       |  UNION ALL
+       |  SELECT 'n_chars', n_chars FROM documents
+       |  UNION ALL
+       |  SELECT 'n_words',
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+       |      AS BIGINT)
+       |  FROM documents),
+       |counts AS (
+       |  SELECT column_name, v, count(*) AS cnt FROM tall GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT column_name, CAST(sum(cnt) AS BIGINT) AS n_rows
+       |  FROM counts GROUP BY 1),
+       |cum AS (
+       |  SELECT column_name, v, cnt,
+       |    CAST(coalesce(sum(cnt) OVER (PARTITION BY column_name ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM counts)
+       |SELECT c.column_name, (c.cum_before * $HistBuckets) // t.n_rows AS bucket,
+       |       CAST(sum(c.cnt) AS BIGINT) AS n, min(c.v) AS lo, max(c.v) AS hi
+       |FROM cum c JOIN tot t USING (column_name)
+       |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- skew
   /** Join-key SKEW census — the diagnostic that decides between a plain
     * shuffle join, AQE skew splitting, and salting (`j5_skew_salted`):
@@ -225,12 +283,14 @@ object Profile {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_documents"  -> (profileDocuments _),
     "profile_histograms" -> (profileHistograms _),
+    "profile_equidepth"  -> (profileEquidepth _),
     "recon_diff"         -> (reconDiff _),
     "skew_census"        -> (skewCensus _))
 
   def oracles: Map[String, String] = Map(
     "profile_documents"  -> profileDocumentsSql,
     "profile_histograms" -> profileHistogramsSql,
+    "profile_equidepth"  -> profileEquidepthSql,
     "recon_diff"         -> reconDiffSql,
     "skew_census"        -> skewCensusSql)
 }
