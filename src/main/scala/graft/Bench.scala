@@ -38,7 +38,8 @@ object Bench {
     "w19_psar", "split_by_cluster", "s6_vwap",
     "w39_heikin_ashi", "imp_permutation", "er_clusters", "decontam_minhash",
     "graph_deep_chain", "graph_kcore", "graph_core_numbers", "w41_zigzag",
-    "text_zipf", "attr_markov", "profile_histograms")
+    "text_zipf", "attr_markov", "profile_histograms", "profile_equidepth",
+    "pack_next_fit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -482,8 +482,7 @@ object CorpusOps {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("lang"), col("source"), col("doc_id"),
-        least(size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long"),
-          lit(PackBudget)).as("n_tokens"))
+        least(TextAnalysis.wsTokenCount.cast("long"), lit(PackBudget)).as("n_tokens"))
       .as[PackIn]
       .groupByKey(r => (r.lang, r.source))
       .flatMapSortedGroups($"doc_id") { (_: (String, String), rows: Iterator[PackIn]) =>
@@ -504,8 +503,8 @@ object CorpusOps {
   val packNextFitSql: String =
     s"""WITH RECURSIVE pdocs AS MATERIALIZED (
        |  SELECT lang, source, doc_id,
-       |    least(CAST(len(list_filter(string_split_regex(text, '\\s+'),
-       |      t -> t <> '')) AS BIGINT), $PackBudget) AS n_tokens,
+       |    least(CAST(${TextAnalysis.wsTokenCountSql} AS BIGINT), $PackBudget)
+       |      AS n_tokens,
        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
        |  FROM documents),
        |pk(lang, source, rn, doc_id, seq_no, tok_offset, n_tokens, fill) AS (

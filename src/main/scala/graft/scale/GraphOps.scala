@@ -350,10 +350,14 @@ object GraphOps {
   private[graft] def trianglesOf(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val tri = wedgeRows(e, deg)
+    // orient ONCE; the wedge join references it twice and the closing
+    // probe a third time — one shared subtree for ReuseExchange instead
+    // of re-deriving the degree joins per leg
+    val o = orientedEdges(e, deg)
+    val tri = wedgeRows(o)
       // closing edge {u, w}: (deg,id)-ordered u before w, so if the edge
       // exists its orientation is necessarily u→w — one semi-join probe
-      .join(orientedEdges(e, deg).select(col("lo").as("u"), col("hi").as("w")),
+      .join(o.select(col("lo").as("u"), col("hi").as("w")),
         Seq("u", "w"), "left_semi")
       .select(explode(array(col("lo"), col("u"), col("w"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
@@ -380,17 +384,16 @@ object GraphOps {
       when(aFirst, col("db")).otherwise(col("da")).as("hi_deg"))
   }
 
-  /** Open wedges lo→u, lo→w with u before w in (deg, id) order — the
-    * candidate set the closing-edge semi-join filters. Factored (and
-    * countable) so the spec can pin the hub-graph bound: a pure star's
-    * wedge count is 0 under degree orientation, vs O(d²) without. */
-  private[graft] def wedgeRows(e: DataFrame, deg: DataFrame): DataFrame = {
-    val o = orientedEdges(e, deg)
+  /** Open wedges lo→u, lo→w with u before w in (deg, id) order over an
+    * [[orientedEdges]] frame — the candidate set the closing-edge
+    * semi-join filters. Factored (and countable) so the spec can pin
+    * the hub-graph bound: a pure star's wedge count is 0 under degree
+    * orientation, vs O(d²) without. */
+  private[graft] def wedgeRows(o: DataFrame): DataFrame =
     o.select(col("lo"), col("hi").as("u"), col("hi_deg").as("du")).as("w1")
       .join(o.select(col("lo"), col("hi").as("w"), col("hi_deg").as("dw")).as("w2"), Seq("lo"))
       .filter(col("du") < col("dw") || (col("du") === col("dw") && col("u") < col("w")))
       .select(col("lo"), col("u"), col("w"))
-  }
 
   val graphTrianglesSql: String =
     s"""WITH pairs AS (
@@ -434,6 +437,20 @@ object GraphOps {
     kcoreOf(Dedup.minhashLshPairs(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b")), k = 2, maxRounds = 30)
 
+  /** Measure, size, symmetrize, checkpoint — the shared preamble of
+    * both peel entry points (factored so the r5/r6 partition-floor
+    * class of bug can't drift between them): returns the checkpointed
+    * both-directions edge frame, its row count (exactly 2× the pairs),
+    * and the measured partition count. */
+  private def symmetrize(pairs: DataFrame, edgesPerPart: Long): (DataFrame, Long, Int) = {
+    val n0 = pairs.count() * 2
+    val parts = graphParts(n0, edgesPerPart)
+    val sym = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .coalesce(parts).localCheckpoint()
+    (sym, n0, parts)
+  }
+
   /** Peel the CHECKPOINTED symmetrized edge set `sym0` (rows counted as
     * `n0`) to its k-core fixpoint: drop nodes with degree < k until
     * stable, THROW at the round cap (same contract as
@@ -473,18 +490,13 @@ object GraphOps {
 
   private[graft] def kcoreOf(pairs: DataFrame, k: Int, maxRounds: Int,
       edgesPerPart: Long = 1000000L): DataFrame = {
-    // partition count follows the MEASURED symmetrized edge count
-    // (exactly 2× the pair count — one cheap count() before any
-    // coalesce), same as connectedComponents: the first peel rounds run
-    // over the full dup-graph edge set, the largest the loop ever sees,
-    // so a fixed floor there is the straggler anti-pattern the r5/r6
-    // verdicts flagged. `edgesPerPart` is injectable so specs can drive
-    // the loop through many partitions on fixture-sized graphs.
-    val n0 = pairs.count() * 2
-    val parts = graphParts(n0, edgesPerPart)
-    val sym = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .coalesce(parts).localCheckpoint()
+    // partition count follows the MEASURED symmetrized edge count (see
+    // symmetrize), same as connectedComponents: the first peel rounds
+    // run over the full dup-graph edge set, the largest the loop ever
+    // sees, so a fixed floor there is the straggler anti-pattern the
+    // r5/r6 verdicts flagged. `edgesPerPart` is injectable so specs can
+    // drive the loop through many partitions on fixture-sized graphs.
+    val (sym, n0, parts) = symmetrize(pairs, edgesPerPart)
     val fix = peelTo(sym, n0, k, parts, maxRounds)
     // materialize the (tiny) core census, then release the peel state
     // rather than leaving the last iteration's blocks pinned behind the
@@ -511,24 +523,24 @@ object GraphOps {
     * THROWS, same loud-beats-wrong contract as the other graph loops. */
   private[graft] def coreNumbersOf(pairs: DataFrame, maxK: Int, maxRounds: Int,
       edgesPerPart: Long = 1000000L): DataFrame = {
-    val spark = pairs.sparkSession
-    val n0 = pairs.count() * 2
-    val parts = graphParts(n0, edgesPerPart)
-    var sym = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .coalesce(parts).localCheckpoint()
+    var (sym, n, parts) = symmetrize(pairs, edgesPerPart)
+    // each level's survivor frame is CHECKPOINTED (node-sized, one tiny
+    // job) before the edge set backing it is released — the
+    // materialize-before-unpersist discipline the other loops follow; a
+    // lazy select over an already-released checkpoint would be a
+    // use-after-free the moment unpersist actually frees blocks
+    def survivors(edges: DataFrame, level: Int): DataFrame =
+      edges.select(col("a").as("id")).distinct()
+        .withColumn("k", lit(level)).localCheckpoint()
     // every node touching an edge has core ≥ 1
-    val levels = scala.collection.mutable.ArrayBuffer(
-      sym.select(col("a").as("id")).distinct().withColumn("k", lit(1)))
-    var n = n0
+    val levels = scala.collection.mutable.ArrayBuffer(survivors(sym, 1))
     var k = 2
     while (n > 0 && k <= maxK) {
       val fix = peelTo(sym, n, k, parts, maxRounds)
       n = fix.count()
       sym.unpersist()
       sym = fix
-      if (n > 0)
-        levels += sym.select(col("a").as("id")).distinct().withColumn("k", lit(k))
+      if (n > 0) levels += survivors(sym, k)
       k += 1
     }
     if (n > 0) {
@@ -541,6 +553,7 @@ object GraphOps {
       .select(col("id").as("doc_id"), col("core_number"))
       .localCheckpoint()
     sym.unpersist()
+    levels.foreach(_.unpersist())
     out
   }
 

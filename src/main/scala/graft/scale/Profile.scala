@@ -79,13 +79,29 @@ object Profile {
     * form is the one a deterministic oracle can replay. */
   private val HistBuckets = 16
 
-  def profileHistograms(spark: SparkSession, dir: String): DataFrame = {
+  /** The (column_name, v) tall frame both histogram profilers bucket —
+    * one definition (with its SQL twin) so the profiled column set and
+    * the token rule can't drift between the two queries or their
+    * oracles. */
+  private def docLongTall(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
-        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_words"))
+        TextAnalysis.wsTokenCount.cast("long").as("n_words"))
     val longCols = Seq("doc_id", "n_chars", "n_words")
     val stacked = longCols.map(c => s"'$c', $c").mkString(", ")
-    val tall = base.select(expr(s"stack(${longCols.size}, $stacked) AS (column_name, v)"))
+    base.select(expr(s"stack(${longCols.size}, $stacked) AS (column_name, v)"))
+  }
+
+  private val docLongTallSql: String =
+    s"""SELECT 'doc_id' AS column_name, doc_id AS v FROM documents
+       |  UNION ALL
+       |  SELECT 'n_chars', n_chars FROM documents
+       |  UNION ALL
+       |  SELECT 'n_words', CAST(${TextAnalysis.wsTokenCountSql} AS BIGINT)
+       |  FROM documents""".stripMargin
+
+  def profileHistograms(spark: SparkSession, dir: String): DataFrame = {
+    val tall = docLongTall(spark, dir)
     val fit = tall.groupBy(col("column_name"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     tall.join(broadcast(fit), "column_name")
@@ -97,14 +113,7 @@ object Profile {
 
   val profileHistogramsSql: String =
     s"""WITH tall AS (
-       |  SELECT 'doc_id' AS column_name, doc_id AS v FROM documents
-       |  UNION ALL
-       |  SELECT 'n_chars', n_chars FROM documents
-       |  UNION ALL
-       |  SELECT 'n_words',
-       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
-       |      AS BIGINT)
-       |  FROM documents),
+       |  $docLongTallSql),
        |f AS (SELECT column_name, min(v) AS mn, max(v) AS mx FROM tall GROUP BY 1)
        |SELECT t.column_name,
        |       ((t.v - f.mn) * $HistBuckets) // (f.mx - f.mn + 1) AS bucket,
@@ -126,13 +135,7 @@ object Profile {
     * back. No corpus-sized sort or single-partition window anywhere. */
   def profileEquidepth(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_words"))
-    val longCols = Seq("doc_id", "n_chars", "n_words")
-    val stacked = longCols.map(c => s"'$c', $c").mkString(", ")
-    val tall = base.select(expr(s"stack(${longCols.size}, $stacked) AS (column_name, v)"))
-    val counts = tall.groupBy(col("column_name"), col("v"))
+    val counts = docLongTall(spark, dir).groupBy(col("column_name"), col("v"))
       .agg(count(lit(1)).as("cnt"))
     val tot = counts.groupBy(col("column_name")).agg(sum(col("cnt")).as("n_rows"))
     val w = Window.partitionBy(col("column_name")).orderBy(col("v"))
@@ -146,14 +149,7 @@ object Profile {
 
   val profileEquidepthSql: String =
     s"""WITH tall AS (
-       |  SELECT 'doc_id' AS column_name, doc_id AS v FROM documents
-       |  UNION ALL
-       |  SELECT 'n_chars', n_chars FROM documents
-       |  UNION ALL
-       |  SELECT 'n_words',
-       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
-       |      AS BIGINT)
-       |  FROM documents),
+       |  $docLongTallSql),
        |counts AS (
        |  SELECT column_name, v, count(*) AS cnt FROM tall GROUP BY 1, 2),
        |tot AS (

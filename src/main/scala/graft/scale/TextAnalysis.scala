@@ -151,10 +151,23 @@ object TextAnalysis {
        |FROM qs""".stripMargin
 
   // ---------------------------------------------------------------- tokens
+  /** Whitespace token count over `text` — THE one definition (with its
+    * SQL twin below) shared by tokenCount, the histogram profilers, and
+    * the sequence packer, so a tokenization change can't drift between
+    * Spark and any oracle. */
+  private[graft] def wsTokenCount: org.apache.spark.sql.Column =
+    size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+
+  /** DuckDB twin of [[wsTokenCount]] (INT-typed like Spark's `size`;
+    * callers cast as needed). Escapes are already resolved — embed via
+    * interpolation, not inside another escape layer. */
+  private[graft] val wsTokenCountSql: String =
+    """len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))"""
+
   /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
     * (word pieces + standalone punctuation), plus chars/token. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val wsToks = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+    val wsToks = wsTokenCount
     val bpeToks = size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
     Tables.documents(spark, dir).select(
       col("doc_id"),

@@ -118,7 +118,7 @@ class GraphOpsSpec extends SparkSpec {
     // unoriented wedge work through the hub would be ~d²/2 ≈ 500k rows;
     // oriented, every star edge points INTO the hub, so the only wedges
     // come from the two deg-2 leaves — linear-ish, as the verdict asks
-    val wedges = GraphOps.wedgeRows(e, deg).count()
+    val wedges = GraphOps.wedgeRows(GraphOps.orientedEdges(e, deg)).count()
     assert(wedges <= 2, s"hub must not fan out wedges, got $wedges")
     val out = GraphOps.trianglesOf(e).cache()
     assert(out.filter(col("doc_id") === 0L).head().getLong(2) == 1L, "hub: 1 triangle")
