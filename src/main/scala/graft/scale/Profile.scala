@@ -129,13 +129,21 @@ object Profile {
     * function of the value multiset — deterministic, BIGINT-only,
     * hash-oracleable. Scale shape: the corpus is touched once by the
     * (column, value) count aggregate; the cumulative window then runs
-    * over the DISTINCT-VALUE frame partitioned per column — domain-
-    * bounded (doc-length values, not documents), the same reason the
-    * Zipf rank window is safe — and the per-column totals broadcast
+    * over the DISTINCT-VALUE frame partitioned per column — and that
+    * is exactly why ID-LIKE columns (doc_id) are EXCLUDED here: a
+    * unique column's distinct-value frame IS the corpus, collapsing
+    * the window to one corpus-sized partition (the anti-pattern),
+    * while its equi-depth histogram is rank-trivial anyway. The
+    * measure columns (doc-length values) are domain-bounded, the same
+    * reason the Zipf rank window is safe; per-column totals broadcast
     * back. No corpus-sized sort or single-partition window anywhere. */
+  private val equidepthCols = Seq("n_chars", "n_words")
+
   def profileEquidepth(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docLongTall(spark, dir).groupBy(col("column_name"), col("v"))
+    val counts = docLongTall(spark, dir)
+      .filter(col("column_name").isin(equidepthCols: _*))
+      .groupBy(col("column_name"), col("v"))
       .agg(count(lit(1)).as("cnt"))
     val tot = counts.groupBy(col("column_name")).agg(sum(col("cnt")).as("n_rows"))
     val w = Window.partitionBy(col("column_name")).orderBy(col("v"))
@@ -151,7 +159,9 @@ object Profile {
     s"""WITH tall AS (
        |  $docLongTallSql),
        |counts AS (
-       |  SELECT column_name, v, count(*) AS cnt FROM tall GROUP BY 1, 2),
+       |  SELECT column_name, v, count(*) AS cnt FROM tall
+       |  WHERE column_name IN (${equidepthCols.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY 1, 2),
        |tot AS (
        |  SELECT column_name, CAST(sum(cnt) AS BIGINT) AS n_rows
        |  FROM counts GROUP BY 1),
