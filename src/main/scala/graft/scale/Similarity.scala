@@ -41,8 +41,12 @@ object Similarity {
     * the full 32 serve the banded near-dup candidate generator in
     * [[Dedup]]. */
   private[scale] lazy val planes: Array[Array[Double]] = {
+    // 1024 planes (≈ 512 KB) so the adaptive embedding-LSH schedule
+    // (up to 64 bands × 16 bits, Dedup.lshSchedule) draws from the same
+    // deterministic md5 family the 8/32-plane consumers already use —
+    // plane j is identical at any width
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(32, 64) { (j, d) =>
+    Array.tabulate(1024, 64) { (j, d) =>
       val hex = mdig.digest(s"${j}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 8)
       java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0

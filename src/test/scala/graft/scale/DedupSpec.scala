@@ -158,4 +158,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(spark, tmp).count() == 0)
     assert(Dedup.dedupClusters(spark, tmp).count() == 0)
   }
+
+  test("embedding LSH schedule: bucket-bounded bits, recall-guarding bands, capped") {
+    // avg bucket population stays <= 256: bits grow with the corpus
+    assert(Dedup.lshSchedule(500L) == ((2, 16)), "fixture scale keeps the legacy 2x16 shape")
+    assert(Dedup.lshSchedule(2000L) == ((3, 24)))
+    assert(Dedup.lshSchedule(200000L) == ((10, 64)))
+    // never unbounded: a planetary corpus caps at 16 bits x 64 bands
+    assert(Dedup.lshSchedule(1L << 40) == ((16, 64)))
+    // monotone: more data never narrows the bands
+    val scheds = Seq(1L, 1000L, 100000L, 10000000L).map(Dedup.lshSchedule)
+    assert(scheds.sliding(2).forall { case Seq(a, b) => a._1 <= b._1 && a._2 <= b._2 })
+  }
 }
