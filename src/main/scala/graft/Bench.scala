@@ -50,14 +50,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // SPARK_GRAFT_ONLY=headline restricts to the headline set — used for
-    // the sf1 scale run, where the full registry would measure VM
-    // contention more than plans
+    // SPARK_GRAFT_ONLY=headline restricts to the headline set (the sf1
+    // scale run, where the full registry would measure VM contention
+    // more than plans); any other value is a comma-separated explicit
+    // query list (the sf10 run benches only the scale-critical subset)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
-    val ordered =
-      if (sys.env.get("SPARK_GRAFT_ONLY").contains("headline"))
-        all.filter(q => headline.contains(q._1))
-      else all
+    val ordered = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some("headline") => all.filter(q => headline.contains(q._1))
+      case Some(list)       =>
+        val names = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        all.filter(q => names(q._1))
+      case None             => all
+    }
     // COLD pass: warms the session (codegen compiler, parquet footer
     // cache, JIT) and materializes every cache/memo a query registers.
     // Timed per-query so the cost the memos absorb stays attributable:

@@ -116,17 +116,27 @@ object GenScale {
           .withColumn("n_chars", length(tagged).cast("long"))
       }
     }
-    // embeddings: rotate by k dims per replica (within-replica isometry);
-    // the slice bounds assume the 64-dim fixture layout
+    // embeddings: rotate by k mod 64 dims per replica, composed with a
+    // global sign flip for k >= 64 (both isometries: within-replica
+    // cosines are bit-preserved; cross-replica vectors decorrelate —
+    // the flip keeps replicas 64..127 distinct from 0..63, which pure
+    // rotation cannot at factors above the 64-dim fixture layout)
     require(spark.read.parquet(s"$src/embeddings.parquet")
       .select(size(col("embedding"))).head().getInt(0) == 64,
       "embedding rotation assumes 64 dims")
+    require(factor <= 128, "embedding decorrelation covers 128 distinct isometries")
     replicate("embeddings", "vec_id" -> 2000000L) { (df, k) =>
       if (k == 0) df
-      else df.withColumn("vec_id", col("vec_id") + k * 2000000L)
-        .withColumn("embedding",
-          concat(slice(col("embedding"), k + 1, 64 - k),
-            slice(col("embedding"), 1, k)))
+      else {
+        val r = k % 64
+        val rotated =
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, 64 - r),
+            slice(col("embedding"), 1, r))
+        val iso = if (k < 64) rotated else transform(rotated, x => -x)
+        df.withColumn("vec_id", col("vec_id") + k * 2000000L)
+          .withColumn("embedding", iso)
+      }
     }
     spark.stop()
   }

@@ -1081,7 +1081,18 @@ object Dedup {
     * all-pairs scan into k·(n/k)² — the approximation the paper makes at
     * scale (cross-centroid dups are missed by design; the centroid count
     * trades recall for cost). Within a list: exact cosine ≥ 0.4 via the
-    * codegen'd dot, drop the higher id, report who shadowed it. */
+    * codegen'd dot, drop the higher id, report who shadowed it.
+    *
+    * KNOWN SCALE LIMIT (round-7 sf10 audit, same class as the
+    * embedding-LSH fixed-band defect that audit caught and fixed): the
+    * shared IVF fit uses a FIXED k = 16, so in-list pair work grows
+    * n²/16 — fine at the fixture SFs, quadratic at corpus scale. The
+    * fix is the [[lshSchedule]] pattern applied to k (k = smallest
+    * power with n/k ≤ 256, centroids `vec_id < k` so every dependent
+    * oracle mirrors it; fixture SFs keep k = 16 and all gate outputs
+    * unchanged) — scheduled next round because k is shared by the
+    * whole ANN/IVF oracle family and deserves its own verification
+    * sweep, not an end-of-round edit. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
