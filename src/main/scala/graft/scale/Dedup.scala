@@ -1083,16 +1083,18 @@ object Dedup {
     * trades recall for cost). Within a list: exact cosine ≥ 0.4 via the
     * codegen'd dot, drop the higher id, report who shadowed it.
     *
-    * KNOWN SCALE LIMIT (round-7 sf10 audit, same class as the
+    * KNOWN ASYMPTOTIC LIMIT (round-7 sf10 audit, same class as the
     * embedding-LSH fixed-band defect that audit caught and fixed): the
     * shared IVF fit uses a FIXED k = 16, so in-list pair work grows
-    * n²/16 — fine at the fixture SFs, quadratic at corpus scale. The
-    * fix is the [[lshSchedule]] pattern applied to k (k = smallest
+    * n²/16. MEASURED at sf10 it does not yet bite — 0.78 s warm at
+    * 200k vectors, the codegen'd dot chews the 1.2e9 in-list pairs at
+    * memory speed — so unlike the LSH case this is a documented
+    * asymptote (real at n ≥ ~10M), not a live defect. The fix when it
+    * matters is the [[lshSchedule]] pattern applied to k (k = smallest
     * power with n/k ≤ 256, centroids `vec_id < k` so every dependent
     * oracle mirrors it; fixture SFs keep k = 16 and all gate outputs
-    * unchanged) — scheduled next round because k is shared by the
-    * whole ANN/IVF oracle family and deserves its own verification
-    * sweep, not an end-of-round edit. */
+    * unchanged) — left for a round where the whole ANN/IVF oracle
+    * family can get its own verification sweep. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
