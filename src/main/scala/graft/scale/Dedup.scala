@@ -568,9 +568,13 @@ object Dedup {
     // A pair sharing k bands is verified k times — 64 multiply-adds per
     // extra hit, orders of magnitude cheaper than the avoided exchanges.
     import spark.implicits._
-    val pl = Similarity.planes
     // the schedule reads the corpus size once (embCorpus is cached)
     val (bits, bands) = lshSchedule(e.count())
+    // slice the plane matrix to the bands×bits rows the schedule uses
+    // BEFORE the closure captures it: the full 1024×64 table is ~512 KB
+    // serialized with every task, vs ~24 KB at the fixture schedule
+    // (plane j is identical at any width, so the slice changes nothing)
+    val pl = Similarity.planes.take(bands * bits)
     e.select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
       .flatMap { case (id, v, nrm) =>
@@ -1083,18 +1087,18 @@ object Dedup {
     * trades recall for cost). Within a list: exact cosine ≥ 0.4 via the
     * codegen'd dot, drop the higher id, report who shadowed it.
     *
-    * KNOWN ASYMPTOTIC LIMIT (round-7 sf10 audit, same class as the
-    * embedding-LSH fixed-band defect that audit caught and fixed): the
-    * shared IVF fit uses a FIXED k = 16, so in-list pair work grows
-    * n²/16. MEASURED at sf10 it does not yet bite — 0.78 s warm at
-    * 200k vectors, the codegen'd dot chews the 1.2e9 in-list pairs at
-    * memory speed — so unlike the LSH case this is a documented
-    * asymptote (real at n ≥ ~10M), not a live defect. The fix when it
-    * matters is the [[lshSchedule]] pattern applied to k (k = smallest
-    * power with n/k ≤ 256, centroids `vec_id < k` so every dependent
-    * oracle mirrors it; fixture SFs keep k = 16 and all gate outputs
-    * unchanged) — left for a round where the whole ANN/IVF oracle
-    * family can get its own verification sweep. */
+    * The coarse-centroid count is CORPUS-SIZE-ADAPTIVE
+    * ([[Similarity.ivfSchedule]]: k = smallest power of two in
+    * [16, 2^20] with n ≤ 256·k) — the round-7 sf10 audit flagged the
+    * previous FIXED k = 16 as the same defect class as the fixed-band
+    * LSH it caught (in-list pair work n²/16 — 1.2e9 pairs at 200k
+    * vectors); under the schedule the expected list length stays ≤ 256
+    * so in-list pair work tracks n·256. The oracle derives the same k
+    * from the same count in the same integer arithmetic
+    * ([[Similarity.ivfSchedCte]]), and fixture SFs resolve to the
+    * k = 16 floor, so gate outputs there are unchanged. The residual
+    * trade (brute n×k assignment, ≈ n²/256 multiply-adds, two-level
+    * routing at n ≥ ~100M) is stated on the schedule's scaladoc. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
@@ -1118,11 +1122,12 @@ object Dedup {
   }
 
   val dedupSemanticSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
       |  FROM embeddings),
-      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |${Similarity.ivfSchedCte},
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM isched)),
       |dists AS (
       |  SELECT e.vec_id, c.cid,
       |         list_sum(list_transform(list_zip(e.v, c.cv),

@@ -53,6 +53,49 @@ object Similarity {
     }
   }
 
+  /** Deterministic IVF coarse-centroid schedule — [[graft.scale.Dedup.lshSchedule]]'s
+    * pattern applied to k (the round-7 sf10 audit's own prescription):
+    *   k = smallest power of two in [16, 2^20] with n ≤ 256·k,
+    * i.e. expected inverted-list population ≤ 256. That bound is what
+    * keeps every list-local kernel linear-with-constant instead of
+    * quadratic: SemDeDup's in-list pair scan tracks n·256 (not n²/16 as
+    * the previous FIXED k = 16 did — measured 1.2e9 in-list pairs at
+    * 200k vectors), and a per-probe list scan reads ~256 vectors
+    * regardless of corpus size. Pure integer arithmetic so the oracle
+    * mirrors it bit-for-bit ([[ivfSchedCte]], an integer search over
+    * generate_series exactly like the LSH mirror). Fixture SFs
+    * (500–2000 vectors) resolve to the k = 16 floor, so every
+    * pre-schedule gate output is unchanged there.
+    *
+    * The trade this buys and the one it leaves, stated: assignment is a
+    * brute n×k nearest-centroid scan — n·k ≈ n²/256 multiply-adds at
+    * the schedule's density. Harmless through the measured range (sf10:
+    * 200k vectors → k = 1024 → 2·10⁸ dots, sub-second for the codegen'd
+    * kernel) and honest up to the 2^20 cap (~268M vectors), but at
+    * n ≥ ~100M a production deployment samples the k-means fit and
+    * routes assignment through its own coarse index over the centroids
+    * (two-level IVF, the FAISS shape) — the brute assignment here is the
+    * oracle-verifiable skeleton of that plan, with the centroid set
+    * small enough to broadcast through k ≈ 2^17 (64 MB). */
+  private[graft] def ivfSchedule(n: Long): Int =
+    (4 to 20).map(b => 1 << b).find(k => n <= 256L * k).getOrElse(1 << 20)
+
+  /** Scheduled centroid count for the corpus under `dir` — one count
+    * job over the cached [[corpus]] (the same read [[graft.scale.Dedup
+    * .embeddingLshPairs]] pays for its banding schedule). */
+  private[scale] def ivfK(spark: SparkSession, dir: String): Int =
+    ivfSchedule(corpus(spark, dir).count())
+
+  /** Oracle mirror of [[ivfSchedule]]: DuckDB derives the same k from
+    * the same count with the same integer arithmetic, so `vec_id <
+    * (SELECT k FROM isched)` selects the identical centroid set at any
+    * corpus size. */
+  private[scale] val ivfSchedCte: String =
+    """isched AS (
+      |  SELECT coalesce(min(1::BIGINT << g.b), 1::BIGINT << 20) AS k
+      |  FROM unnest(generate_series(4, 20)) AS g(b)
+      |  WHERE (SELECT count(*) FROM embeddings) <= 256 * (1::BIGINT << g.b))""".stripMargin
+
   /** Corpus with precomputed norms. Cached (520 B/row — the in-memory
     * vector index): every ANN query reads it at least twice, and the
     * materialization boundary stops CollapseProject from inlining the
@@ -229,14 +272,18 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF
   /** IVF coarse assignment (the second ANN index family — inverted file):
-    * 16 deterministic centroids (`vec_id < 16` — reproducible in the
-    * oracle without k-means), every vector assigned to its nearest by
-    * squared L2 via a hash-aggregate argmin on (dist, cid) — one broadcast join and one
-    * aggregate, the index-build shape (at scale the centroid set comes
-    * from a sampled k-means fit, the assignment plan is identical). */
+    * [[ivfSchedule]]-many deterministic centroids (`vec_id < k` —
+    * reproducible in the oracle without k-means), every vector assigned
+    * to its nearest by squared L2 via a hash-aggregate argmin on
+    * (dist, cid) — one broadcast join and one aggregate, the index-build
+    * shape (at scale the centroid set comes from a sampled k-means fit,
+    * the assignment plan is identical). k is corpus-size-adaptive so the
+    * expected list length stays ≤ 256 — the bound every downstream
+    * list-local kernel ([[graft.scale.Dedup.dedupSemantic]], the probe
+    * scans here and in [[annRecall]]) relies on to stay sub-quadratic. */
   def annIvfAssign(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = c.filter(col("vec_id") < 16)
+    val cents = c.filter(col("vec_id") < ivfK(spark, dir))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val dist = (0 until 64)
       .map { d =>
@@ -257,8 +304,9 @@ object Similarity {
   }
 
   val annIvfAssignSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |$ivfSchedCte,
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM isched)),
       |dists AS (
       |  SELECT e.vec_id, c.cid,
       |         list_sum(list_transform(list_zip(e.v, c.cv),
@@ -275,7 +323,7 @@ object Similarity {
     * unprobed list (the IVF trade). */
   def annIvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = c.filter(col("vec_id") < 16)
+    val cents = c.filter(col("vec_id") < ivfK(spark, dir))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val dist = (0 until 64)
       .map { d =>
@@ -313,11 +361,12 @@ object Similarity {
   }
 
   val annIvfSearchSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
       |  FROM embeddings),
-      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |$ivfSchedCte,
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM isched)),
       |dists AS (
       |  SELECT e.vec_id, e.v, e.nrm, c.cid,
       |         list_sum(list_transform(list_zip(e.v, c.cv),
@@ -434,8 +483,9 @@ object Similarity {
     val lsh = rank(c.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cos))
-    // IVF candidates exactly as in [[annIvfSearch]] (nprobe = 2)
-    val cents = c.filter(col("vec_id") < 16)
+    // IVF candidates exactly as in [[annIvfSearch]] (nprobe = 2;
+    // centroid count from the shared corpus-size schedule)
+    val cents = c.filter(col("vec_id") < ivfK(spark, dir))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val dist = (0 until 64).map { d =>
       val diff = element_at(col("v"), d + 1) - element_at(col("cv"), d + 1)
@@ -497,7 +547,7 @@ object Similarity {
   }
 
   val annRecallSql: String =
-    """WITH e0 AS (
+    s"""WITH e0 AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
       |  FROM embeddings),
@@ -535,7 +585,8 @@ object Similarity {
       |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       |        FROM lscored)
       |  WHERE rank <= 10),
-      |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 16),
+      |$ivfSchedCte,
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < (SELECT k FROM isched)),
       |dists AS (
       |  SELECT e0.vec_id, e0.v, e0.nrm, c.cid,
       |         list_sum(list_transform(list_zip(e0.v, c.cv),
@@ -798,7 +849,11 @@ object Similarity {
     * story: 64 float32 dims → 8 one-byte codes, 32× compression, which
     * is what makes a 100 TB vector corpus fit an index at all). 8
     * subspaces × 16 deterministic sub-centroids (subvectors of
-    * `vec_id < 16`, reproducible in the oracle like IVF); each vector's
+    * `vec_id < 16`, reproducible in the oracle). Unlike the IVF coarse
+    * k ([[ivfSchedule]]), the PQ codebook size is a QUANTIZATION
+    * parameter, not a partitioning one — encode work is n·16 per
+    * subspace (linear) at any corpus size, so a fixed 16 is correct
+    * here, not the fixed-k defect the IVF schedule fixed. Each vector's
     * code is its per-subspace nearest sub-centroid by squared L2
     * (hash-aggregate argmin on (dist, cid)). One broadcast join over (vec, subspace)
     * rows — a map-side stage, no corpus shuffle beyond the code

@@ -26,4 +26,23 @@ class SimilaritySpec extends SparkSpec {
     assert(byCid(0L).forall(r => r.getDouble(2) == 1.0 && r.getLong(3) == 6L))
     assert(byCid(6L).forall(r => r.getDouble(2) == -1.0 && r.getLong(3) == 6L))
   }
+
+  test("IVF schedule: list population bounded at 256, floored at 16, capped") {
+    // fixture corpora resolve to the k = 16 floor (outputs unchanged)
+    assert(Similarity.ivfSchedule(500L) == 16)
+    assert(Similarity.ivfSchedule(2000L) == 16)
+    assert(Similarity.ivfSchedule(4096L) == 16, "exactly 256 per list still fits")
+    // first corpus that overflows the floor doubles k
+    assert(Similarity.ivfSchedule(4097L) == 32)
+    // the sf1 / sf10 scale points the bench sweeps measure
+    assert(Similarity.ivfSchedule(20000L) == 128)
+    assert(Similarity.ivfSchedule(200000L) == 1024)
+    // never unbounded: planetary corpora cap at 2^20 centroids
+    assert(Similarity.ivfSchedule(1L << 40) == (1 << 20))
+    // monotone, and the expected list length never exceeds 256 in range
+    val ns = Seq(1L, 4096L, 4097L, 100000L, 10000000L, 256L * (1L << 20))
+    val ks = ns.map(Similarity.ivfSchedule)
+    assert(ks.sliding(2).forall { case Seq(a, b) => a <= b })
+    ns.zip(ks).foreach { case (n, k) => assert(n <= 256L * k, s"n=$n k=$k") }
+  }
 }
