@@ -275,24 +275,57 @@ object GraphOps {
     * deliberate and tight: pointer doubling reaches offset 2^(k+1)−2
     * after k rounds, so 12 covers diameter ~8000 — but plain
     * propagation would need 25 rounds and THROW, so the oracle gate
-    * itself pins the O(log) round complexity. The global row_number is
-    * harness scaffolding (node table is corpus-distinct, not 100 TB);
-    * the operator under test is [[connectedComponents]]. */
+    * itself pins the O(log) round complexity. Node ranks come from the
+    * same two-phase distributed form as [[CorpusOps.curriculumOrder]]
+    * — a 512-bucket equi-width id histogram (order-preserving
+    * `((id−mn)·512) div (mx−mn+1)`, the [[Profile]] BIGINT bucketing)
+    * supplies each bucket's global offset and the `row_number` runs
+    * partitioned by bucket — rather than a corpus-sized
+    * single-partition window; the operator under test is still
+    * [[connectedComponents]]. */
   def graphDeepChain(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint, not cache(): read twice (chain build + label
     // join-back), and checkpoint blocks are reclaimed by the context
     // cleaner once the result is dropped — a cache() entry lives in the
     // CacheManager registry until explicitly uncached, leaking one copy
     // per bench invocation
-    val nodes = Tables.documents(spark, dir)
-      .select(col("doc_id"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1)
-      .localCheckpoint()
-    val chain = nodes.as("x").join(nodes.as("y"),
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    // id-range bounds: a 2-long fit aggregate (the embQuantize shape) —
+    // folded in as literals so the bucket expression stays codegen'd
+    val bounds = ids.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val nodes =
+      if (bounds.isNullAt(0)) {
+        // empty corpus: no nodes, no chain
+        ids.withColumn("rn", lit(0L))
+      } else {
+        val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+        // bucket is monotone in doc_id, so off + within-bucket rank IS
+        // the global doc_id rank; near-uniform ids (the generator's)
+        // bound each in-bucket window at ~n/512 — worst-case id
+        // clumping degrades toward one bucket, the documented limit of
+        // equi-width (vs sampling range bounds a la repartitionByRange)
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        val bucketed = ids.withColumn("bkt",
+          expr(s"((doc_id - ${mn}L) * 512) div ${mx - mn + 1}L"))
+        // per-bucket counts → global offsets: the histogram is ≤ 512
+        // rows, so the prefix sum folds on the driver (no unpartitioned
+        // window anywhere in the plan) and ships back as a broadcast
+        val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val offs = counts.map(_._1)
+          .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+        import spark.implicits._
+        val offsets = offs.toSeq.toDF("bkt", "off")
+        bucketed.join(broadcast(offsets), "bkt")
+          .withColumn("rn", col("off") + row_number().over(wIn) - 1)
+          .select(col("doc_id"), col("rn"))
+      }
+    val nodesCp = nodes.localCheckpoint()
+    val chain = nodesCp.as("x").join(nodesCp.as("y"),
         col("y.rn") === col("x.rn") + 1 && col("x.rn") % 26 =!= 25)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     val labels = connectedComponents(chain, driverEdgeCap = 0, maxRounds = 12)
-    labels.join(nodes, labels("id") === nodes("doc_id"))
+    labels.join(nodesCp, labels("id") === nodesCp("doc_id"))
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("rn") % 26).cast("int").as("chain_pos"))
   }
