@@ -59,6 +59,13 @@ object Bench {
       case Some("headline") => all.filter(q => headline.contains(q._1))
       case Some(list)       =>
         val names = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a misspelled or stale name must fail HERE, loudly: silently
+        // filtering to fewer (or zero) queries would still overwrite
+        // BENCH_FULL.json with an empty/partial committed artifact
+        val unknown = names -- all.map(_._1).toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+        require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names nothing")
         all.filter(q => names(q._1))
       case None             => all
     }

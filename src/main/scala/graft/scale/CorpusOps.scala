@@ -483,6 +483,13 @@ object CorpusOps {
     Tables.documents(spark, dir)
       .select(col("lang"), col("source"), col("doc_id"),
         least(TextAnalysis.wsTokenCount.cast("long"), lit(PackBudget)).as("n_tokens"))
+      // zero-token docs are dropped BEFORE packing: they have no
+      // placement a data loader could read, and keeping them lets one
+      // land at tok_offset == PackBudget inside an exactly-full
+      // sequence (the fold only rolls when fill + n EXCEEDS the
+      // budget) — a semantically absurd index entry both engines would
+      // happily agree on
+      .filter(col("n_tokens") > 0)
       .as[PackIn]
       .groupByKey(r => (r.lang, r.source))
       .flatMapSortedGroups($"doc_id") { (_: (String, String), rows: Iterator[PackIn]) =>
@@ -506,7 +513,8 @@ object CorpusOps {
        |    least(CAST(${TextAnalysis.wsTokenCountSql} AS BIGINT), $PackBudget)
        |      AS n_tokens,
        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE CAST(${TextAnalysis.wsTokenCountSql} AS BIGINT) > 0),
        |pk(lang, source, rn, doc_id, seq_no, tok_offset, n_tokens, fill) AS (
        |  SELECT lang, source, rn, doc_id, 0::BIGINT, 0::BIGINT, n_tokens, n_tokens
        |  FROM pdocs WHERE rn = 1

@@ -84,8 +84,10 @@ class CorpusOpsSpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val out = CorpusOps.packNextFit(spark, sfDir).cache()
     try {
-      assert(out.count() === Tables.documents(spark, sfDir).count(),
-        "every doc placed exactly once")
+      assert(out.count() === Tables.documents(spark, sfDir)
+          .filter(TextAnalysis.wsTokenCount > 0).count(),
+        "every non-empty doc placed exactly once (zero-token docs have " +
+          "no loader placement and are dropped before packing)")
       // no sequence exceeds the token budget
       val fills = out.groupBy(col("lang"), col("source"), col("seq_no"))
         .agg(sum(col("n_tokens")).as("fill"))
@@ -104,6 +106,32 @@ class CorpusOpsSpec extends SparkSpec {
         .filter(col("prev_fill") + col("n_tokens") <= CorpusOps.PackBudget)
       assert(loose.isEmpty, "doc started a new sequence it didn't need")
     } finally out.unpersist()
+  }
+
+  test("sequence packing drops zero-token docs even at an exactly-full boundary") {
+    import spark.implicits._
+    // doc 2 fills sequence 0 to exactly PackBudget (2048 = 2x1024);
+    // the zero-token doc 3 used to land AT tok_offset 2048 inside it
+    // (the fold only rolls when fill + n EXCEEDS the budget) — it must
+    // instead be absent from the placement index entirely
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pack0").toString
+    val tok1024 = (1 to 1024).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, tok1024, "en", "web", 1L),
+      (2L, tok1024, "en", "web", 1L),
+      (3L, "", "en", "web", 0L),
+      (4L, "tail doc", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.packNextFit(spark, tmp)
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 4L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(2L).getAs[Long]("seq_no") === 0L)
+    assert(byId(2L).getAs[Long]("tok_offset") === 1024L)
+    // the doc after the exactly-full sequence opens the next one at 0
+    assert(byId(4L).getAs[Long]("seq_no") === 1L)
+    assert(byId(4L).getAs[Long]("tok_offset") === 0L)
   }
 
   test("k-anonymity census: suppression bounded by class counts") {
