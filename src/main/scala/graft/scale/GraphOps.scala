@@ -221,7 +221,9 @@ object GraphOps {
     var prevSum = Long.MinValue
     var changed = true
     var rounds = 0
+    val runT0 = System.nanoTime()
     while (changed && rounds < maxRounds) {
+      val roundT0 = System.nanoTime()
       // half-round 1: closed-neighborhood min (label propagation)
       val prop = edges
         .join(labels.select(col("id").as("b"), col("label")), "b")
@@ -250,7 +252,10 @@ object GraphOps {
       prevSum = s
       labels = updated
       rounds += 1
+      GraphTelemetry.recordRound("cc", rounds, (System.nanoTime() - roundT0) / 1e9, s)
     }
+    GraphTelemetry.recordRun("cc", edgeCount * 2, parts, rounds,
+      (System.nanoTime() - runT0) / 1e9)
     if (changed) {
       // the cap is a backstop, not a semantic: unconverged labels split
       // real components, which silently breaks dedup keep-lists and the
@@ -498,7 +503,9 @@ object GraphOps {
     var n = n0
     var converged = false
     var rounds = 0
+    val runT0 = System.nanoTime()
     while (!converged && rounds < maxRounds) {
+      val roundT0 = System.nanoTime()
       val keep = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("a"))
       val next = sym
@@ -512,7 +519,11 @@ object GraphOps {
       n = m
       sym = next
       rounds += 1
+      GraphTelemetry.recordRound(s"peel(k=$k)", rounds,
+        (System.nanoTime() - roundT0) / 1e9, m)
     }
+    GraphTelemetry.recordRun(s"peel(k=$k)", n0, parts, rounds,
+      (System.nanoTime() - runT0) / 1e9)
     if (!converged) {
       if (!(sym eq sym0)) sym.unpersist()
       throw new IllegalStateException(
