@@ -50,6 +50,39 @@ object Stateful {
   }
 
   // ---------------------------------------------------------------- W19
+  /** PSAR fold state: trend direction, acceleration factor, extreme
+    * point, and the SAR emitted for the current row. Factored out of
+    * the fold (the zzStep/renkoStep pattern) so TransitionPropSpec can
+    * sample adversarial candle series against the pure transition. */
+  private[graft] final case class PsarCore(bull: Boolean, af: Double,
+      ep: Double, sar: Double)
+
+  /** Seed state from the first candle: bull, af 0.02, ep = low[0],
+    * psar[0] = high[0]. */
+  private[graft] def psarInit(high: Double, low: Double): PsarCore =
+    PsarCore(bull = true, af = 0.02, ep = low, sar = high)
+
+  /** One PSAR transition; the emitted SAR for the row is the returned
+    * state's `sar`. Arithmetic order matches [[psarSql]] exactly. */
+  private[graft] def psarStep(st: PsarCore, high: Double, low: Double): PsarCore = {
+    var bull = st.bull; var af = st.af; var ep = st.ep
+    var cur = st.sar + af * (ep - st.sar)
+    if (bull) {
+      if (low <= cur) {
+        bull = false; cur = ep; af = 0.02; ep = low
+      } else if (high > ep) {
+        ep = high; af = math.min(af + 0.02, 0.2)
+      }
+    } else {
+      if (high >= cur) {
+        bull = true; cur = ep; af = 0.02; ep = high
+      } else if (low < ep) {
+        ep = low; af = math.min(af + 0.02, 0.2)
+      }
+    }
+    PsarCore(bull, af, ep, cur)
+  }
+
   /** Parabolic SAR (`advanced_feature_engineer.py:171-208`): trend flips
     * with accelerating factor; af 0.02 + 0.02 per new extreme, cap 0.2. */
   def psar(spark: SparkSession, dir: String): DataFrame = {
@@ -60,28 +93,11 @@ object Stateful {
         if (!rows.hasNext) Iterator.empty
         else {
           val first = rows.next()
-          var bull = true
-          var af = 0.02
-          var ep = first.low // bull=true at init ⇒ ep = low[0]
-          var prev = first.high // psar[0] = high[0]
-          Iterator.single(PsarRow(uid, first.bucket, prev, bull)) ++
+          var core = psarInit(first.high, first.low)
+          Iterator.single(PsarRow(uid, first.bucket, core.sar, core.bull)) ++
             rows.map { r =>
-              var cur = prev + af * (ep - prev)
-              if (bull) {
-                if (r.low <= cur) {
-                  bull = false; cur = ep; af = 0.02; ep = r.low
-                } else if (r.high > ep) {
-                  ep = r.high; af = math.min(af + 0.02, 0.2)
-                }
-              } else {
-                if (r.high >= cur) {
-                  bull = true; cur = ep; af = 0.02; ep = r.high
-                } else if (r.low < ep) {
-                  ep = r.low; af = math.min(af + 0.02, 0.2)
-                }
-              }
-              prev = cur
-              PsarRow(uid, r.bucket, cur, bull)
+              core = psarStep(core, r.high, r.low)
+              PsarRow(uid, r.bucket, core.sar, core.bull)
             }
         }
       }

@@ -333,6 +333,28 @@ object ZigzagRenko {
     * 10-row SMA window with the engine-wide full-window warmup guard,
     * computed BEFORE grouping so the fold state is just
     * (fu, fl, side, prevClose). Warmup rows emit nulls. */
+  /** SuperTrend fold state: final upper/lower bands, the "is under the
+    * upper band" side, and the previous close the next ratchet tests.
+    * Factored out (the zzStep/renkoStep pattern) so TransitionPropSpec
+    * can drive the ratchet with adversarial band series. */
+  private[graft] final case class StCore(fu: Double, fl: Double,
+      isu: Boolean, prevClose: Double)
+
+  private[graft] def stInit(close: Double, ub: Double, lb: Double): StCore =
+    StCore(ub, lb, close <= ub, close)
+
+  /** One band-ratchet transition: the final upper band only moves DOWN
+    * to a tighter raw band unless the previous close broke above it
+    * (then it resets to the raw band); mirror-image for the lower. The
+    * side flips when the close crosses the POST-update active band —
+    * identical to [[w42SupertrendSql]]'s repeated CASEs. */
+  private[graft] def stStep(st: StCore, close: Double, ub: Double, lb: Double): StCore = {
+    val nfu = if (ub < st.fu || st.prevClose > st.fu) ub else st.fu
+    val nfl = if (lb > st.fl || st.prevClose < st.fl) lb else st.fl
+    val isu = if (st.isu) close <= nfu else close < nfl
+    StCore(nfu, nfl, isu, close)
+  }
+
   def w42Supertrend(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wspec = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
@@ -350,25 +372,17 @@ object ZigzagRenko {
       .as[StIn]
       .groupByKey(_.user_id)
       .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[StIn]) =>
-        var seeded = false
-        var fu = 0.0; var fl = 0.0; var prevC = 0.0; var isu = false
+        var core: StCore = null
         rows.map { r =>
           r.atr match {
             case None => StRow(uid, r.bucket, None, None, None, None)
             case Some(a) =>
               val ub = r.hl2 + 3 * a
               val lb = r.hl2 - 3 * a
-              if (!seeded) {
-                seeded = true; fu = ub; fl = lb; isu = r.close <= ub
-              } else {
-                val nfu = if (ub < fu || prevC > fu) ub else fu
-                val nfl = if (lb > fl || prevC < fl) lb else fl
-                isu = if (isu) r.close <= nfu else r.close < nfl
-                fu = nfu; fl = nfl
-              }
-              prevC = r.close
-              StRow(uid, r.bucket, Some(r6d(if (isu) fu else fl)),
-                Some(r6d(fu)), Some(r6d(fl)), Some(!isu))
+              core = if (core == null) stInit(r.close, ub, lb)
+                     else stStep(core, r.close, ub, lb)
+              StRow(uid, r.bucket, Some(r6d(if (core.isu) core.fu else core.fl)),
+                Some(r6d(core.fu)), Some(r6d(core.fl)), Some(!core.isu))
           }
         }
       }

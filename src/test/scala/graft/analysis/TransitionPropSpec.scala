@@ -131,4 +131,155 @@ class TransitionPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------------ psar
+  /** Candle (high, low) series: a mid-price walk with a random
+    * symmetric range, plus jump regimes that force trend flips. */
+  private val candleSeries: Gen[List[(Double, Double)]] = for {
+    prices <- priceSeries
+    ranges <- Gen.listOfN(prices.size, Gen.choose(0.0, 0.05))
+  } yield prices.zip(ranges).map { case (mid, r) =>
+    (mid * (1 + r), mid * (1 - r))
+  }
+
+  private def runPsar(candles: List[(Double, Double)]): List[Stateful.PsarCore] = {
+    val init = Stateful.psarInit(candles.head._1, candles.head._2)
+    candles.tail.scanLeft(init) { case (st, (h, l)) =>
+      Stateful.psarStep(st, h, l)
+    }
+  }
+
+  test("psar: af stays on the 0.02 grid inside [0.02, 0.2]") {
+    forAllSampled(candleSeries) { candles =>
+      runPsar(candles).foreach { st =>
+        assert(st.af >= 0.02 - 1e-12 && st.af <= 0.2 + 1e-12, s"af ${st.af}")
+        val grid = st.af / 0.02
+        assert(math.abs(grid - math.rint(grid)) < 1e-9,
+          s"af ${st.af} off the 0.02 grid")
+      }
+    }
+  }
+
+  test("psar: a trend flip resets af and restarts SAR from the prior extreme") {
+    forAllSampled(candleSeries) { candles =>
+      val states = runPsar(candles)
+      states.sliding(2).zip(candles.tail.iterator).foreach {
+        case (Seq(prev, cur), (h, l)) =>
+          if (cur.bull != prev.bull) {
+            assert(cur.af == 0.02, s"flip af ${cur.af}")
+            assert(cur.sar == prev.ep, s"flip SAR ${cur.sar} != prior ep ${prev.ep}")
+            assert(cur.ep == (if (cur.bull) h else l),
+              s"flip ep ${cur.ep} not the flip candle's extreme")
+          }
+        case _ =>
+      }
+    }
+  }
+
+  test("psar: on trend-surviving steps the SAR is outside the candle range") {
+    forAllSampled(candleSeries) { candles =>
+      val states = runPsar(candles)
+      states.sliding(2).zip(candles.tail.iterator).foreach {
+        case (Seq(prev, cur), (h, l)) if cur.bull == prev.bull =>
+          if (cur.bull) assert(cur.sar < l, s"bull SAR ${cur.sar} >= low $l")
+          else assert(cur.sar > h, s"bear SAR ${cur.sar} <= high $h")
+        case _ =>
+      }
+    }
+  }
+
+  test("psar: within a trend, af is non-decreasing, rising exactly on new extremes," +
+      " and ep ratchets toward the trend") {
+    forAllSampled(candleSeries) { candles =>
+      runPsar(candles).sliding(2).foreach {
+        case Seq(prev, cur) if cur.bull == prev.bull =>
+          assert(cur.af >= prev.af - 1e-12, s"af fell ${prev.af} -> ${cur.af} in-trend")
+          val newExtreme = cur.ep != prev.ep
+          val afRose = cur.af > prev.af + 1e-12
+          assert(afRose == (newExtreme && prev.af < 0.2 - 1e-12),
+            s"af ${prev.af}->${cur.af} vs extreme-change $newExtreme")
+          if (cur.bull) assert(cur.ep >= prev.ep, "bull ep fell")
+          else assert(cur.ep <= prev.ep, "bear ep rose")
+        case _ =>
+      }
+    }
+  }
+
+  test("psar: after a trend-surviving step the SAR accelerates monotonically") {
+    forAllSampled(candleSeries) { candles =>
+      // once a no-flip step has run, bull holds ep > sar (sar < low <=
+      // high <= ep) and bear holds ep < sar, so the NEXT in-trend SAR
+      // strictly approaches the extreme
+      runPsar(candles).sliding(3).foreach {
+        case Seq(a, b, c) if a.bull == b.bull && b.bull == c.bull =>
+          if (c.bull) assert(c.sar > b.sar, s"bull SAR stalled ${b.sar} -> ${c.sar}")
+          else assert(c.sar < b.sar, s"bear SAR stalled ${b.sar} -> ${c.sar}")
+        case _ =>
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ supertrend
+  /** SuperTrend feed: (close, rawUpper, rawLower) triples — a mid walk,
+    * a band half-width (3×ATR stand-in, occasionally zero), and closes
+    * that sometimes break far outside the bands. */
+  private val stSeries: Gen[List[(Double, Double, Double)]] = for {
+    mids   <- priceSeries
+    widths <- Gen.listOfN(mids.size, Gen.frequency(
+      8 -> Gen.choose(0.005, 0.08),
+      1 -> Gen.const(0.0)))
+    cfs    <- Gen.listOfN(mids.size, Gen.frequency(
+      6 -> Gen.choose(0.99, 1.01),
+      2 -> Gen.choose(1.05, 1.4),   // break above
+      2 -> Gen.choose(0.6, 0.95)))  // break below
+  } yield mids.lazyZip(widths).lazyZip(cfs).map { (m, w, cf) =>
+    (m * cf, m * (1 + w), m * (1 - w))
+  }
+
+  private def runSt(feed: List[(Double, Double, Double)]): List[ZigzagRenko.StCore] = {
+    val init = ZigzagRenko.stInit(feed.head._1, feed.head._2, feed.head._3)
+    feed.tail.scanLeft(init) { case (st, (c, ub, lb)) =>
+      ZigzagRenko.stStep(st, c, ub, lb)
+    }
+  }
+
+  test("supertrend: bands ratchet — fu never rises and fl never falls without a breakout") {
+    forAllSampled(stSeries) { feed =>
+      runSt(feed).sliding(2).zip(feed.tail.iterator).foreach {
+        case (Seq(prev, cur), (_, ub, lb)) =>
+          if (prev.prevClose <= prev.fu)
+            assert(cur.fu <= prev.fu, s"fu rose ${prev.fu} -> ${cur.fu} without breakout")
+          else assert(cur.fu == ub, s"breakout fu ${cur.fu} != raw band $ub")
+          if (prev.prevClose >= prev.fl)
+            assert(cur.fl >= prev.fl, s"fl fell ${prev.fl} -> ${cur.fl} without breakout")
+          else assert(cur.fl == lb, s"breakout fl ${cur.fl} != raw band $lb")
+          assert(cur.fu == ub || cur.fu == prev.fu, "fu is neither raw nor held")
+          assert(cur.fl == lb || cur.fl == prev.fl, "fl is neither raw nor held")
+        case _ =>
+      }
+    }
+  }
+
+  test("supertrend: the side flips exactly when the close crosses the post-update band") {
+    forAllSampled(stSeries) { feed =>
+      runSt(feed).sliding(2).zip(feed.tail.iterator).foreach {
+        case (Seq(prev, cur), (close, _, _)) =>
+          val expected = if (prev.isu) close <= cur.fu else close < cur.fl
+          assert(cur.isu == expected,
+            s"side ${cur.isu}, close $close vs fu ${cur.fu} / fl ${cur.fl}")
+        case _ =>
+      }
+    }
+  }
+
+  test("supertrend: held bands are always raw band values the feed actually produced") {
+    forAllSampled(stSeries) { feed =>
+      val ubs = feed.map(_._2).toSet
+      val lbs = feed.map(_._3).toSet
+      runSt(feed).foreach { st =>
+        assert(ubs.contains(st.fu), s"fu ${st.fu} never a raw upper band")
+        assert(lbs.contains(st.fl), s"fl ${st.fl} never a raw lower band")
+      }
+    }
+  }
 }
