@@ -21,16 +21,23 @@ import org.apache.spark.sql.functions._
   * exact duplicate and the near-dup stages go quadratic inside each
   * clone family — a different (harder) workload than 10× data.
   *
-  * KNOWN LIMITATION (measured, adjudicated in SCALE.md): the word tags
-  * decorrelate shingle VOCABULARIES but not byte HISTOGRAMS — a
-  * replica doc keeps ~its original byte statistics, so the multimodal
-  * blob channel (media = utf-8 text bytes) DOES form cross-replica
-  * pHash clone families: at sf1 the pHash pair output grows 141× on
-  * 10× docs (86% cross-replica). Decorrelating bytes per (doc,
-  * replica) would also separate genuine within-corpus near-dup blobs
-  * (the salt would differ between the very pair members the operator
-  * exists to find), so the correlation is accepted and the sf1
-  * mm_phash number is read as a clone-family workload, not 10× data.
+  * The word tags also decorrelate byte HISTOGRAMS, not just shingle
+  * vocabularies: each tag carries two replica-keyed code characters
+  * (base-62 digits of k), so a replica's tag contributes ~2 bytes per
+  * word — 30–40% of the doc's byte mass — at a byte value that differs
+  * between any two replicas. That shifts every doc's mean byte by far
+  * more than the pHash candidate threshold (|Δmean| ≤ 0.1) and flips
+  * histogram-signature bits per replica, so the multimodal blob
+  * channel (media = utf-8 text bytes) no longer forms cross-replica
+  * pHash clone families (r7 measured 86% of a 141× pair blowup as
+  * cross-replica before this perturbation). Within a replica every doc
+  * gets the SAME tag, so genuine within-replica near-dup blobs shift
+  * near-identically and survive — a per-doc salt would instead differ
+  * between the very pair members the operator exists to find. The
+  * replica-keyed rotation mirrors the embedding isometry: uniform
+  * within a replica, decorrelating across replicas. Whitespace token
+  * COUNTS are unchanged (the tag extends a word, it does not add one),
+  * so token/packing queries still measure 10× docs.
   *
   * Usage: runMain graft.GenScale <srcDir> <outDir> [factor=10] */
 object GenScale {
@@ -104,13 +111,16 @@ object GenScale {
     replicate("events", "user_id" -> 1500L, "event_id" -> 10000000L)((df, k) =>
       df.withColumn("event_id", col("event_id") + k * 10000000L)
         .withColumn("user_id", col("user_id") + k * 1500L))
-    // documents: replica-tagged vocabulary (see scaladoc); n_chars tracks
+    // documents: replica-tagged vocabulary AND byte histogram (see
+    // scaladoc); the two base-62 code chars make the tag's byte values
+    // replica-distinct (unique below factor 62² = 3844); n_chars tracks
     // the rewritten text (the fixture invariant n_chars = length(text))
+    val b62 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
     replicate("documents", "doc_id" -> 970000L) { (df, k) =>
       if (k == 0) df
       else {
-        val tagged = concat(lit(s"r$k"),
-          regexp_replace(col("text"), " ", s" r$k"))
+        val tag = s"r$k${b62(k % 62)}${b62((k / 62) % 62)}"
+        val tagged = concat(lit(tag), regexp_replace(col("text"), " ", s" $tag"))
         df.withColumn("doc_id", col("doc_id") + k * 970000L)
           .withColumn("text", tagged)
           .withColumn("n_chars", length(tagged).cast("long"))
