@@ -30,6 +30,14 @@ object StreamBench {
   private def measure(q: StreamingQuery, seconds: Int): ChannelStats = {
     val t0 = System.nanoTime()
     Thread.sleep(seconds * 1000L)
+    // a slow-cadence channel (economic_events triggers every 10 s) may
+    // not complete a non-empty batch inside the window at all — extend
+    // by up to 2× so the stats measure at least one real batch instead
+    // of reporting 0 rows for a channel that is merely slow-ticking
+    var extra = 0
+    while (!q.recentProgress.exists(_.numInputRows > 0) && extra < 2 * seconds) {
+      Thread.sleep(1000L); extra += 1
+    }
     q.stop(); q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     val ps = q.recentProgress.filter(_.numInputRows > 0)
@@ -42,6 +50,13 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "2000").toInt
     val seconds = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECONDS", "8").toInt
+    // knee sweep: re-run every channel at each rate in the list so the
+    // committed artifact records WHERE each channel's amortized
+    // ms_per_msg crosses the 1 ms SLA, not just that it holds at the
+    // reference load
+    val sweepRates = sys.env.get("SPARK_GRAFT_STREAM_SWEEP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+      .getOrElse(Seq.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,61 +66,71 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def ticks: DataFrame = Channels.tickSource(spark, rate)
-    // tick-shaped candles: 1:1 mapping so the stateful pattern engine is
-    // measured at tick rate (real 1-min candle windows would emit ~3
-    // rows per minute — no load)
-    def tickCandles = ticks.select(col("ts").as("bucket"), col("symbol"),
-        col("bid").as("open"), col("ask").as("high"), col("bid").as("low"),
-        col("mid").as("close")).as[StreamCandle]
+    def runAll(r: Int): Seq[(String, ChannelStats)] = {
+      def ticks: DataFrame = Channels.tickSource(spark, r)
+      // tick-shaped candles: 1:1 mapping so the stateful pattern engine is
+      // measured at tick rate (real 1-min candle windows would emit ~3
+      // rows per minute — no load)
+      def tickCandles = ticks.select(col("ts").as("bucket"), col("symbol"),
+          col("bid").as("open"), col("ask").as("high"), col("bid").as("low"),
+          col("mid").as("close")).as[StreamCandle]
 
-    def counting(name: String, df: DataFrame): StreamingQuery =
-      df.writeStream.outputMode(OutputMode.Append())
-        .trigger(Channels.channelTriggers.getOrElse(name, Trigger.ProcessingTime("1 second")))
-        .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
-        .queryName(name).start()
+      def counting(name: String, df: DataFrame): StreamingQuery =
+        df.writeStream.outputMode(OutputMode.Append())
+          .trigger(Channels.channelTriggers.getOrElse(name, Trigger.ProcessingTime("1 second")))
+          .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+          .queryName(name).start()
 
-    val sink = new Channels.RingBufferSink("raw_ticks", capacity = 10000)
-    val runs: Seq[(String, () => StreamingQuery)] = Seq(
-      "raw_ticks"          -> (() => sink.start(ticks)),
-      "order_book"         -> (() => counting("order_book", Channels.orderBookStream(ticks))),
-      "ml_features"        -> (() => counting("ml_features", Channels.featureStream(spark, ticks).toDF())),
-      "trading_signals"    -> (() => counting("trading_signals",
-        Channels.signalStream(Channels.featureStream(spark, ticks).toDF()))),
-      "technical_analysis" -> (() => counting("technical_analysis",
-        Channels.taStream(Channels.featureStream(spark, ticks).toDF()))),
-      "pattern_alerts"     -> (() => counting("pattern_alerts",
-        Channels.patternAlertStream(spark, tickCandles).toDF())),
-      "microstructure"     -> (() => counting("microstructure", Channels.microstructureStream(ticks))),
-      "economic_events"    -> (() => counting("economic_events",
-        Channels.economicEventsStream(spark, rate))),
-      // beyond-reference stateful channels, measured at tick rate like
-      // pattern_alerts (both fold per-symbol state over every candle)
-      "heikin_ashi"        -> (() => counting("heikin_ashi",
-        Channels.heikinAshiStream(spark, tickCandles).toDF())),
-      "zigzag_alerts"      -> (() => counting("zigzag_alerts",
-        Channels.zigzagStream(spark, tickCandles).toDF())),
-      // brick ≈ 1/10 of the synthetic walk's oscillation amplitude so
-      // the channel emits steadily at tick rate
-      "renko_bricks"       -> (() => counting("renko_bricks",
-        Channels.renkoStream(spark, tickCandles,
-          Map("PAIR0" -> 0.0002, "PAIR1" -> 0.0002, "PAIR2" -> 0.0002)).toDF())),
-      "trending"           -> (() => counting("trending",
-        Channels.trendingStream(spark, ticks).toDF())))
+      val runs: Seq[(String, () => StreamingQuery)] = Seq(
+        "raw_ticks"          -> (() =>
+          new Channels.RingBufferSink("raw_ticks", capacity = 10000).start(ticks)),
+        "order_book"         -> (() => counting("order_book", Channels.orderBookStream(ticks))),
+        "ml_features"        -> (() => counting("ml_features", Channels.featureStream(spark, ticks).toDF())),
+        "trading_signals"    -> (() => counting("trading_signals",
+          Channels.signalStream(Channels.featureStream(spark, ticks).toDF()))),
+        "technical_analysis" -> (() => counting("technical_analysis",
+          Channels.taStream(Channels.featureStream(spark, ticks).toDF()))),
+        "pattern_alerts"     -> (() => counting("pattern_alerts",
+          Channels.patternAlertStream(spark, tickCandles).toDF())),
+        "microstructure"     -> (() => counting("microstructure", Channels.microstructureStream(ticks))),
+        "economic_events"    -> (() => counting("economic_events",
+          Channels.economicEventsStream(spark, r))),
+        // beyond-reference stateful channels, measured at tick rate like
+        // pattern_alerts (both fold per-symbol state over every candle)
+        "heikin_ashi"        -> (() => counting("heikin_ashi",
+          Channels.heikinAshiStream(spark, tickCandles).toDF())),
+        "zigzag_alerts"      -> (() => counting("zigzag_alerts",
+          Channels.zigzagStream(spark, tickCandles).toDF())),
+        // brick ≈ 1/10 of the synthetic walk's oscillation amplitude so
+        // the channel emits steadily at tick rate
+        "renko_bricks"       -> (() => counting("renko_bricks",
+          Channels.renkoStream(spark, tickCandles,
+            Map("PAIR0" -> 0.0002, "PAIR1" -> 0.0002, "PAIR2" -> 0.0002)).toDF())),
+        "trending"           -> (() => counting("trending",
+          Channels.trendingStream(spark, ticks).toDF())))
 
-    val stats = runs.map { case (name, start) =>
-      val s = measure(start(), seconds)
-      System.err.println(s"[streambench] $name: ${s.rows} rows, ${s.batches} batches, " +
-        f"${s.rows / s.wallSec}%.0f msg/s, ${if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0}%.4f ms/msg")
-      name -> s
+      runs.map { case (name, start) =>
+        val s = measure(start(), seconds)
+        System.err.println(s"[streambench] $name@$r: ${s.rows} rows, ${s.batches} batches, " +
+          f"${s.rows / s.wallSec}%.0f msg/s, ${if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0}%.4f ms/msg")
+        name -> s
+      }
     }
-    val js = stats.map { case (n, s) =>
-      val msgSec = s.rows / s.wallSec
-      val msPerMsg = if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0
-      val avgBatch = if (s.batches > 0) s.execMs.toDouble / s.batches else 0.0
-      f"""\"$n\":{"rows":${s.rows},"batches":${s.batches},"msg_per_sec":$msgSec%.1f,"ms_per_msg":$msPerMsg%.4f,"avg_batch_ms":$avgBatch%.1f,"max_batch_ms":${s.maxBatchMs}}"""
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"streaming","rate_per_sec":$rate,"window_sec":$seconds,"channels":$js}""")
+
+    def channelsJson(stats: Seq[(String, ChannelStats)]): String =
+      stats.map { case (n, s) =>
+        val msgSec = s.rows / s.wallSec
+        val msPerMsg = if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0
+        val avgBatch = if (s.batches > 0) s.execMs.toDouble / s.batches else 0.0
+        f"""\"$n\":{"rows":${s.rows},"batches":${s.batches},"msg_per_sec":$msgSec%.1f,"ms_per_msg":$msPerMsg%.4f,"avg_batch_ms":$avgBatch%.1f,"max_batch_ms":${s.maxBatchMs}}"""
+      }.mkString("{", ",", "}")
+
+    val js = channelsJson(runAll(rate))
+    val sweepJs =
+      if (sweepRates.isEmpty) ""
+      else sweepRates.map(r => s""""$r":${channelsJson(runAll(r))}""")
+        .mkString(""","rate_sweep":{""", ",", "}")
+    println(s"""{"metric":"streaming","rate_per_sec":$rate,"window_sec":$seconds,"channels":$js$sweepJs}""")
     spark.stop()
   }
 }
