@@ -222,63 +222,93 @@ object Stateful {
     foldTrades(spark, sig)
   }
 
+  /** Open-position half of the backtest state (max_positions = 1). */
+  private[graft] final case class BtOpen(entryTime: java.sql.Timestamp,
+      entryPrice: Double, tradeType: String, size: Double, commission: Double)
+
+  /** Backtest fold state: account capital + the open trade, if any.
+    * Factored out (the zzStep/psarStep pattern) so TransitionPropSpec
+    * can drive the trade lifecycle with adversarial signal series. */
+  private[graft] final case class BtCore(capital: Double, open: Option[BtOpen])
+
+  private[graft] val btInit: BtCore = BtCore(10000.0, None)
+  private val commissionRate = 0.0001
+
+  /** A closed trade, key-agnostic; the fold maps it onto [[TradeRow]]. */
+  private[graft] final case class BtTrade(entryTime: java.sql.Timestamp,
+      exitTime: java.sql.Timestamp, entryPrice: Double, exitPrice: Double,
+      tradeType: String, size: Double, commission: Double,
+      pnl: Double, returnPct: Double)
+
+  private def btClose(st: BtCore, o: BtOpen,
+      exitTime: java.sql.Timestamp, exitPrice: Double): (BtCore, Some[BtTrade]) = {
+    val commission = o.commission + o.size * commissionRate
+    val gross =
+      if (o.tradeType == "buy") (exitPrice - o.entryPrice) * o.size
+      else (o.entryPrice - exitPrice) * o.size
+    val pnl = gross - commission
+    val retPct =
+      if (o.tradeType == "buy") (exitPrice - o.entryPrice) / o.entryPrice * 100
+      else (o.entryPrice - exitPrice) / o.entryPrice * 100
+    (BtCore(st.capital + pnl, None),
+      Some(BtTrade(o.entryTime, exitTime, o.entryPrice, exitPrice,
+        o.tradeType, o.size, commission, pnl, retPct)))
+  }
+
+  /** One backtest transition (reference `backtesting_engine.py:284-379`):
+    * entry first (10% sizing, 1 bp commission per side, solvency guard —
+    * a busted account opens nothing, else negative sizing inverts
+    * trades), ELSE exit on opposite signal or the 5% stop-loss. An
+    * entry row never also exits; an exit row never also enters. */
+  private[graft] def btStep(st: BtCore, signal: Int,
+      bucket: java.sql.Timestamp, close: Double): (BtCore, Option[BtTrade]) =
+    st.open match {
+      case None if signal != 0 && st.capital > 0 =>
+        val size = st.capital * 0.1
+        val entryCommission = size * commissionRate
+        (BtCore(st.capital - entryCommission,
+          Some(BtOpen(bucket, close, if (signal > 0) "buy" else "sell",
+            size, entryCommission))), None)
+      case Some(o) =>
+        val opposite = (o.tradeType == "buy" && signal < 0) ||
+          (o.tradeType == "sell" && signal > 0)
+        val stopLoss = (o.tradeType == "buy" && close <= o.entryPrice * 0.95) ||
+          (o.tradeType == "sell" && close >= o.entryPrice * 1.05)
+        if (opposite || stopLoss) btClose(st, o, bucket, close)
+        else (st, None)
+      case None => (st, None)
+    }
+
+  /** Force-close at series end. */
+  private[graft] def btFinish(st: BtCore,
+      lastBucket: java.sql.Timestamp, lastClose: Double): (BtCore, Option[BtTrade]) =
+    st.open match {
+      case Some(o) if lastBucket != null => btClose(st, o, lastBucket, lastClose)
+      case _ => (st, None)
+    }
+
   /** The W34 executor, strategy-agnostic (the reference runs every
     * strategy's signal series through the same fold). */
   private def foldTrades(spark: SparkSession, sig: DataFrame): DataFrame = {
     import spark.implicits._
-    val initialCapital = 10000.0
-    val commissionRate = 0.0001
-
     sig.as[SigRow]
       .groupByKey(_.user_id)
       .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[SigRow]) =>
         val trades = scala.collection.mutable.ArrayBuffer.empty[TradeRow]
-        var capital = initialCapital
-        // open trade state (max_positions = 1)
-        var openEntryTime: java.sql.Timestamp = null
-        var openEntryPrice = 0.0
-        var openType = ""
-        var openSize = 0.0
-        var openCommission = 0.0
+        var core = btInit
         var lastBucket: java.sql.Timestamp = null
         var lastClose = 0.0
-
-        def close(exitTime: java.sql.Timestamp, exitPrice: Double): Unit = {
-          val commission = openCommission + openSize * commissionRate
-          val gross =
-            if (openType == "buy") (exitPrice - openEntryPrice) * openSize
-            else (openEntryPrice - exitPrice) * openSize
-          val pnl = gross - commission
-          val retPct =
-            if (openType == "buy") (exitPrice - openEntryPrice) / openEntryPrice * 100
-            else (openEntryPrice - exitPrice) / openEntryPrice * 100
-          capital += pnl
-          trades += TradeRow(uid, openEntryTime, exitTime, openEntryPrice, exitPrice,
-            openType, openSize, commission, pnl, retPct)
-          openEntryTime = null
+        def emit(t: Option[BtTrade]): Unit = t.foreach { bt =>
+          trades += TradeRow(uid, bt.entryTime, bt.exitTime, bt.entryPrice,
+            bt.exitPrice, bt.tradeType, bt.size, bt.commission, bt.pnl, bt.returnPct)
         }
-
         rows.foreach { r =>
           lastBucket = r.bucket; lastClose = r.close
-          // entry first (reference order: entry, then exits in same step);
-          // solvency guard: a busted account (capital ≤ 0) opens nothing —
-          // without this the 10% sizing goes negative and trades invert
-          if (r.signal != 0 && openEntryTime == null && capital > 0) {
-            val size = capital * 0.1
-            val entryCommission = size * commissionRate
-            openEntryTime = r.bucket; openEntryPrice = r.close
-            openType = if (r.signal > 0) "buy" else "sell"
-            openSize = size; openCommission = entryCommission
-            capital -= entryCommission
-          } else if (openEntryTime != null) {
-            val opposite = (openType == "buy" && r.signal < 0) ||
-              (openType == "sell" && r.signal > 0)
-            val stopLoss = (openType == "buy" && r.close <= openEntryPrice * 0.95) ||
-              (openType == "sell" && r.close >= openEntryPrice * 1.05)
-            if (opposite || stopLoss) close(r.bucket, r.close)
-          }
+          val (nc, t) = btStep(core, r.signal, r.bucket, r.close)
+          core = nc; emit(t)
         }
-        if (openEntryTime != null && lastBucket != null) close(lastBucket, lastClose)
+        val (_, t) = btFinish(core, lastBucket, lastClose)
+        emit(t)
         trades.iterator
       }
       .toDF()

@@ -282,4 +282,97 @@ class TransitionPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  // -------------------------------------------------------------- backtest
+  /** Signal/price feed: signals fire often enough to open and flip
+    * trades; crash/spike steps trigger the 5% stop-loss from both
+    * sides. */
+  private val btSeries: Gen[List[(Int, Double)]] = for {
+    prices  <- priceSeries
+    signals <- Gen.listOfN(prices.size, Gen.frequency(
+      5 -> Gen.const(0), 2 -> Gen.const(1), 2 -> Gen.const(-1)))
+  } yield signals.zip(prices)
+
+  private def ts(i: Int) = new java.sql.Timestamp(1700000040000L + i * 60000L)
+
+  /** Run the fold, tracking for each emitted trade whether its exit row
+    * was a force-close and what the exit row's signal was. */
+  private def runBt(feed: List[(Int, Double)])
+      : (Seq[(Stateful.BtTrade, Int, Boolean)], Stateful.BtCore) = {
+    var core = Stateful.btInit
+    val out = Seq.newBuilder[(Stateful.BtTrade, Int, Boolean)]
+    feed.zipWithIndex.foreach { case ((sig, px), i) =>
+      val (nc, t) = Stateful.btStep(core, sig, ts(i), px)
+      core = nc
+      t.foreach(bt => out += ((bt, sig, false)))
+    }
+    val (fin, t) = Stateful.btFinish(core, ts(feed.size - 1), feed.last._2)
+    t.foreach(bt => out += ((bt, feed.last._1, true)))
+    (out.result(), fin)
+  }
+
+  test("backtest: trades are well-formed and never overlap (max_positions = 1)") {
+    forAllSampled(btSeries) { feed =>
+      val (trades, fin) = runBt(feed)
+      assert(fin.open.isEmpty, "position still open after finish")
+      trades.map(_._1).foreach { t =>
+        assert(!t.exitTime.before(t.entryTime), "exit before entry")
+        assert(t.size > 0, s"non-positive size ${t.size}")
+        // 1 bp per side on the same size: commission is exactly twice
+        // the entry half (x + x is exact in IEEE)
+        assert(t.commission == 2 * (t.size * 0.0001),
+          s"commission ${t.commission} != 2 sides of 1 bp on ${t.size}")
+      }
+      trades.map(_._1).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.entryTime.after(a.exitTime),
+            s"overlapping trades: entry ${b.entryTime} <= prior exit ${a.exitTime}")
+        case _ =>
+      }
+    }
+  }
+
+  test("backtest: every exit is an opposite signal, a 5% stop, or the force-close") {
+    forAllSampled(btSeries) { feed =>
+      runBt(feed)._1.foreach { case (t, exitSig, forced) =>
+        val opposite =
+          if (t.tradeType == "buy") exitSig < 0 else exitSig > 0
+        val stop =
+          if (t.tradeType == "buy") t.exitPrice <= t.entryPrice * 0.95
+          else t.exitPrice >= t.entryPrice * 1.05
+        assert(forced || opposite || stop,
+          s"trade closed with no exit condition: $t signal $exitSig")
+      }
+    }
+  }
+
+  test("backtest: the capital trajectory replays as 10% sizing, 1 bp debits, pnl credits") {
+    forAllSampled(btSeries) { feed =>
+      val (trades, fin) = runBt(feed)
+      var capital = Stateful.btInit.capital
+      trades.map(_._1).foreach { t =>
+        assert(t.size == capital * 0.1,
+          s"size ${t.size} != 10% of capital-at-entry $capital")
+        capital -= t.size * 0.0001 // entry commission debit
+        capital += t.pnl           // pnl (net of BOTH commission halves)
+        // solvency guard: an entry only ever happened with capital > 0
+        assert(t.size > 0)
+      }
+      assert(capital == fin.capital,
+        s"replayed capital $capital != fold capital ${fin.capital}")
+    }
+  }
+
+  test("backtest: pnl and return carry the trade direction") {
+    forAllSampled(btSeries) { feed =>
+      runBt(feed)._1.map(_._1).foreach { t =>
+        val favorable =
+          if (t.tradeType == "buy") t.exitPrice > t.entryPrice
+          else t.exitPrice < t.entryPrice
+        if (t.pnl > 0) assert(favorable, s"positive pnl on adverse move: $t")
+        if (favorable)
+          assert(t.returnPct > 0, s"favorable move with non-positive return: $t")
+      }
+    }
+  }
 }
