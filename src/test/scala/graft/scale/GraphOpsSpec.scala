@@ -139,6 +139,12 @@ class GraphOpsSpec extends SparkSpec {
     val expect = (1L to 4L).map(_ -> 3).toMap ++
       Map(5L -> 1, 6L -> 1, 7L -> 2, 8L -> 2, 9L -> 2, 10L -> 1, 11L -> 1)
     assert(out == expect, s"core numbers wrong: $out")
+    // the NESTED peel must survive high parallelism too (the kcore
+    // partition case, r7, only drove the single-level entry point):
+    // edgesPerPart=1 ⇒ the level-1 peel runs across 2×|pairs| partitions
+    val wide = GraphOps.coreNumbersOf(pairs, maxK = 8, maxRounds = 10, edgesPerPart = 1L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(wide == expect, s"partitioning changed the decomposition: $wide")
     // a core deeper than maxK must throw, not return truncated labels
     intercept[IllegalStateException] {
       GraphOps.coreNumbersOf(pairs, maxK = 2, maxRounds = 10).collect()
