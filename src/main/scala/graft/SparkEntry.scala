@@ -12,6 +12,7 @@ object SparkEntry {
       operators.Joins.queries ++
       operators.Aggregations.queries ++
       operators.Windows.queries ++
+      operators.IndicatorPack2.queries ++
       operators.WindowsAdvanced.queries ++
       operators.Segmented.queries ++
       operators.EmaFamily.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.Joins.oracles ++
       operators.Aggregations.oracles ++
       operators.Windows.oracles ++
+      operators.IndicatorPack2.oracles ++
       operators.WindowsAdvanced.oracles ++
       operators.Segmented.oracles ++
       operators.EmaFamily.oracles ++
