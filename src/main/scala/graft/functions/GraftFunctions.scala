@@ -27,6 +27,9 @@ object GraftFunctions {
   def chunkTokensBuilder(exprs: Seq[Expression]): ChunkTokens =
     ChunkTokens(exprs.head, exprs(1), exprs(2))
 
+  def doubleRawBitsBuilder(exprs: Seq[Expression]): DoubleRawBits =
+    DoubleRawBits(Cast(exprs.head, DoubleType))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm_avg", ewmAvgBuilder, "built-in")
@@ -36,6 +39,8 @@ object GraftFunctions {
       "graft_intersect_count", intersectCountBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chunk_tokens", chunkTokensBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_double_raw_bits", doubleRawBitsBuilder, "built-in")
   }
 
   /** Codegen'd dense dot product ([[DotProduct]]). */
@@ -53,4 +58,29 @@ object GraftFunctions {
   /** pandas `ewm(span=s, adjust=True).mean()`: α = 2/(s+1). */
   def ewmAvgSpan(c: Column, span: Int): Column =
     ewmAvg(c, 2.0 / (span + 1))
+
+  /** IEEE bit pattern of a non-negative double ([[DoubleRawBits]]). */
+  def doubleRawBits(c: Column): Column =
+    call_function("graft_double_raw_bits", c)
+
+  /** Order-preserving single-value pack of a lexicographic (ord, id)
+    * pair, for HASH-aggregable argmin: `min(packOrdId(dist, cid))`
+    * selects exactly the `ORDER BY dist, cid LIMIT 1` row per group
+    * (ties included), but its DECIMAL(38,0) buffer stays inside
+    * HashAggregate + whole-stage codegen where `min(struct(dist, cid))`
+    * falls back to SortAggregate and sorts the full input (the
+    * `ann_ivf_search` sf10 spill finding — see [[DoubleRawBits]]).
+    *
+    * Contract: `ord` non-negative, non-NaN double (squared distances);
+    * `id` a non-negative long < 2³² (centroid / sub-centroid ids —
+    * holds for any IVF codebook up to 4.3 B lists). The product
+    * `rawBits(ord)·2³² + id` needs ≤ 95 bits < the 126-bit DECIMAL(38)
+    * range; Spark's BigDecimal arithmetic is exact there. */
+  def packOrdId(ord: Column, id: Column): Column =
+    doubleRawBits(ord).cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+      lit(4294967296L) + id
+
+  /** The id component of a [[packOrdId]]-packed min. */
+  def packedId(p: Column): Column =
+    (p % lit(4294967296L)).cast(org.apache.spark.sql.types.LongType)
 }

@@ -39,5 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_chunk_tokens"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.chunkTokensBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_double_raw_bits"),
+      new ExpressionInfo(classOf[graft.functions.DoubleRawBits].getName,
+        "graft_double_raw_bits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.doubleRawBitsBuilder(exprs)))
   }
 }

@@ -31,6 +31,17 @@ object Similarity {
     * .register]], done in [[corpus]]. */
   private[scale] def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dot(a, b)
+
+  /** Hash-aggregable lexicographic argmin: `min(packArgmin(d, id))` ≡
+    * `ORDER BY d, id LIMIT 1` per group. `min(struct(d, id))` plans as
+    * a SortAggregate (struct buffers aren't UnsafeRow-mutable) and
+    * sorts the full vectors×centroids input — 5.3 GB of spill at sf10
+    * in the shuffle-byte audit; the packed DECIMAL form stays in
+    * HashAggregate + codegen. See [[graft.functions.DoubleRawBits]]. */
+  private[scale] def packArgmin(ord: Column, id: Column): Column =
+    graft.functions.GraftFunctions.packOrdId(ord, id)
+  private[scale] def packedId(p: Column): Column =
+    graft.functions.GraftFunctions.packedId(p)
   private[scale] def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
@@ -291,16 +302,19 @@ object Similarity {
         diff * diff
       }.reduce(_ + _)
     // argmin as a HASH AGGREGATE, not a rank-1 window: min over the
-    // lexicographic struct (dist, cid) is exactly ORDER BY dist, cid
-    // LIMIT 1 per vector, but partial-aggregates map-side (16 centroid
-    // rows collapse to 1 before the shuffle) and never sorts — the
-    // assignment shape that holds at corpus scale
+    // packed (dist, cid) value ([[packArgmin]]) is exactly ORDER BY
+    // dist, cid LIMIT 1 per vector, partial-aggregates map-side (k
+    // centroid rows collapse to 1 before the shuffle) and never sorts
+    // — the assignment shape that holds at corpus scale. min(dist)
+    // rides in the same aggregate: it always equals the packed
+    // winner's dist (the pack orders by dist first).
     c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cid"), dist.as("dist"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("centroid_id"),
-        round(col("m.dist"), 6).as("dist_sq"))
+      .agg(min(packArgmin(col("dist"), col("cid"))).as("p"),
+        min(col("dist")).as("d"))
+      .select(col("vec_id"), packedId(col("p")).as("centroid_id"),
+        round(col("d"), 6).as("dist_sq"))
   }
 
   val annIvfAssignSql: String =
@@ -332,13 +346,13 @@ object Similarity {
       }.reduce(_ + _)
     val assigned = c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
-    // hash-agg argmin (see annIvfAssign) for the corpus-wide list
-    // assignment; the nprobe=2 probe set keeps the rank window — it's
-    // 10 query rows, and top-k(>1) has no aggregate form
+    // hash-agg packed argmin (see annIvfAssign) for the corpus-wide
+    // list assignment; the nprobe=2 probe set keeps the rank window —
+    // it's 10 query rows, and top-k(>1) has no aggregate form
     val lists = assigned
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+      .agg(min(packArgmin(col("dist"), col("cid"))).as("p"))
+      .select(col("vec_id"), packedId(col("p")).as("cid"))
     val probes = assigned.filter(col("vec_id") < 10)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
@@ -495,8 +509,8 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
     val lists = assigned
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+      .agg(min(packArgmin(col("dist"), col("cid"))).as("p"))
+      .select(col("vec_id"), packedId(col("p")).as("cid"))
     val probes = assigned.filter(col("vec_id") < 10)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
@@ -527,8 +541,8 @@ object Similarity {
       .join(broadcast(scents), Seq("s"))
       .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
+      .agg(min(packArgmin(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), packedId(col("m")).as("cid"))
     val qds = pqPieces(c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v")), "v")
       .select(col("query_id"), col("s"), col("sub"))
@@ -868,8 +882,8 @@ object Similarity {
       .join(broadcast(cents), Seq("s"))
       .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
+      .agg(min(packArgmin(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), packedId(col("m")).as("cid"))
       .groupBy(col("vec_id"))
       .agg(collect_list(struct(col("s"), col("cid"))).as("sc"))
       .select(col("vec_id"),
@@ -916,8 +930,8 @@ object Similarity {
       .join(broadcast(cents), Seq("s"))
       .select(col("vec_id"), col("s"), col("cid"), pqSubDist.as("d"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
+      .agg(min(packArgmin(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), packedId(col("m")).as("cid"))
     val qd = pqPieces(c.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v")), "v")
       .select(col("query_id"), col("s"), col("sub"))
@@ -1013,17 +1027,23 @@ object Similarity {
         val diff = element_at(col("v"), d + 1) - element_at(col("cv"), d + 1)
         diff * diff
       }.reduce(_ + _)
-    // hash-agg argmin (see annIvfAssign): lexicographic min over
-    // (dist, cid, v) picks the same row as the rank-1 window — v rides
-    // along for the update step, never reached by the comparison
-    // because (dist, cid) is already unique per vector
+    // hash-agg packed argmin (see annIvfAssign); the update step's v is
+    // re-attached by an n-row equi-join on vec_id AFTER the aggregate
+    // rather than riding in the argmin buffer — min(struct(dist,cid,v))
+    // forced a SortAggregate whose sort rows each carried the 64-double
+    // array (n·k wide rows sorted per iteration); the skinny
+    // aggregate + join shape is how distributed Lloyd keeps the
+    // assignment map-side at corpus scale
     def assign(cents: DataFrame): DataFrame =
       c.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
+        .select(col("vec_id"), col("cid"), dist.as("dist"))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"), col("v"))).as("m"))
-        .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"),
-          col("m.dist").as("dist"))
+        .agg(min(packArgmin(col("dist"), col("cid"))).as("p"),
+          min(col("dist")).as("d"))
+        .select(col("vec_id"), packedId(col("p")).as("cid"),
+          col("d").as("dist"))
+        .join(c.select(col("vec_id"), col("v")), "vec_id")
+        .select(col("vec_id"), col("v"), col("cid"), col("dist"))
     val init = c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     assign(kmeansUpdate(assign(kmeansUpdate(assign(init)))))
