@@ -13,6 +13,7 @@ object SparkEntry {
       operators.Aggregations.queries ++
       operators.Windows.queries ++
       operators.IndicatorPack2.queries ++
+      operators.IndicatorPack3.queries ++
       operators.WindowsAdvanced.queries ++
       operators.Segmented.queries ++
       operators.EmaFamily.queries ++
@@ -64,6 +65,7 @@ object SparkEntry {
       operators.Aggregations.oracles ++
       operators.Windows.oracles ++
       operators.IndicatorPack2.oracles ++
+      operators.IndicatorPack3.oracles ++
       operators.WindowsAdvanced.oracles ++
       operators.Segmented.oracles ++
       operators.EmaFamily.oracles ++

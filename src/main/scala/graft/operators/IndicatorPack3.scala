@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.Tables
+import graft.features.Indicators._
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KAMA fold input: close plus the window-precomputed efficiency ratio
+  * and smoothing constant (null through the 10-row warmup). */
+case class KamaIn(user_id: Long, bucket: java.sql.Timestamp,
+    close: Double, er: Option[Double], sc: Option[Double])
+
+case class KamaRow(user_id: Long, bucket: java.sql.Timestamp,
+    er: Double, kama: Double)
+
+/** Indicator pack 3 — third beyond-reference batch (the reference's own
+  * suite stops at W43): Kaufman's Adaptive MA, Hull MA, Chande Momentum
+  * and Elder Ray. Same execution contract as §2.7: window indicators
+  * are pure `Column`s over the shared per-symbol ordered window (one
+  * exchange + one sort per query, whole-stage codegen); KAMA's
+  * state-dependent recurrence uses the [[graft.analysis.Stateful]]
+  * `flatMapSortedGroups` fold — but only for the scalar recurrence:
+  * its efficiency ratio and smoothing constant are plain window
+  * aggregates computed BEFORE the fold, so the per-key fold state is
+  * one double, not a price deque.
+  */
+object IndicatorPack3 {
+
+  private val w = W()
+  private def grow = w.rowsBetween(Window.unboundedPreceding, 0)
+
+  // ---------------------------------------------------------------- W46
+  /** W46 — KAMA(10, 2, 30).
+    *
+    * er = |close − close₋₁₀| / Σ₁₀|Δclose| (0 on a flat window);
+    * sc = (er·(2/3 − 2/31) + 2/31)²; kama seeds to close on each key's
+    * FIRST full-window row (rn = 11) and then folds
+    * `kama += sc·(close − kama)`. Convention note: libraries disagree
+    * on the seed (SMA vs first price); this engine pins seed = close
+    * at rn = 11 and the oracle replays exactly that, all keys in
+    * lockstep (depth = longest series, the PSAR oracle's shape). */
+  def w46Kama(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ad = abs(col("close") - lag(col("close"), 1).over(w))
+    val change = abs(col("close") - lag(col("close"), 10).over(w))
+    val vol = rollSum(col("ad"), 10, w)
+    val er = when(col("vol").isNotNull && col("change").isNotNull,
+      when(col("vol") =!= 0, col("change") / col("vol")).otherwise(lit(0.0)))
+    val t = col("er") * lit(2.0 / 3.0 - 2.0 / 31.0) + lit(2.0 / 31.0)
+    val prepared = Tables.candles(spark, dir)
+      .withColumn("ad", ad)
+      .withColumn("change", change)
+      .withColumn("vol", vol)
+      .withColumn("er", er)
+      .withColumn("sc", t * t)
+      .select(col("user_id"), col("bucket"), col("close"),
+        col("er").as("er"), col("sc").as("sc"))
+      .as[KamaIn]
+    val out = prepared
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[KamaIn]) =>
+        var kama = 0.0
+        var seeded = false
+        rows.flatMap { r =>
+          (r.er, r.sc) match {
+            case (Some(e), Some(s)) =>
+              if (!seeded) { kama = r.close; seeded = true }
+              else kama = kama + s * (r.close - kama)
+              Iterator.single(KamaRow(uid, r.bucket, e, kama))
+            case _ => Iterator.empty
+          }
+        }
+      }
+    out.select(col("user_id"), col("bucket"),
+      round(col("er"), 6).as("er_10"),
+      round(col("kama"), 6).as("kama_10_2_30"))
+  }
+
+  private val recursiveCandles: String =
+    "WITH RECURSIVE " + Tables.candlesSql.stripPrefix("WITH ")
+
+  val w46Sql: String =
+    s"""$recursiveCandles,
+       |kb AS (
+       |  SELECT user_id, bucket, close,
+       |         row_number() OVER wk AS rn,
+       |         abs(close - lag(close) OVER wk) AS ad,
+       |         abs(close - lag(close, 10) OVER wk) AS change
+       |  FROM candles
+       |  WINDOW wk AS (PARTITION BY user_id ORDER BY bucket)),
+       |ke AS (
+       |  SELECT user_id, bucket, close, rn,
+       |    CASE WHEN (CASE WHEN count(ad) OVER wk10 = 10 THEN sum(ad) OVER wk10 END)
+       |              IS NOT NULL AND change IS NOT NULL THEN
+       |      CASE WHEN (CASE WHEN count(ad) OVER wk10 = 10 THEN sum(ad) OVER wk10 END) <> 0
+       |           THEN change / (CASE WHEN count(ad) OVER wk10 = 10 THEN sum(ad) OVER wk10 END)
+       |           ELSE 0.0 END END AS er
+       |  FROM kb
+       |  WINDOW wkb AS (PARTITION BY user_id ORDER BY bucket),
+       |         wk10 AS (wkb ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+       |ks AS (
+       |  SELECT user_id, bucket, close, rn, er,
+       |         (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
+       |           * (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0) AS sc
+       |  FROM ke),
+       |kk(user_id, rn, bucket, er, kama) AS (
+       |  SELECT user_id, rn, bucket, er, close FROM ks WHERE rn = 11
+       |  UNION ALL
+       |  SELECT b.user_id, b.rn, b.bucket, b.er,
+       |         k.kama + b.sc * (b.close - k.kama)
+       |  FROM ks b JOIN kk k ON b.user_id = k.user_id AND b.rn = k.rn + 1)
+       |SELECT user_id, bucket,
+       |       round(er, 6) + 0 AS er_10,
+       |       round(kama, 6) + 0 AS kama_10_2_30
+       |FROM kk""".stripMargin
+
+  // ---------------------------------------------------------------- W47
+  /** W47 — Hull MA(16): HMA = WMA(2·WMA(8) − WMA(16), 4).
+    *
+    * Each WMA is a lag-chain weighted sum (weights n..1, newest
+    * heaviest) — null until the oldest lag exists, so warmup nulls
+    * propagate through the arithmetic with no explicit gate. The outer
+    * WMA runs over the derived series (window-over-window on the SAME
+    * partition/order — Catalyst reuses one sort). The Spark terms and
+    * the SQL text are generated from the same loop, so summation order
+    * is identical by construction. */
+  private def wmaTerms(n: Int): (Column => Column, String => String) = {
+    val denom = n * (n + 1) / 2
+    def colForm(c: Column): Column =
+      (0 until n).map { i =>
+        val x = if (i == 0) c else lag(c, i).over(w)
+        lit((n - i).toDouble) * x
+      }.reduce(_ + _) / lit(denom.toDouble)
+    def sqlForm(c: String): String =
+      (0 until n).map { i =>
+        val x = if (i == 0) c else s"lag($c, $i) OVER wh"
+        s"${(n - i).toDouble} * $x"
+      }.mkString("(", " + ", s") / $denom.0")
+    (colForm, sqlForm)
+  }
+
+  def w47HullMa(spark: SparkSession, dir: String): DataFrame = {
+    val (wma8, _) = wmaTerms(8)
+    val (wma16, _) = wmaTerms(16)
+    val (wma4, _) = wmaTerms(4)
+    Tables.candles(spark, dir)
+      .withColumn("wma16", wma16(col("close")))
+      .withColumn("h", lit(2.0) * wma8(col("close")) - col("wma16"))
+      .select(col("user_id"), col("bucket"),
+        round(col("wma16"), 6).as("wma_16"),
+        round(wma4(col("h")), 6).as("hma_16"))
+  }
+
+  val w47Sql: String = {
+    val (_, wma8) = wmaTerms(8)
+    val (_, wma16) = wmaTerms(16)
+    val (_, wma4) = wmaTerms(4)
+    Tables.candlesSql +
+      s""", h1 AS (
+         |  SELECT user_id, bucket,
+         |         ${wma16("close")} AS wma16,
+         |         2.0 * ${wma8("close")} - ${wma16("close")} AS h
+         |  FROM candles
+         |  WINDOW wh AS (PARTITION BY user_id ORDER BY bucket))
+         |SELECT user_id, bucket,
+         |       round(wma16, 6) + 0 AS wma_16,
+         |       round(${wma4("h")}, 6) + 0 AS hma_16
+         |FROM h1
+         |WINDOW wh AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- W48
+  /** W48 — Chande Momentum Oscillator 14 + Elder Ray 13.
+    *
+    * CMO = 100·(Σgains − Σlosses)/(Σgains + Σlosses) over 14 — the
+    * RSI numerator/denominator pair re-normalized to [−100, 100].
+    * Elder Ray: bull = high − EMA₁₃(close), bear = low − EMA₁₃(close)
+    * (ewm adjust=True via [[graft.functions.EwmAvg]]; oracle uses the
+    * normalized-weight identity, the W4 pattern). */
+  def w48CmoElder(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val d = col("close") - lag(col("close"), 1).over(w)
+    val base = Tables.candles(spark, dir)
+      .withColumn("g", gains(d))
+      .withColumn("l", losses(d))
+      .withColumn("ema13", GraftFunctions.ewmAvgSpan(col("close"), 13).over(grow))
+    val sg = rollSum(col("g"), 14, w)
+    val sl = rollSum(col("l"), 14, w)
+    base.select(col("user_id"), col("bucket"),
+      round(lit(100.0) * safeDiv(sg - sl, sg + sl), 6).as("cmo_14"),
+      round(col("high") - col("ema13"), 6).as("bull_power"),
+      round(col("low") - col("ema13"), 6).as("bear_power"))
+  }
+
+  val w48Sql: String = Tables.candlesSql +
+    s""", c1 AS (
+       |  SELECT user_id, bucket, high, low, close,
+       |    close - lag(close) OVER wc AS d,
+       |    pow(1.0 / (1.0 - (2.0 / 14.0)), CAST(count(close) OVER wcg AS DOUBLE)) AS uw
+       |  FROM candles
+       |  WINDOW wc AS (PARTITION BY user_id ORDER BY bucket),
+       |         wcg AS (wc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |c2 AS (
+       |  SELECT user_id, bucket, high, low,
+       |    CASE WHEN d IS NOT NULL THEN CASE WHEN d > 0 THEN d ELSE 0.0 END END AS g,
+       |    CASE WHEN d IS NOT NULL THEN CASE WHEN d < 0 THEN -d ELSE 0.0 END END AS l,
+       |    sum(close * uw) OVER wcg2 / sum(uw) OVER wcg2 AS ema13
+       |  FROM c1
+       |  WINDOW wc2 AS (PARTITION BY user_id ORDER BY bucket),
+       |         wcg2 AS (wc2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT user_id, bucket,
+       |  round(100.0 *
+       |    ((CASE WHEN count(g) OVER w14c = 14 THEN sum(g) OVER w14c END) -
+       |     (CASE WHEN count(l) OVER w14c = 14 THEN sum(l) OVER w14c END)) /
+       |    nullif((CASE WHEN count(g) OVER w14c = 14 THEN sum(g) OVER w14c END) +
+       |           (CASE WHEN count(l) OVER w14c = 14 THEN sum(l) OVER w14c END), 0),
+       |    6) + 0 AS cmo_14,
+       |  round(high - ema13, 6) + 0 AS bull_power,
+       |  round(low - ema13, 6) + 0 AS bear_power
+       |FROM c2
+       |WINDOW wc3 AS (PARTITION BY user_id ORDER BY bucket),
+       |       w14c AS (wc3 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w46_kama"      -> (w46Kama _),
+    "w47_hull_ma"   -> (w47HullMa _),
+    "w48_cmo_elder" -> (w48CmoElder _))
+
+  def oracles: Map[String, String] = Map(
+    "w46_kama"      -> w46Sql,
+    "w47_hull_ma"   -> w47Sql,
+    "w48_cmo_elder" -> w48Sql)
+}

@@ -10,6 +10,8 @@ class SparkEntrySpec extends SparkSpec {
     "Joins"           -> operators.Joins.queries,
     "Aggregations"    -> operators.Aggregations.queries,
     "Windows"         -> operators.Windows.queries,
+    "IndicatorPack2"  -> operators.IndicatorPack2.queries,
+    "IndicatorPack3"  -> operators.IndicatorPack3.queries,
     "WindowsAdvanced" -> operators.WindowsAdvanced.queries,
     "Segmented"       -> operators.Segmented.queries,
     "EmaFamily"       -> operators.EmaFamily.queries,
