@@ -59,19 +59,37 @@ object Scans {
     """SELECT event_id, ts, user_id, event_type, value FROM events
       |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin
 
-  /** S2 — latest-quote per key (`data_fetcher.py:329-374`) via `max_by`:
-    * one hash aggregate, no window, no sort — scales linearly. */
-  def s2LatestQuote(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(max(col("ts")).as("last_ts"),
-           max_by(col("value"), col("ts")).as("last_value"),
-           max_by(col("event_type"), col("ts")).as("last_event_type"))
+  /** S2 — latest-quote per key (`data_fetcher.py:329-374`) as a narrow
+    * max(ts) hash aggregate + a join back at `ts = last_ts` for the
+    * payload columns. NOT a single `max_by` pass: `max_by` with a
+    * STRING payload (event_type) has a non-UnsafeRow-mutable buffer, so
+    * that shape planned as a SortAggregate sorting every map partition
+    * of the events table — the string sibling of the
+    * [[graft.functions.DoubleRawBits]] finding. Here pass 1 scans only
+    * (user_id, ts) (column pruning reaches the parquet scan) into a
+    * pure-long HashAggregate whose output is one row per key — small
+    * enough for AQE to broadcast at fixture scale and still
+    * shuffle-joinable at corpus scale; the post-join aggregate
+    * deduplicates exact-tie rows deterministically (max over the tied
+    * handful, one row per key either way) where `arg_max` tie-breaks
+    * arbitrarily in both engines. */
+  def s2LatestQuote(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+    val last = e.groupBy(col("user_id").as("uid"))
+      .agg(max(col("ts")).as("last_ts"))
+    e.join(last, col("user_id") === col("uid") && col("ts") === col("last_ts"))
+      .groupBy(col("user_id"), col("last_ts"))
+      .agg(max(col("value")).as("last_value"),
+           max(col("event_type")).as("last_event_type"))
+  }
 
   val s2Sql: String =
-    """SELECT user_id, max(ts) AS last_ts, arg_max(value, ts) AS last_value,
-      |       arg_max(event_type, ts) AS last_event_type
-      |FROM events GROUP BY user_id""".stripMargin
+    """WITH last AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
+      |SELECT e.user_id, l.last_ts, max(e.value) AS last_value,
+      |       max(e.event_type) AS last_event_type
+      |FROM events e JOIN last l ON e.user_id = l.user_id AND e.ts = l.last_ts
+      |GROUP BY e.user_id, l.last_ts""".stripMargin
 
   /** O2 — LIMIT/OFFSET pagination (`repository.py:213-214`); Spark 3.5+/4.x
     * has a native `offset()` that plans as GlobalLimit(offset+limit). */

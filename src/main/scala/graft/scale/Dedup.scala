@@ -108,10 +108,21 @@ object Dedup {
     // heavy exact duplication would otherwise pay shingling per copy and
     // flood the LSH buckets); md5 and the tokenizer each run exactly once
     // per shingle/doc (see [[shingleRows]] for why the array-lambda form
-    // is pathological)
+    // is pathological).
+    // GROUP BY the text itself, min(doc_id) — NOT group-by-md5 +
+    // min_by(text, doc_id): a string-valued min_by buffer isn't
+    // UnsafeRow-mutable, so that shape planned as a SortAggregate that
+    // sorted every map partition of the documents table (the
+    // DoubleRawBits finding's string sibling). Var-length GROUPING keys
+    // hash fine — only buffers must be mutable — so keying on text
+    // keeps the long-only min inside HashAggregate with map-side
+    // combine, and heavy exact duplication collapses before the
+    // exchange. Same groups as keying on md5(text) wherever md5 is
+    // collision-free on the corpus — the assumption dedup_exact's
+    // content_hash output already makes.
     val reps = Tables.documents(spark, dir)
-      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
     shingleRows(reps).cache()
   }
 
@@ -138,8 +149,8 @@ object Dedup {
 
   val minhashSigCte: String =
     s"""WITH reps AS (
-       |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-       |  FROM documents GROUP BY md5(text)),
+       |  SELECT min(doc_id) AS doc_id, text
+       |  FROM documents GROUP BY text),
        |toks AS (
        |  SELECT doc_id, $tokensSql AS ts FROM reps),
        |shs AS (
@@ -931,8 +942,8 @@ object Dedup {
 
   val containmentPairsSql: String =
     s"""WITH reps AS (
-        |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-        |  FROM documents GROUP BY md5(text)),
+        |  SELECT min(doc_id) AS doc_id, text
+        |  FROM documents GROUP BY text),
         |toks AS (
         |  SELECT doc_id, $tokensSql AS ts FROM reps),
         |srows AS (

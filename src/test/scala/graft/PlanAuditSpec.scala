@@ -51,6 +51,34 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(drift.isEmpty, "plan-shape drift:\n  " + drift.mkString("\n  "))
   }
+
+  test("string-payload argmax sites stay off the corpus SortAggregate path") {
+    // min_by/max_by (and min/max) with a STRING payload have
+    // non-UnsafeRow-mutable buffers, so Spark plans them as
+    // SortAggregate — which SORTS every map partition of the input.
+    // Two sites used to pay that over a full table scan and were
+    // rewritten (the string siblings of the DoubleRawBits finding):
+    //  - shingleReps: group-by-text + min(doc_id) — long-only buffer,
+    //    pure HashAggregate; dedup_minhash_sig's whole plan must stay
+    //    SortAggregate-free.
+    //  - s2_latest_quote: narrow max(ts) hash agg + join-back; the
+    //    only SortAggregate pair left sits ABOVE the join (the
+    //    per-key tie dedup over one-ish row per key), never over the
+    //    events scan, and no max_by remains anywhere.
+    spark.catalog.clearCache()
+    val sig = SparkEntry.queries("dedup_minhash_sig")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) SortAggregate""".r.findAllIn(sig).isEmpty,
+      "dedup_minhash_sig regained a SortAggregate:\n" + sig)
+    val s2 = SparkEntry.queries("s2_latest_quote")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!s2.contains("max_by"), "s2 regained a string max_by:\n" + s2)
+    // partial+final of the tiny post-join tie dedup — the pinned shape
+    assert("""\(\d+\) SortAggregate""".r.findAllIn(s2).size == 2, s2)
+    // the aggregate fed directly by a scan must be the hash one: in the
+    // formatted tree the join's build side is "HashAggregate ... Scan"
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(s2).size == 2, s2)
+  }
 }
 
 object PlanAuditSpec {
