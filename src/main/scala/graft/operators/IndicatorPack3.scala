@@ -15,6 +15,15 @@ case class KamaIn(user_id: Long, bucket: java.sql.Timestamp,
 case class KamaRow(user_id: Long, bucket: java.sql.Timestamp,
     er: Double, kama: Double)
 
+/** GARCH fold input: the simple return is a window lag computed BEFORE
+  * the fold (null on each key's first row), so fold state is the
+  * (prev return, variance) pair only. */
+case class GarchIn(user_id: Long, bucket: java.sql.Timestamp,
+    r: Option[Double])
+
+case class GarchRow(user_id: Long, bucket: java.sql.Timestamp,
+    ret: Double, cond_vol_bp: Double)
+
 /** Indicator pack 3 — third beyond-reference batch (the reference's own
   * suite stops at W43): Kaufman's Adaptive MA, Hull MA, Chande Momentum
   * and Elder Ray. Same execution contract as §2.7: window indicators
@@ -223,13 +232,131 @@ object IndicatorPack3 {
        |WINDOW wc3 AS (PARTITION BY user_id ORDER BY bucket),
        |       w14c AS (wc3 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------- W49
+  /** W49 — GARCH(1,1) conditional volatility, pinned parameters
+    * (ω, α, β) = (2e-8, 0.06, 0.92) — the "RiskMetrics-plus-drift"
+    * configuration a desk would fit offline and apply as broadcast
+    * config (the Renko brick-size pattern: fit elsewhere, fold here).
+    *
+    * σ²ₜ = ω + α·r²ₜ₋₁ + β·σ²ₜ₋₁ over simple returns
+    * (pure arithmetic — no ln, so the recurrence is cross-engine
+    * bit-exact), seeded σ² = r² at each key's FIRST return row. The
+    * per-key fold state is two doubles; the oracle replays the
+    * identical expression order in a lockstep recursive CTE. Output in
+    * basis points (10⁴·σ) so 6-decimal rounding keeps ~7 significant
+    * digits of a ~1e-3-scale vol. */
+  def w49GarchVol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pc = lag(col("close"), 1).over(w)
+    val prepared = Tables.candles(spark, dir)
+      .withColumn("r", (col("close") - pc) / pc)
+      .select(col("user_id"), col("bucket"), col("r"))
+      .as[GarchIn]
+    prepared
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[GarchIn]) =>
+        var s2 = 0.0
+        var prevR = 0.0
+        var seeded = false
+        rows.flatMap { row =>
+          row.r match {
+            case Some(r) =>
+              if (!seeded) { s2 = r * r; seeded = true }
+              else s2 = 2.0e-8 + 0.06 * (prevR * prevR) + 0.92 * s2
+              prevR = r
+              Iterator.single(GarchRow(uid, row.bucket, r, 10000.0 * math.sqrt(s2)))
+            case None => Iterator.empty
+          }
+        }
+      }
+      .select(col("user_id"), col("bucket"),
+        round(col("ret"), 6).as("ret"),
+        round(col("cond_vol_bp"), 6).as("cond_vol_bp"))
+  }
+
+  val w49Sql: String =
+    s"""$recursiveCandles,
+       |g49 AS MATERIALIZED (
+       |  SELECT user_id, bucket, row_number() OVER gw49 AS rn,
+       |         (close - lag(close) OVER gw49) / lag(close) OVER gw49 AS r
+       |  FROM candles
+       |  WINDOW gw49 AS (PARTITION BY user_id ORDER BY bucket)),
+       |gv(user_id, rn, bucket, r, s2) AS (
+       |  SELECT user_id, rn, bucket, r, r * r FROM g49 WHERE rn = 2
+       |  UNION ALL
+       |  SELECT c.user_id, c.rn, c.bucket, c.r,
+       |         0.00000002 + 0.06 * (p.r * p.r) + 0.92 * p.s2
+       |  FROM gv p JOIN g49 c ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+       |SELECT user_id, bucket, round(r, 6) + 0 AS ret,
+       |       round(10000.0 * sqrt(s2), 6) + 0 AS cond_vol_bp
+       |FROM gv""".stripMargin
+
+  // ---------------------------------------------------------------- W50
+  /** W50 — range-based volatility estimators over 20 bars: Parkinson,
+    * Garman-Klass, Rogers-Satchell — the OHLC-range family that
+    * extracts 5–8× more information per bar than close-to-close vol
+    * (each per-bar term uses the high/low range the close-only
+    * estimator throws away). Pure window `Column`s on the shared
+    * per-symbol exchange: per-bar ln terms, then an explicit
+    * `sum/20` (not `avg`, so both engines divide the same sum once).
+    * Output in basis points; null through the 20-bar warmup via the
+    * engine-wide count-guard idiom. ln crosses engines safely here for
+    * the same reason the token-NLL family does: correctly-rounded ln
+    * inputs far from the 6th-decimal round boundary. */
+  def w50RangeVol(spark: SparkSession, dir: String): DataFrame = {
+    val L2 = 0.6931471805599453 // ln 2, the same literal the oracle uses
+    val lnHL = log(col("high") / col("low"))
+    val lnCO = log(col("close") / col("open"))
+    val base = Tables.candles(spark, dir)
+      .withColumn("pk", lnHL * lnHL)
+      .withColumn("gk", lit(0.5) * lnHL * lnHL -
+        lit(2 * L2 - 1) * lnCO * lnCO)
+      .withColumn("rs",
+        log(col("high") / col("close")) * log(col("high") / col("open")) +
+        log(col("low") / col("close")) * log(col("low") / col("open")))
+    val w20 = w.rowsBetween(-19, 0)
+    def vol20(c: Column): Column =
+      when(count(c).over(w20) === 20, sqrt(sum(c).over(w20) / 20.0) * 10000.0)
+    base.select(col("user_id"), col("bucket"),
+      round(vol20(col("pk") / lit(4 * L2)), 6).as("parkinson_bp"),
+      round(vol20(col("gk")), 6).as("garman_klass_bp"),
+      round(vol20(col("rs")), 6).as("rogers_satchell_bp"))
+  }
+
+  val w50Sql: String = Tables.candlesSql +
+    s""", v50 AS (
+       |  SELECT user_id, bucket,
+       |    ln(high / low) * ln(high / low) AS pk,
+       |    0.5 * ln(high / low) * ln(high / low) -
+       |      ${2 * 0.6931471805599453 - 1} * ln(close / open) * ln(close / open) AS gk,
+       |    ln(high / close) * ln(high / open) +
+       |      ln(low / close) * ln(low / open) AS rs
+       |  FROM candles)
+       |SELECT user_id, bucket,
+       |  round(CASE WHEN count(pk) OVER v50w = 20
+       |             THEN sqrt(sum(pk / ${4 * 0.6931471805599453}) OVER v50w / 20.0) * 10000.0 END, 6) + 0
+       |    AS parkinson_bp,
+       |  round(CASE WHEN count(gk) OVER v50w = 20
+       |             THEN sqrt(sum(gk) OVER v50w / 20.0) * 10000.0 END, 6) + 0
+       |    AS garman_klass_bp,
+       |  round(CASE WHEN count(rs) OVER v50w = 20
+       |             THEN sqrt(sum(rs) OVER v50w / 20.0) * 10000.0 END, 6) + 0
+       |    AS rogers_satchell_bp
+       |FROM v50
+       |WINDOW v50b AS (PARTITION BY user_id ORDER BY bucket),
+       |       v50w AS (v50b ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w46_kama"      -> (w46Kama _),
     "w47_hull_ma"   -> (w47HullMa _),
-    "w48_cmo_elder" -> (w48CmoElder _))
+    "w48_cmo_elder" -> (w48CmoElder _),
+    "w49_garch_vol" -> (w49GarchVol _),
+    "w50_range_vol" -> (w50RangeVol _))
 
   def oracles: Map[String, String] = Map(
     "w46_kama"      -> w46Sql,
     "w47_hull_ma"   -> w47Sql,
-    "w48_cmo_elder" -> w48Sql)
+    "w48_cmo_elder" -> w48Sql,
+    "w49_garch_vol" -> w49Sql,
+    "w50_range_vol" -> w50Sql)
 }
