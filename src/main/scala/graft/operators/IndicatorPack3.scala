@@ -24,6 +24,12 @@ case class GarchIn(user_id: Long, bucket: java.sql.Timestamp,
 case class GarchRow(user_id: Long, bucket: java.sql.Timestamp,
     ret: Double, cond_vol_bp: Double)
 
+/** GARCH(1,1) state shared by the batch fold and the streaming channel
+  * ([[graft.streaming.Channels.garchVolStream]]) — the zigzag/renko
+  * shared-transition discipline: one definition, so batch and stream
+  * cannot drift. */
+final case class GarchCore(prevR: Double, s2: Double, seeded: Boolean)
+
 /** Indicator pack 3 — third beyond-reference batch (the reference's own
   * suite stops at W43): Kaufman's Adaptive MA, Hull MA, Chande Momentum
   * and Elder Ray. Same execution contract as §2.7: window indicators
@@ -245,6 +251,19 @@ object IndicatorPack3 {
     * identical expression order in a lockstep recursive CTE. Output in
     * basis points (10⁴·σ) so 6-decimal rounding keeps ~7 significant
     * digits of a ~1e-3-scale vol. */
+  private[graft] val GarchOmega = 2.0e-8
+  private[graft] val GarchAlpha = 0.06
+  private[graft] val GarchBeta  = 0.92
+
+  /** One GARCH(1,1) transition — fold a new return into the state.
+    * Expression ORDER mirrors [[w49Sql]]'s recursive member
+    * term-for-term so the doubles come out bit-identical. */
+  private[graft] def garchStep(st: GarchCore, r: Double): GarchCore =
+    if (!st.seeded) GarchCore(r, r * r, seeded = true)
+    else GarchCore(r,
+      GarchOmega + GarchAlpha * (st.prevR * st.prevR) + GarchBeta * st.s2,
+      seeded = true)
+
   def w49GarchVol(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pc = lag(col("close"), 1).over(w)
@@ -255,16 +274,13 @@ object IndicatorPack3 {
     prepared
       .groupByKey(_.user_id)
       .flatMapSortedGroups($"bucket") { (uid: Long, rows: Iterator[GarchIn]) =>
-        var s2 = 0.0
-        var prevR = 0.0
-        var seeded = false
+        var core = GarchCore(0.0, 0.0, seeded = false)
         rows.flatMap { row =>
           row.r match {
             case Some(r) =>
-              if (!seeded) { s2 = r * r; seeded = true }
-              else s2 = 2.0e-8 + 0.06 * (prevR * prevR) + 0.92 * s2
-              prevR = r
-              Iterator.single(GarchRow(uid, row.bucket, r, 10000.0 * math.sqrt(s2)))
+              core = garchStep(core, r)
+              Iterator.single(GarchRow(uid, row.bucket, r,
+                10000.0 * math.sqrt(core.s2)))
             case None => Iterator.empty
           }
         }

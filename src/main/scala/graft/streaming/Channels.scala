@@ -59,6 +59,18 @@ case class RenkoStreamState(anchor: Double, no: Long, lastMs: Long, seeded: Bool
 case class RenkoBrickRow(symbol: String, bucket: java.sql.Timestamp,
     brick_no: Long, brick_open: Double, brick_close: Double, direction: String)
 
+/** GARCH per-symbol streaming state: the previous close (to form the
+  * return the batch side gets from a window lag), the shared
+  * [[graft.operators.GarchCore]] fields flattened, and the last folded
+  * bucket for late-row drops. */
+case class GarchStreamState(prevClose: Double, prevR: Double, s2: Double,
+    seeded: Boolean, lastMs: Long, havePrev: Boolean)
+
+/** One conditional-vol row emitted by the GARCH channel (raw doubles —
+  * rounding is presentation, done by consumers/specs). */
+case class GarchVolRow(symbol: String, bucket: java.sql.Timestamp,
+    ret: Double, cond_vol_bp: Double)
+
 /** Per-window symbol tallies for the trending channel. */
 case class TrendState(counts: Map[String, Long])
 
@@ -405,6 +417,49 @@ object Channels {
               }
             }
           if (st.seeded) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming GARCH(1,1) conditional volatility per symbol — the
+    * streaming form of the batch
+    * [[graft.operators.IndicatorPack3.w49GarchVol]] fold, driving the
+    * SAME transition function (`IndicatorPack3.garchStep`) so the two
+    * cannot drift: the only streaming-side addition is forming the
+    * return from the previous close held in state (the batch side gets
+    * it from a window lag). Parameters are the pinned offline-fit
+    * configuration, exactly like Renko's broadcast brick sizes. Late
+    * or duplicate candles (at or behind the last folded bucket, read
+    * from LIVE state so at-least-once duplicates within one
+    * micro-batch fold once) are dropped — the suite-wide guard
+    * contract. State: 3 doubles + 1 long per symbol. */
+  def garchVolStream(spark: SparkSession,
+      candles: Dataset[StreamCandle]): Dataset[GarchVolRow] = {
+    import spark.implicits._
+    import graft.operators.{GarchCore, IndicatorPack3}
+    candles.groupByKey(_.symbol)
+      .flatMapGroupsWithState[GarchStreamState, GarchVolRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[StreamCandle], state: GroupState[GarchStreamState]) =>
+          var st = state.getOption.getOrElse(
+            GarchStreamState(0.0, 0.0, 0.0, seeded = false,
+              Long.MinValue, havePrev = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GarchVolRow]
+          rows.toSeq.sortBy(_.bucket.getTime).foreach { c =>
+            val ms = c.bucket.getTime
+            if (ms <= st.lastMs) () // late duplicate/straggler
+            else if (!st.havePrev)
+              st = st.copy(prevClose = c.close, lastMs = ms, havePrev = true)
+            else {
+              val r = (c.close - st.prevClose) / st.prevClose
+              val nc = IndicatorPack3.garchStep(
+                GarchCore(st.prevR, st.s2, st.seeded), r)
+              out += GarchVolRow(symbol, c.bucket, r, 10000.0 * math.sqrt(nc.s2))
+              st = GarchStreamState(c.close, nc.prevR, nc.s2, nc.seeded,
+                ms, havePrev = true)
+            }
+          }
+          state.update(st)
           out.iterator
       }
   }

@@ -106,6 +106,8 @@ object StreamBench {
         "renko_bricks"       -> (() => counting("renko_bricks",
           Channels.renkoStream(spark, tickCandles,
             Map("PAIR0" -> 0.0002, "PAIR1" -> 0.0002, "PAIR2" -> 0.0002)).toDF())),
+        "garch_vol"          -> (() => counting("garch_vol",
+          Channels.garchVolStream(spark, tickCandles).toDF())),
         "trending"           -> (() => counting("trending",
           Channels.trendingStream(spark, ticks).toDF())))
 

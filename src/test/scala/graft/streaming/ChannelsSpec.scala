@@ -431,6 +431,63 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming GARCH vol reproduces the batch fold across a micro-batch boundary") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val candles = graft.Tables.candles(spark, sfDir)
+      .select(col("bucket"), col("user_id").cast("string").as("symbol"),
+        col("open"), col("high"), col("low"), col("close"))
+      .as[StreamCandle].collect().sortBy(c => (c.symbol, c.bucket.getTime))
+    val (b1, b2) = candles.splitAt(candles.length / 2)
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.garchVolStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("garch_equiv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      // the channel emits raw doubles; round both sides the same way
+      val streamed = spark.table("garch_equiv")
+        .select(col("symbol").cast("long").as("user_id"), col("bucket"),
+          round(col("ret"), 6).as("ret"),
+          round(col("cond_vol_bp"), 6).as("cond_vol_bp"))
+      val batch = graft.operators.IndicatorPack3.w49GarchVol(spark, sfDir)
+      assert(streamed.count() > 0, "fixture must emit vol rows")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream/batch GARCH vol rows differ")
+    } finally q.stop()
+  }
+
+  test("garch stream drops late and duplicate candles instead of corrupting the variance") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def cts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    def c(m: Int, close: Double) = StreamCandle(cts(m), "S", close, close, close, close)
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.garchVolStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("garch_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(c(1, 100), c(2, 101)); q.processAllAvailable()
+      // stale minute-2 candle (wild value) + minute 3 delivered TWICE in
+      // one batch: the stale row and the duplicate must both drop, so
+      // the fold sees exactly returns r1 = 0.01, r2 = 102/101 - 1
+      mem.addData(c(2, 9999), c(3, 102), c(3, 102)); q.processAllAvailable()
+      val rows = spark.table("garch_late").as[GarchVolRow].collect()
+        .sortBy(_.bucket.getTime)
+      val r1 = (101.0 - 100.0) / 100.0
+      val r2 = (102.0 - 101.0) / 101.0
+      val s2a = r1 * r1
+      val s2b = 2.0e-8 + 0.06 * (r1 * r1) + 0.92 * s2a
+      assert(rows.map(r => (r.bucket.getTime, r.ret, r.cond_vol_bp)).toSeq ==
+        Seq((cts(2).getTime, r1, 10000.0 * math.sqrt(s2a)),
+            (cts(3).getTime, r2, 10000.0 * math.sqrt(s2b))),
+        s"garch rows wrong: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("trending channel emits each window's exact top-k once, when the watermark closes it") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
