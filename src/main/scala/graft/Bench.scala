@@ -81,14 +81,17 @@ object Bench {
     // the old catch discarded the evidence. `errors` goes on the
     // printed line so a non-empty value is impossible to miss.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // the action is BenchAction.consume, never count(): count() lets
+    // Catalyst prune every unreferenced column, benching projections
+    // as parquet row counts and hiding per-row errors (r8 verdict)
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { BenchAction.consume(fn(spark, sfDir)) }
       catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val w0 = System.nanoTime()
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => failed += "entry" }
+    try { BenchAction.consume(SparkEntry.entry(spark)) } catch { case _: Throwable => failed += "entry" }
     val cold = ordered.map { case (name, fn) => timed(name, fn) }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // WARM pass: index-serving queries run their build plan (see the

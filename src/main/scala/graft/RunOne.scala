@@ -27,11 +27,11 @@ object RunOne {
       warmFn(spark, sfDir).explain("formatted")
     } else {
       val t0 = System.nanoTime()
-      val n0 = fn(spark, sfDir).count()
+      val (n0, _) = BenchAction.consume(fn(spark, sfDir))
       println(f"[runone] $name cold: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n0 rows")
       (1 to 3).foreach { i =>
         val t1 = System.nanoTime()
-        val n = warmFn(spark, sfDir).count()
+        val (n, _) = BenchAction.consume(warmFn(spark, sfDir))
         println(f"[runone] $name warm$i: ${(System.nanoTime() - t1) / 1e9}%.2f s, $n rows")
       }
     }

@@ -128,7 +128,7 @@ object ShuffleAudit {
     // cold pass: materialize every shared memo so measured deltas are
     // marginal cost (same attribution contract as Bench's cold pass)
     ordered.foreach { case (name, fn) =>
-      try { fn(spark, sfDir).count(); () }
+      try { BenchAction.consume(fn(spark, sfDir)); () }
       catch { case _: Throwable => failed += name }
     }
 
@@ -136,7 +136,7 @@ object ShuffleAudit {
     val rows = ordered.map { case (name, fn) =>
       val before = listener.quiesce()
       val t0 = System.nanoTime()
-      try { impls.getOrElse(name, fn)(spark, sfDir).count(); () }
+      try { BenchAction.consume(impls.getOrElse(name, fn)(spark, sfDir)); () }
       catch { case _: Throwable => failed += name }
       val wallSec = (System.nanoTime() - t0) / 1e9
       val after = listener.quiesce()

@@ -250,7 +250,17 @@ object IndicatorPack3 {
     * per-key fold state is two doubles; the oracle replays the
     * identical expression order in a lockstep recursive CTE. Output in
     * basis points (10⁴·σ) so 6-decimal rounding keeps ~7 significant
-    * digits of a ~1e-3-scale vol. */
+    * digits of a ~1e-3-scale vol.
+    *
+    * Zero-price rule (engine-wide, pinned here and in
+    * [[graft.streaming.Channels.garchVolStream]]): a return is
+    * UNDEFINED when the previous close is 0 ([[safeDiv]] → null —
+    * the reference treats non-positive prices as dirty data, F2,
+    * `data_quality.py:189-209`). Undefined returns are SKIPPED: no
+    * row is emitted and the fold state persists across the gap, so
+    * the next defined return continues the recurrence from the last
+    * defined one. The oracle replays the identical choice by
+    * re-numbering the non-null returns before the recursive join. */
   private[graft] val GarchOmega = 2.0e-8
   private[graft] val GarchAlpha = 0.06
   private[graft] val GarchBeta  = 0.92
@@ -268,7 +278,7 @@ object IndicatorPack3 {
     import spark.implicits._
     val pc = lag(col("close"), 1).over(w)
     val prepared = Tables.candles(spark, dir)
-      .withColumn("r", (col("close") - pc) / pc)
+      .withColumn("r", safeDiv(col("close") - pc, pc))
       .select(col("user_id"), col("bucket"), col("r"))
       .as[GarchIn]
     prepared
@@ -293,12 +303,16 @@ object IndicatorPack3 {
   val w49Sql: String =
     s"""$recursiveCandles,
        |g49 AS MATERIALIZED (
-       |  SELECT user_id, bucket, row_number() OVER gw49 AS rn,
-       |         (close - lag(close) OVER gw49) / lag(close) OVER gw49 AS r
-       |  FROM candles
-       |  WINDOW gw49 AS (PARTITION BY user_id ORDER BY bucket)),
+       |  SELECT user_id, bucket, r,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+       |  FROM (
+       |    SELECT user_id, bucket,
+       |           (close - lag(close) OVER gw49) / nullif(lag(close) OVER gw49, 0) AS r
+       |    FROM candles
+       |    WINDOW gw49 AS (PARTITION BY user_id ORDER BY bucket))
+       |  WHERE r IS NOT NULL),
        |gv(user_id, rn, bucket, r, s2) AS (
-       |  SELECT user_id, rn, bucket, r, r * r FROM g49 WHERE rn = 2
+       |  SELECT user_id, rn, bucket, r, r * r FROM g49 WHERE rn = 1
        |  UNION ALL
        |  SELECT c.user_id, c.rn, c.bucket, c.r,
        |         0.00000002 + 0.06 * (p.r * p.r) + 0.92 * p.s2
@@ -318,18 +332,29 @@ object IndicatorPack3 {
     * Output in basis points; null through the 20-bar warmup via the
     * engine-wide count-guard idiom. ln crosses engines safely here for
     * the same reason the token-NLL family does: correctly-rounded ln
-    * inputs far from the 6th-decimal round boundary. */
+    * inputs far from the 6th-decimal round boundary.
+    *
+    * Zero-price rule (the w49 decision applied to a framed
+    * estimator): a bar with any non-positive OHLC field (dirty data
+    * per the reference's F2 band filter) has UNDEFINED ln-range
+    * terms — every per-bar term is gated on bar validity, so such
+    * bars contribute null and the existing 20-bar count-guard nulls
+    * every window that touches one. The oracle mirrors the same
+    * CASE gate term-for-term. */
   def w50RangeVol(spark: SparkSession, dir: String): DataFrame = {
     val L2 = 0.6931471805599453 // ln 2, the same literal the oracle uses
-    val lnHL = log(col("high") / col("low"))
-    val lnCO = log(col("close") / col("open"))
+    val valid = col("open") > 0 && col("high") > 0 &&
+      col("low") > 0 && col("close") > 0
+    def lnr(a: Column, b: Column): Column = when(valid, log(a / b))
+    val lnHL = lnr(col("high"), col("low"))
+    val lnCO = lnr(col("close"), col("open"))
     val base = Tables.candles(spark, dir)
       .withColumn("pk", lnHL * lnHL)
       .withColumn("gk", lit(0.5) * lnHL * lnHL -
         lit(2 * L2 - 1) * lnCO * lnCO)
       .withColumn("rs",
-        log(col("high") / col("close")) * log(col("high") / col("open")) +
-        log(col("low") / col("close")) * log(col("low") / col("open")))
+        lnr(col("high"), col("close")) * lnr(col("high"), col("open")) +
+        lnr(col("low"), col("close")) * lnr(col("low"), col("open")))
     val w20 = w.rowsBetween(-19, 0)
     def vol20(c: Column): Column =
       when(count(c).over(w20) === 20, sqrt(sum(c).over(w20) / 20.0) * 10000.0)
@@ -340,14 +365,18 @@ object IndicatorPack3 {
   }
 
   val w50Sql: String = Tables.candlesSql +
-    s""", v50 AS (
+    s""", v50b AS (
+       |  SELECT user_id, bucket, high, low, close, open,
+       |         (open > 0 AND high > 0 AND low > 0 AND close > 0) AS ok
+       |  FROM candles),
+       |v50 AS (
        |  SELECT user_id, bucket,
-       |    ln(high / low) * ln(high / low) AS pk,
-       |    0.5 * ln(high / low) * ln(high / low) -
-       |      ${2 * 0.6931471805599453 - 1} * ln(close / open) * ln(close / open) AS gk,
-       |    ln(high / close) * ln(high / open) +
-       |      ln(low / close) * ln(low / open) AS rs
-       |  FROM candles)
+       |    CASE WHEN ok THEN ln(high / low) * ln(high / low) END AS pk,
+       |    CASE WHEN ok THEN 0.5 * ln(high / low) * ln(high / low) -
+       |      ${2 * 0.6931471805599453 - 1} * ln(close / open) * ln(close / open) END AS gk,
+       |    CASE WHEN ok THEN ln(high / close) * ln(high / open) +
+       |      ln(low / close) * ln(low / open) END AS rs
+       |  FROM v50b)
        |SELECT user_id, bucket,
        |  round(CASE WHEN count(pk) OVER v50w = 20
        |             THEN sqrt(sum(pk / ${4 * 0.6931471805599453}) OVER v50w / 20.0) * 10000.0 END, 6) + 0

@@ -450,6 +450,11 @@ object Channels {
             if (ms <= st.lastMs) () // late duplicate/straggler
             else if (!st.havePrev)
               st = st.copy(prevClose = c.close, lastMs = ms, havePrev = true)
+            else if (st.prevClose == 0)
+              // zero-price rule (batch w49 parity): a return off a zero
+              // close is UNDEFINED — emit nothing, keep the GARCH core,
+              // advance the price cursor past the dirty bar.
+              st = st.copy(prevClose = c.close, lastMs = ms)
             else {
               val r = (c.close - st.prevClose) / st.prevClose
               val nc = IndicatorPack3.garchStep(

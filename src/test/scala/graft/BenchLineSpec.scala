@@ -21,4 +21,17 @@ class BenchLineSpec extends AnyFunSuite {
     val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"headline names not in queries: $missing")
   }
+
+  test("bench action is pruning-proof: count() blesses a broken column, consume must fire it") {
+    val spark = SparkSpec.session
+    // `10 div (id-1)` throws ANSI DIVIDE_BY_ZERO at id = 1 — but only if
+    // the column is actually computed. Over a real leaf (range; a
+    // LocalRelation would be folded eagerly), count() prunes it (the r8
+    // defect: a crashing query benched green); consume must crash.
+    val broken = spark.range(3).selectExpr("10 div (id - 1) AS inv", "id")
+    assert(broken.count() == 3, "count() prunes the division — precondition of the test")
+    intercept[Exception](BenchAction.consume(broken))
+    val ok = spark.range(1, 3).selectExpr("10 div id AS inv", "id")
+    assert(BenchAction.consume(ok)._1 == 2L, "consume must report the row count")
+  }
 }

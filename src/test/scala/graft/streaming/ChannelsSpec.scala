@@ -460,6 +460,35 @@ class ChannelsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("garch stream skips the return off a zero close, matching batch w49 on the same bars") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = graft.ZeroBarFixture.dir(spark)
+    val candles = graft.Tables.candles(spark, dir)
+      .select(col("bucket"), col("user_id").cast("string").as("symbol"),
+        col("open"), col("high"), col("low"), col("close"))
+      .as[StreamCandle].collect().sortBy(_.bucket.getTime)
+    val (b1, b2) = candles.splitAt(candles.length / 2)
+    val mem = MemoryStream[StreamCandle]
+    val q = Channels.garchVolStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("garch_zero")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("garch_zero")
+        .select(col("symbol").cast("long").as("user_id"), col("bucket"),
+          round(col("ret"), 6).as("ret"),
+          round(col("cond_vol_bp"), 6).as("cond_vol_bp"))
+      val batch = graft.operators.IndicatorPack3.w49GarchVol(spark, dir)
+      // 30 bars − the seed bar − the one skipped return = 28 rows
+      assert(streamed.count() == 28, s"expected 28 rows, got ${streamed.count()}")
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream/batch GARCH vol rows differ on the zero-close fixture")
+    } finally q.stop()
+  }
+
   test("garch stream drops late and duplicate candles instead of corrupting the variance") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
