@@ -32,7 +32,7 @@ object Bench {
     "j5_skew_salted", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_cos", "dedup_clusters",
     "dedup_paragraphs", "dedup_semantic", "dedup_keep_best",
-    "ann_brute_force", "ann_lsh_search", "ann_ivf_search",
+    "ann_brute_force", "ann_lsh_search", "ann_ivf_search", "ann_ivf2_assign",
     "text_quality", "text_heavy_hitters", "sk_heavy_hitters_cms",
     "text_pii_scrub", "mm_phash_dedup", "profile_documents",
     "w19_psar", "split_by_cluster", "s6_vwap",

@@ -119,7 +119,13 @@ object GenScale {
     replicate("documents", "doc_id" -> 970000L) { (df, k) =>
       if (k == 0) df
       else {
-        val tag = s"r$k${b62(k % 62)}${b62((k / 62) % 62)}"
+        // fixed-width tag (k zero-padded to 3): every tag is exactly 6
+        // chars, so no tag can be a PREFIX of another — variable-width
+        // "r$k" let replica-1's "r110"+word collide with replica-110's
+        // "r110M1"+word, leaking a sliver of cross-replica shingle
+        // correlation the decorrelation exists to remove
+        require(k <= 999, "fixed-width replica tag covers k <= 999")
+        val tag = f"r$k%03d${b62(k % 62)}${b62((k / 62) % 62)}"
         val tagged = concat(lit(tag), regexp_replace(col("text"), " ", s" $tag"))
         df.withColumn("doc_id", col("doc_id") + k * 970000L)
           .withColumn("text", tagged)

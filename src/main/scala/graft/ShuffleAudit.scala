@@ -84,8 +84,13 @@ object ShuffleAudit {
 
     /** Waits until all submitted jobs' end events have been delivered
       * AND two consecutive snapshots agree (stage-completed events for
-      * a job's last stage can trail its job-end event). */
-    def quiesce(timeoutMs: Long = 10000): Snap = {
+      * a job's last stage can trail its job-end event). Returns the
+      * snapshot plus whether it actually SETTLED: on timeout the last
+      * snapshot may still be missing a straggling stage, whose bytes
+      * would then bleed into the next query's delta — the flag is
+      * recorded per row so such deltas are distinguishable in the
+      * committed artifact instead of silently corrupt. */
+    def quiesce(timeoutMs: Long = 10000): (Snap, Boolean) = {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       var prev = snapshot()
       var settled = false
@@ -95,7 +100,7 @@ object ShuffleAudit {
         settled = jobsEnded.get == jobsStarted.get && cur == prev
         prev = cur
       }
-      prev
+      (prev, settled)
     }
   }
 
@@ -134,13 +139,14 @@ object ShuffleAudit {
 
     val impls = SparkEntry.benchImpls
     val rows = ordered.map { case (name, fn) =>
-      val before = listener.quiesce()
+      val (before, settledBefore) = listener.quiesce()
       val t0 = System.nanoTime()
       try { BenchAction.consume(impls.getOrElse(name, fn)(spark, sfDir)); () }
       catch { case _: Throwable => failed += name }
       val wallSec = (System.nanoTime() - t0) / 1e9
-      val after = listener.quiesce()
+      val (after, settledAfter) = listener.quiesce()
       name -> Map(
+        "settled" -> (if (settledBefore && settledAfter) 1L else 0L),
         "shuffle_read" -> (after.shuffleRead - before.shuffleRead),
         "shuffle_write" -> (after.shuffleWrite - before.shuffleWrite),
         "spill_mem" -> (after.spillMem - before.spillMem),

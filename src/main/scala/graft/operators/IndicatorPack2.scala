@@ -116,6 +116,14 @@ object IndicatorPack2 {
       round(safeDiv(rollSum(col("vmm"), 14, w), rollSum(col("tr"), 14, w)), 6).as("vi_minus"))
   }
 
+  // Oracle-side EWM identity bound (shared W4-family idiom): the
+  // unnormalized weight pow(1/(1-α), n) overflows double to Inf near
+  // n ≈ ln(1.8e308)/ln(1/(1-α)) — ~5300 rows/key at α = 0.125, ~8800 at
+  // α = 2/14 — turning the ORACLE's e1/e2/e3 into NaN while the Spark
+  // side (incremental fold) stays finite. Safe on the fixtures because
+  // GenScale replicates KEYS rather than lengthening series; a fixture
+  // with longer per-key series must switch the oracle to a windowed
+  // renormalization before this bound.
   private val alpha15 = "(2.0 / 16.0)"
 
   val w45Sql: String = Tables.candlesSql +

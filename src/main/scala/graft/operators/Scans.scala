@@ -72,7 +72,18 @@ object Scans {
     * shuffle-joinable at corpus scale; the post-join aggregate
     * deduplicates exact-tie rows deterministically (max over the tied
     * handful, one row per key either way) where `arg_max` tie-breaks
-    * arbitrarily in both engines. */
+    * arbitrarily in both engines.
+    *
+    * Tie semantics, pinned: when several events share a key's max ts,
+    * `last_value`/`last_event_type` are the per-COLUMN maxima over the
+    * tied rows — the output can combine fields of two tied events
+    * (a composite "latest quote"), which is accepted deliberately:
+    * it is deterministic, the oracle replays it exactly, and the
+    * alternative (whole-row argmax by event_id) costs either a third
+    * events scan or a string-payload `max_by` — the SortAggregate
+    * shape this query exists to avoid. Ties at identical timestamps
+    * are duplicate feed deliveries in the reference's model, where
+    * the quote fields agree and the composite is the row. */
   def s2LatestQuote(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value"), col("event_type"))

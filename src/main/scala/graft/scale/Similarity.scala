@@ -85,9 +85,10 @@ object Similarity {
     * kernel) and honest up to the 2^20 cap (~268M vectors), but at
     * n ≥ ~100M a production deployment samples the k-means fit and
     * routes assignment through its own coarse index over the centroids
-    * (two-level IVF, the FAISS shape) — the brute assignment here is the
-    * oracle-verifiable skeleton of that plan, with the centroid set
-    * small enough to broadcast through k ≈ 2^17 (64 MB). */
+    * (two-level IVF, the FAISS shape) — landed as [[annIvf2Assign]]:
+    * the same schedule applied to the centroid set gives k1 supers,
+    * routing work drops to n·(k1 + k/k1), and the super set stays
+    * broadcastable everywhere k no longer is. */
   private[graft] def ivfSchedule(n: Long): Int =
     (4 to 20).map(b => 1 << b).find(k => n <= 256L * k).getOrElse(1 << 20)
 
@@ -326,6 +327,111 @@ object Similarity {
       |         list_sum(list_transform(list_zip(e.v, c.cv),
       |                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
       |  FROM e CROSS JOIN cents c)
+      |SELECT vec_id, cid AS centroid_id, round(dist, 6) + 0 AS dist_sq
+      |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |      FROM dists)
+      |WHERE rk = 1""".stripMargin
+
+  /** TWO-LEVEL IVF assignment — the FAISS-shape coarse index the
+    * [[ivfSchedule]] scaladoc names as the production path past the
+    * brute n×k assignment wall (n ≥ ~100M ⇒ k ≥ 2^19 ⇒ n·k ≥ 5·10¹³
+    * multiply-adds; measured below in SCALE.md).
+    *
+    * Structure: the schedule applied to the CENTROID set gives
+    * k1 = ivfSchedule(k) super-centroids (`vec_id < k1`); each centroid
+    * routes to its nearest super (k×k1 dots); each vector routes to its
+    * nearest super (n×k1 dots) and then exact-assigns among only that
+    * super's centroid group (expected k/k1 ≤ 256 per group). Total
+    * routing work is n·(k1 + k/k1) instead of n·k — at n = 268M,
+    * k = 2^20: 4.4·10¹² → 1.2·10¹² ops, and k1 (≤ 2^12 there) stays
+    * broadcastable where k no longer is.
+    *
+    * Every stage is the same hash-aggregable packed argmin; tie-break
+    * (dist, id) everywhere; the oracle replays the nested argmin with
+    * the schedule derived twice from the same integer arithmetic
+    * ([[ivf2SchedCte]]). At fixture SFs the schedule DEGENERATES to
+    * k1 = k (supers ≡ centroids, singleton groups): each vector's
+    * nearest super IS its nearest centroid, so the output is
+    * bit-identical to [[annIvfAssign]] — the degeneracy the spec pins
+    * — while sf0.1 (k = 128, k1 = 16) and sf1 (k = 1024, k1 = 16)
+    * exercise the genuinely nested shape against the oracle.
+    * Single-super routing (nprobe = 1) is the FAISS add-time
+    * convention: a vector near a group boundary may land in a
+    * near-optimal list (dist_sq ≥ the exact assignment's — the spec's
+    * admissibility bound); query-time recall is recovered by probing
+    * MORE lists at search, not by a perfect build. */
+  def annIvf2Assign(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val k = ivfK(spark, dir)
+    val k1 = ivfSchedule(k.toLong)
+    def sq(a: String, b: String): Column = (0 until 64)
+      .map { d =>
+        val diff = element_at(col(a), d + 1) - element_at(col(b), d + 1)
+        diff * diff
+      }.reduce(_ + _)
+    val cents = c.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val supers = c.filter(col("vec_id") < k1)
+      .select(col("vec_id").as("sid"), col("v").as("sv"))
+    // centroid -> super routing (k rows out; broadcastable by size)
+    val croute = cents.join(broadcast(supers), lit(true))
+      .select(col("cid"), col("cv"), col("sid"), sq("cv", "sv").as("dist"))
+      .groupBy(col("cid"))
+      .agg(min(packArgmin(col("dist"), col("sid"))).as("p"))
+      .select(col("cid"), packedId(col("p")).as("sid"))
+    val groups = cents.join(croute, "cid") // cid, cv, sid
+    // vector -> super routing: n×k1 dots, map-side-combined argmin
+    val vroute = c.join(broadcast(supers), lit(true))
+      .select(col("vec_id"), col("sid"), sq("v", "sv").as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(packArgmin(col("dist"), col("sid"))).as("p"))
+      .select(col("vec_id"), packedId(col("p")).as("sid"))
+    // exact assignment within the routed group (expected ≤ 256 cents)
+    c.join(vroute, "vec_id")
+      .join(broadcast(groups), "sid")
+      .select(col("vec_id"), col("cid"), sq("v", "cv").as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(packArgmin(col("dist"), col("cid"))).as("p"),
+        min(col("dist")).as("d"))
+      .select(col("vec_id"), packedId(col("p")).as("centroid_id"),
+        round(col("d"), 6).as("dist_sq"))
+  }
+
+  /** [[ivfSchedCte]] applied twice: k from the corpus count, k1 from k. */
+  private[scale] val ivf2SchedCte: String =
+    s"""$ivfSchedCte,
+       |isched2 AS (
+       |  SELECT coalesce(min(1::BIGINT << g.b), 1::BIGINT << 20) AS k1
+       |  FROM unnest(generate_series(4, 20)) AS g(b)
+       |  WHERE (SELECT k FROM isched) <= 256 * (1::BIGINT << g.b))""".stripMargin
+
+  val annIvf2AssignSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |$ivf2SchedCte,
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM isched)),
+      |sups AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < (SELECT k1 FROM isched2)),
+      |croute AS (
+      |  SELECT cid, cv, sid FROM (
+      |    SELECT c.cid, c.cv, s.sid,
+      |           row_number() OVER (PARTITION BY c.cid ORDER BY
+      |             list_sum(list_transform(list_zip(c.cv, s.sv),
+      |                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), s.sid) AS rk
+      |    FROM cents c CROSS JOIN sups s)
+      |  WHERE rk = 1),
+      |vroute AS (
+      |  SELECT vec_id, sid FROM (
+      |    SELECT e.vec_id, s.sid,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_sum(list_transform(list_zip(e.v, s.sv),
+      |                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), s.sid) AS rk
+      |    FROM e CROSS JOIN sups s)
+      |  WHERE rk = 1),
+      |dists AS (
+      |  SELECT e.vec_id, c.cid,
+      |         list_sum(list_transform(list_zip(e.v, c.cv),
+      |                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM e JOIN vroute r ON e.vec_id = r.vec_id
+      |         JOIN croute c ON c.sid = r.sid)
       |SELECT vec_id, cid AS centroid_id, round(dist, 6) + 0 AS dist_sq
       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
       |      FROM dists)
@@ -1297,6 +1403,7 @@ object Similarity {
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search"  -> (annLshSearch _),
     "ann_ivf_assign"  -> (annIvfAssign _),
+    "ann_ivf2_assign" -> (annIvf2Assign _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
     "rank_ndcg"       -> (rankNdcg _),
@@ -1314,6 +1421,7 @@ object Similarity {
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_search"  -> annLshSearchSql,
     "ann_ivf_assign"  -> annIvfAssignSql,
+    "ann_ivf2_assign" -> annIvf2AssignSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
     "rank_ndcg"       -> rankNdcgSql,

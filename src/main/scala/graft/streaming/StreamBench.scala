@@ -12,7 +12,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * source at `SPARK_GRAFT_STREAM_RATE` ticks/s (default 2000), on its
   * own reference cadence (`Channels.channelTriggers`). Numbers come
   * from `StreamingQueryProgress` over non-empty batches:
-  *   - `msg_per_sec`  — input rows / measured wall seconds;
+  *   - `msg_per_sec`  — input rows / span of the non-empty batches
+  *     (first trigger start to last trigger end), so a slow-cadence
+  *     channel's idle-wait extension cannot deflate its rate;
   *   - `ms_per_msg`   — Σ triggerExecution / Σ rows (amortized
   *     per-message engine latency, the analog of the reference's
   *     per-send assertion);
@@ -25,7 +27,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object StreamBench {
   private case class ChannelStats(rows: Long, execMs: Long, batches: Int,
-                                  maxBatchMs: Long, wallSec: Double)
+                                  maxBatchMs: Long, wallSec: Double,
+                                  spanSec: Double, extendSec: Int)
 
   private def measure(q: StreamingQuery, seconds: Int): ChannelStats = {
     val t0 = System.nanoTime()
@@ -42,8 +45,19 @@ object StreamBench {
     val wall = (System.nanoTime() - t0) / 1e9
     val ps = q.recentProgress.filter(_.numInputRows > 0)
     val exec = ps.map(p => p.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+    // rate denominator: the span of the NON-EMPTY batches (first trigger
+    // start to last trigger end), not t0-to-stop wall — the idle-wait
+    // extension above would otherwise deflate msg_per_sec for exactly
+    // the slow-cadence channels it exists to serve, making rates across
+    // channels in one artifact non-comparable
+    val spanSec =
+      if (ps.isEmpty) 0.0
+      else {
+        val ts = ps.map(p => java.time.Instant.parse(p.timestamp).toEpochMilli)
+        ((ts.max + exec.last) - ts.min) / 1000.0
+      }
     ChannelStats(ps.map(_.numInputRows).sum, exec.sum, ps.length,
-      if (exec.isEmpty) 0L else exec.max, wall)
+      if (exec.isEmpty) 0L else exec.max, wall, spanSec, extra)
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,17 +128,17 @@ object StreamBench {
       runs.map { case (name, start) =>
         val s = measure(start(), seconds)
         System.err.println(s"[streambench] $name@$r: ${s.rows} rows, ${s.batches} batches, " +
-          f"${s.rows / s.wallSec}%.0f msg/s, ${if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0}%.4f ms/msg")
+          f"${if (s.spanSec > 0) s.rows / s.spanSec else 0.0}%.0f msg/s, ${if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0}%.4f ms/msg")
         name -> s
       }
     }
 
     def channelsJson(stats: Seq[(String, ChannelStats)]): String =
       stats.map { case (n, s) =>
-        val msgSec = s.rows / s.wallSec
+        val msgSec = if (s.spanSec > 0) s.rows / s.spanSec else s.rows / s.wallSec
         val msPerMsg = if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0
         val avgBatch = if (s.batches > 0) s.execMs.toDouble / s.batches else 0.0
-        f"""\"$n\":{"rows":${s.rows},"batches":${s.batches},"msg_per_sec":$msgSec%.1f,"ms_per_msg":$msPerMsg%.4f,"avg_batch_ms":$avgBatch%.1f,"max_batch_ms":${s.maxBatchMs}}"""
+        f"""\"$n\":{"rows":${s.rows},"batches":${s.batches},"msg_per_sec":$msgSec%.1f,"ms_per_msg":$msPerMsg%.4f,"avg_batch_ms":$avgBatch%.1f,"max_batch_ms":${s.maxBatchMs},"span_sec":${s.spanSec}%.1f,"extend_sec":${s.extendSec}}"""
       }.mkString("{", ",", "}")
 
     val js = channelsJson(runAll(rate))

@@ -13,20 +13,22 @@ class ShuffleAuditSpec extends SparkSpec {
     val listener = new ShuffleAudit.MetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
-      val before = listener.quiesce()
+      val (before, sb) = listener.quiesce()
+      assert(sb, "listener must settle at rest")
       val df = spark.range(0, 100000, 1, 8)
         .withColumn("k", col("id") % 997)
         .groupBy("k").agg(sum("id").as("s"))
       assert(df.count() == 997)
-      val after = listener.quiesce()
+      val (after, sa) = listener.quiesce()
+      assert(sa, "listener must settle after the job")
       assert(after.jobs > before.jobs, "job end events must be delivered")
       assert(after.stages - before.stages >= 2, "groupBy = map + reduce stages")
       assert(after.shuffleWrite > before.shuffleWrite, "partial aggregates must shuffle")
       assert(after.shuffleRead > before.shuffleRead)
       assert(after.taskTimeMs >= before.taskTimeMs)
       // at rest, two quiesced snapshots are identical (no phantom deltas)
-      val again = listener.quiesce()
-      assert(again == after)
+      val (again, sg) = listener.quiesce()
+      assert(sg && again == after)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -34,9 +36,9 @@ class ShuffleAuditSpec extends SparkSpec {
     val listener = new ShuffleAudit.MetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
-      val before = listener.quiesce()
+      val (before, _) = listener.quiesce()
       assert(spark.range(0, 50000, 1, 4).filter(col("id") % 7 === 0).count() > 0)
-      val after = listener.quiesce()
+      val (after, _) = listener.quiesce()
       // count()'s final aggregate exchanges one partial row per
       // partition — bytes must be that and nothing else (no row data)
       assert(after.shuffleWrite - before.shuffleWrite < 8192,

@@ -45,4 +45,44 @@ class SimilaritySpec extends SparkSpec {
     assert(ks.sliding(2).forall { case Seq(a, b) => a <= b })
     ns.zip(ks).foreach { case (n, k) => assert(n <= 256L * k, s"n=$n k=$k") }
   }
+
+  test("two-level IVF degenerates to the exact single-level assignment at fixture scale") {
+    // k1 = ivfSchedule(k) = k = 16 at sf0.001: supers ≡ centroids,
+    // groups are singletons, so routing via the nearest super IS the
+    // exact nearest-centroid assignment — bit-identical output
+    val one = Similarity.annIvfAssign(spark, sfDir)
+    val two = Similarity.annIvf2Assign(spark, sfDir)
+    assert(two.count() == one.count())
+    assert(two.exceptAll(one).count() == 0 && one.exceptAll(two).count() == 0,
+      "degenerate two-level must equal single-level exactly")
+  }
+
+  test("two-level IVF on a corpus past the k floor: valid centroids, admissible distances") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
+    // 5000 deterministic vectors => k = 32, k1 = 16: genuinely nested
+    val rows = (0L until 5000L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(0.37 * (i * 64 + d)).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val exact = Similarity.annIvfAssign(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val two = Similarity.annIvf2Assign(spark, tmp).collect()
+    assert(two.length == 5000)
+    var matches = 0
+    two.foreach { r =>
+      val (vid, cid, d2) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(cid >= 0 && cid < 32, s"centroid out of range: $cid")
+      val (ecid, ed) = exact(vid)
+      // single-super routing is admissible: it can only pick a centroid
+      // at >= the exact nearest distance (equal when routing is right)
+      assert(d2 >= ed - 1e-6, s"two-level dist $d2 below exact $ed for $vid")
+      if (cid == ecid) matches += 1
+    }
+    // routing through 16 supers over 32 centroids keeps the assignment
+    // near-exact on a smooth corpus; the bound is deliberately loose —
+    // it pins "mostly right", not a fragile exact rate
+    assert(matches >= 4000, s"two-level matched exact on only $matches/5000")
+  }
 }
