@@ -39,6 +39,9 @@ object Plans {
     "text_bigram_nll"     -> "bigram LM: map-side pair rows (zip-with-tail), AQE-chosen count join",
     "t8_client_fanout"    -> "T8 fan-out: broadcast client set, per-(client,channel,day) budget window",
     "ann_ivf_assign"      -> "centroid assignment as hash-aggregate argmin: partial-combines map-side, no sort",
+    "ann_ivf2_assign"     -> ("two-level IVF assignment: supers broadcast twice (centroid routing, " +
+      "vector routing), group-local exact argmin — three hash aggregates, zero sorts, n*(k1 + k/k1) dots"),
+    "epoch_shuffle"       -> "deterministic epoch permutation: shard hash partition + per-shard window, no global sort",
     "imp_permutation"     -> "permutation importance: moments broadcast + co-partitioned shift join, ONE aggregate",
     "w40_pivot_points"    -> "day-level fit frame joined back to the intraday fact, no fact window",
     "graph_deep_chain"    -> ("FORCED distributed connected components (driverEdgeCap=0): the " +

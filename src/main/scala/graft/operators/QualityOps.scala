@@ -64,14 +64,24 @@ object QualityOps {
         explode(sequence(col("b0"), col("b1"), expr("interval 1 hour"))).as("bucket"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
     val past = w.rowsBetween(Window.unboundedPreceding, 0)
-    val future = w.rowsBetween(0, Window.unboundedFollowing)
+    // the forward fill runs as a REVERSED running `last` (desc order,
+    // unboundedPreceding→current), NOT `first` over
+    // current→unboundedFollowing: Spark executes unbounded-FOLLOWING
+    // frames by re-aggregating the tail for EVERY row — O(p²) per
+    // partition, 18.7 s on sf0.1's ~8760-slot grids (found the moment
+    // the bench action stopped letting Catalyst prune these columns) —
+    // while the reversed running frame keeps O(p) state, at the cost of
+    // one extra sort on the same exchange. Identical values: both
+    // frames include the current row.
+    val future = Window.partitionBy(col("user_id")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val joined = grid.join(candles, Seq("user_id", "bucket"), "left")
       .withColumn("prev_close", last(col("close"), ignoreNulls = true).over(past))
-      .withColumn("next_close", first(col("close"), ignoreNulls = true).over(future))
+      .withColumn("next_close", last(col("close"), ignoreNulls = true).over(future))
       .withColumn("prev_ts",
         last(when(col("close").isNotNull, col("bucket")), ignoreNulls = true).over(past))
       .withColumn("next_ts",
-        first(when(col("close").isNotNull, col("bucket")), ignoreNulls = true).over(future))
+        last(when(col("close").isNotNull, col("bucket")), ignoreNulls = true).over(future))
       .withColumn("gap_hours",
         (unix_timestamp(col("next_ts")) - unix_timestamp(col("prev_ts"))) / 3600 - 1)
     joined.select(

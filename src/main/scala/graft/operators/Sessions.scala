@@ -297,8 +297,12 @@ object Sessions {
     * belongs to the purchase that closes the group — no self-join against
     * a conversions table, which would shuffle the event stream twice. */
   def attrTouch(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val after = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // reverse running count (desc order, unboundedPreceding→current) ≡
+    // count over current→unboundedFollowing, but O(p) per partition
+    // instead of Spark's O(p²) tail re-aggregation for FOLLOWING frames
+    val after = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val touches = Tables.events(spark, dir)
       .withColumn("conv_after",
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(after))
@@ -374,8 +378,10 @@ object Sessions {
   def attrMarkov(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val channels = Seq("view", "click", "signup")
-    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val after = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // reverse running count — see [[attrTouch]]'s frame note
+    val after = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val ev = Tables.events(spark, dir)
       .withColumn("conv_after",
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(after))

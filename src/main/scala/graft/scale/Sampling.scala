@@ -476,6 +476,48 @@ object Sampling {
        |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** EPOCH SHUFFLE — the deterministic dataloader-order permutation a
+    * 100 TB training run needs: the order key for epoch e is
+    * md5(e || '_' || doc_id), a reproducible uniform permutation with
+    * zero coordination, materialized SHARD-LOCALLY. Each doc routes to
+    * shard = top-32-bits-of-key mod 16 (shards stay balanced because
+    * the key is uniform), and its position within the shard is a
+    * row_number over the (epoch, shard) partition ordered by the same
+    * key. The only exchange is the shard hash partition and the window
+    * sorts one shard per task — the naive `ORDER BY rand()` global
+    * shuffle is a full-corpus RANGE SORT per epoch, plus a
+    * nondeterminism bug on retry. Readers streaming shards
+    * independently and interleaving them replay the per-epoch
+    * permutation — the tf.data / streaming-dataset contract
+    * (shard-shuffled, intra-shard deterministic). Two epochs emitted
+    * so the output pins that the permutation CHANGES with the epoch
+    * seed. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = spark.range(1, 3).select(col("id").as("epoch"))
+    val key = md5(concat(col("epoch").cast("string"), lit("_"),
+      col("doc_id").cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(epochs))
+      .withColumn("ord", key)
+      .withColumn("shard",
+        conv(substring(col("ord"), 1, 8), 16, 10).cast("long") % 16)
+      .withColumn("pos", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
+
+  val epochShuffleSql: String =
+    """SELECT epoch, shard, CAST(pos AS INT) AS pos, doc_id FROM (
+      |  SELECT g.e AS epoch,
+      |         ('0x' || substr(md5(g.e || '_' || d.doc_id), 1, 8))::BIGINT % 16 AS shard,
+      |         row_number() OVER (
+      |           PARTITION BY g.e,
+      |             ('0x' || substr(md5(g.e || '_' || d.doc_id), 1, 8))::BIGINT % 16
+      |           ORDER BY md5(g.e || '_' || d.doc_id), d.doc_id) AS pos,
+      |         d.doc_id
+      |  FROM documents d, unnest(generate_series(1, 2)) g(e))""".stripMargin
+
   // ------------------------------------------------- rolling-origin CV folds
   /** Rolling-origin cross-validation folds — the time-series-safe CV a
     * backtest/forecast pipeline needs (random K-fold leaks the future
@@ -656,6 +698,7 @@ object Sampling {
     "split_train_val"   -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
     "sample_reservoir"  -> (sampleReservoir _),
+    "epoch_shuffle"     -> (epochShuffle _),
     "pack_sequences"    -> (packSequences _),
     "sample_mixture"    -> (sampleMixture _),
     "split_leakage"     -> (splitLeakage _),
@@ -673,6 +716,7 @@ object Sampling {
     "split_train_val"   -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_reservoir"  -> sampleReservoirSql,
+    "epoch_shuffle"     -> epochShuffleSql,
     "pack_sequences"    -> packSequencesSql,
     "sample_mixture"    -> sampleMixtureSql,
     "split_leakage"     -> splitLeakageSql,

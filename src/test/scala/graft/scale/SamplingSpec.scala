@@ -96,6 +96,27 @@ class SamplingSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("epoch shuffle: full coverage per epoch, contiguous shard positions, epoch-distinct order") {
+    val rows = Sampling.epochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1L, 2L))
+    val nDocs = byEpoch(1L).length
+    // each epoch is a PERMUTATION: every doc exactly once
+    byEpoch.values.foreach(e => assert(e.map(_._4).distinct.length == nDocs))
+    // positions are contiguous 1..|shard| within every (epoch, shard)
+    rows.groupBy(r => (r._1, r._2)).values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq == (1 to s.length))
+    }
+    // uniform key => no shard hogs the corpus
+    rows.groupBy(r => (r._1, r._2)).values
+      .foreach(s => assert(s.length < nDocs / 4, "shard imbalance"))
+    // the permutation CHANGES with the epoch: same doc, different slot
+    val slot1 = byEpoch(1L).map(r => r._4 -> (r._2, r._3)).toMap
+    val moved = byEpoch(2L).count(r => slot1(r._4) != ((r._2, r._3)))
+    assert(moved > nDocs / 2, s"epoch 2 moved only $moved of $nDocs docs")
+  }
+
   test("mixture resampling moves every lang's token share toward its target") {
     val rows = Sampling.sampleMixture(spark, sfDir).collect()
     assert(rows.length >= 2)
