@@ -94,6 +94,12 @@ object PlanAuditSpec {
     "ann_recall" -> 2,          // ground truth + LSH probe, both bounded
     // --- fit-then-fold one-row broadcasts (count = folds in the plan)
     "a7_normalize" -> 1, "ann_dot_expr" -> 1, "ann_ivf_assign" -> 1,
+    // two-level IVF: centroid→super and vector→super routing each
+    // broadcast the k1-row super set (k1 ≤ 2^12 at the 2^20-centroid
+    // cap — always broadcastable, that is the point of the level)
+    "ann_ivf2_assign" -> 2,
+    // the 2-row epoch frame fanning the corpus out per epoch
+    "epoch_shuffle" -> 1,
     "ann_ivf_search" -> 2, "assoc_rules" -> 1, "dataset_card" -> 1,
     // emb_pca_power dropped out of this list when its fit tail moved
     // driver-side (the 64-double iterate collects once; no fold joins)
