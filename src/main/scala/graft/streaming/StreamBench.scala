@@ -92,7 +92,12 @@ object StreamBench {
       def counting(name: String, df: DataFrame): StreamingQuery =
         df.writeStream.outputMode(OutputMode.Append())
           .trigger(Channels.channelTriggers.getOrElse(name, Trigger.ProcessingTime("1 second")))
-          .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+          // the consumer is the pruning-proof action, not count():
+          // pure-projection channels (order book synthesis, signals,
+          // microstructure) would otherwise have their per-row work
+          // pruned inside the micro-batch, understating ms/msg — the
+          // streaming face of the round-9 bench-action fix
+          .foreachBatch((b: DataFrame, _: Long) => { graft.BenchAction.consume(b); () })
           .queryName(name).start()
 
       val runs: Seq[(String, () => StreamingQuery)] = Seq(
