@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
 
 /** The benchmark/materialization ACTION shared by [[Bench]], [[RunOne]],
   * [[ShuffleAudit]] and [[MatCheck]]: forces EVERY output column of
@@ -21,14 +22,29 @@ import org.apache.spark.sql.functions._
   *
   * Returns (rowCount, checksum). The checksum is additionally the
   * MATCHECK gate value: order-insensitive across rows (a sum), covering
-  * every cell.
+  * every cell. Map-typed columns are canonicalized to key-sorted entry
+  * arrays before hashing — Spark's `hash` over a raw map is entry-order
+  * sensitive, and map entry order is an artifact of aggregation order,
+  * so two runs of the same query could otherwise checksum differently
+  * and a regenerated MATCHECK artifact would diff spuriously. Sorting
+  * `map_entries` by key (keys are unique, so the struct comparison
+  * never reaches the value) makes the hash a function of the map's
+  * CONTENTS. Only top-level map columns need this: no registry query
+  * emits a map nested inside a struct/array (the k2/MLReady family is
+  * flat map columns), and the legacy-hash escape hatch stays off so a
+  * future nested map fails loudly here instead of hashing unstably.
   */
 object BenchAction {
+  private def canonical(df: DataFrame): Seq[Column] =
+    df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: MapType => array_sort(map_entries(col(f.name)))
+        case _          => col(f.name)
+      }
+    }
+
   def consume(df: DataFrame): (Long, Long) = {
-    // map-typed outputs hash fine for forcing purposes; the legacy gate
-    // only guards cross-run map-order hash stability we don't rely on
-    df.sparkSession.conf.set("spark.sql.legacy.allowHashOnMapType", "true")
-    val cols = df.columns.map(col)
+    val cols = canonical(df)
     val row = df.select(count(lit(1)).as("n"),
       sum(hash(cols: _*).cast("long")).as("h")).collect()(0)
     (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))

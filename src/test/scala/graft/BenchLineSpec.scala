@@ -34,4 +34,19 @@ class BenchLineSpec extends AnyFunSuite {
     val ok = spark.range(1, 3).selectExpr("10 div id AS inv", "id")
     assert(BenchAction.consume(ok)._1 == 2L, "consume must report the row count")
   }
+
+  test("map columns checksum by contents, not entry order") {
+    val spark = SparkSpec.session
+    // same map contents, opposite construction order — Spark preserves
+    // entry insertion order in the value, and hash(map) is entry-order
+    // sensitive, so without canonicalization these would checksum apart
+    val ab = spark.range(5).selectExpr("map('a', id, 'b', id * 2) AS m", "id")
+    val ba = spark.range(5).selectExpr("map('b', id * 2, 'a', id) AS m", "id")
+    val (na, ha) = BenchAction.consume(ab)
+    val (nb, hb) = BenchAction.consume(ba)
+    assert(na == 5L && nb == 5L)
+    assert(ha == hb, "checksum must be invariant under map entry order")
+    val diff = spark.range(5).selectExpr("map('a', id, 'b', id * 3) AS m", "id")
+    assert(BenchAction.consume(diff)._2 != ha, "different contents must differ")
+  }
 }
