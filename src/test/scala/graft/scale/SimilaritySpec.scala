@@ -57,6 +57,43 @@ class SimilaritySpec extends SparkSpec {
       "degenerate two-level must equal single-level exactly")
   }
 
+  test("two-level IVF search degenerates to the single-level search at fixture scale") {
+    // k1 = k ⇒ super-routing IS centroid-routing and the probed lists
+    // are exactly annIvfSearch's nprobe = 2 set — bit-identical output
+    val one = Similarity.annIvfSearch(spark, sfDir)
+    val two = Similarity.annIvf2Search(spark, sfDir)
+    assert(two.count() == one.count())
+    assert(two.exceptAll(one).count() == 0 && one.exceptAll(two).count() == 0,
+      "degenerate two-level search must equal single-level exactly")
+  }
+
+  test("two-level IVF search on a nested corpus: well-formed top-3 per query") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf2s").toString
+    (0L until 5000L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(0.37 * (i * 64 + d)).toFloat))
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // k = 32, k1 = 16: genuinely nested routing at query time. The
+    // cross-engine tie-break parity of this shape is pinned by the
+    // committed Verify-vs-DuckDB artifact on the same generator
+    // (GenIvf2Fixture); here we pin the structural contract.
+    val rows = Similarity.annIvf2Search(spark, tmp).collect()
+    assert(rows.length == 30, s"expected 10 queries x top-3, got ${rows.length}")
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)))
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.sliding(2).forall { case Array(a, b) => a >= b },
+        "cosine must be non-increasing in rank")
+      rs.foreach { r =>
+        val nb = r.getLong(2)
+        assert(nb >= 0 && nb < 5000 && nb != r.getLong(0))
+      }
+    }
+  }
+
   test("two-level IVF on a corpus past the k floor: valid centroids, admissible distances") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
