@@ -43,6 +43,8 @@ object Plans {
       "vector routing), group-local exact argmin — three hash aggregates, zero sorts, n*(k1 + k/k1) dots"),
     "ann_ivf2_search"     -> ("two-level IVF search: query routes super->group->list (k1 + 2k/k1 dots, " +
       "never k), tiny probe frames broadcast into ONE corpus-sized list join"),
+    "ann_lsh_mp_search"   -> ("multi-table multi-probe LSH: bucket array computed once per row then " +
+      "L-row explode, Hamming<=1 probe set broadcast, cross-table dedup, exact re-rank"),
     "epoch_shuffle"       -> "deterministic epoch permutation: shard hash partition + per-shard window, no global sort",
     "imp_permutation"     -> "permutation importance: moments broadcast + co-partitioned shift join, ONE aggregate",
     "w40_pivot_points"    -> "day-level fit frame joined back to the intraday fact, no fact window",

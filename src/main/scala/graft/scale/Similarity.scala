@@ -230,7 +230,20 @@ object Similarity {
 
   /** LSH-bucketed ANN: queries probe only their own bucket, exact cosine
     * within it — top-3. Scale path: join on bucket replaces the cross
-    * join; recall < 1 by construction (the trade the operator makes). */
+    * join; recall < 1 by construction (the trade the operator makes).
+    *
+    * ADJUDICATED (round 10): as a single 8-bit table this index is a
+    * NEGATIVE CONTROL, kept deliberately — measured recall@10 ≈ 0.02
+    * at both sf0.1 and sf1 ([[annRecall]], SCALE.md ANN table). On
+    * near-isotropic embeddings a neighbor at angle θ survives one
+    * 8-bit sign pattern with probability (1−θ/π)^8 ≈ 0.02 at the
+    * corpus's typical neighbor angle, so one table CANNOT work — no
+    * parameter tweak short of restructuring fixes it. The usable
+    * variant is [[annLshMpSearch]]: L = 8 independent tables with
+    * schedule-adaptive width, whose unioned candidates lift recall to
+    * the level the ANN table reports while keeping probe cost bounded.
+    * This probe stays registered because the pair (single-table ≈ 0,
+    * multi-table usable) is the deployment-facing finding. */
   def annLshSearch(spark: SparkSession, dir: String): DataFrame = {
     // cached: the 512-term bucket expression would otherwise evaluate on
     // BOTH sides of the query-probe join (corpus + queries derive from
@@ -279,6 +292,135 @@ object Similarity {
       |  SELECT query_id, vec_id, cosine,
       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
+  // ------------------------------------------------------- multi-table LSH
+  /** Bits per LSH table, schedule-derived: b = log₂([[ivfSchedule]](n)),
+    * i.e. the smallest power-of-two bucket count that keeps expected
+    * population ≤ 256 — the same integer arithmetic the IVF family
+    * uses, so the oracle mirrors it with the same CTE pattern. 2^b
+    * buckets/table ⇒ per-table candidate cost ≈ 256 per query at ANY
+    * corpus size (the bound the whole family is built on). */
+  private[scale] def lshTableBits(n: Long): Int =
+    Integer.numberOfTrailingZeros(ivfSchedule(n))
+
+  /** Number of independent hash tables (L). Recall of a union of L
+    * independent tables is 1−(1−p^b)^L for a neighbor whose per-plane
+    * agreement is p — L is the knob that buys recall WITHOUT growing
+    * any single probe, the classic LSH trade. */
+  private[scale] val mpTables = 8
+
+  /** Table t's bucket id: b sign bits over planes t·b … t·b+b−1 (the
+    * same md5 family the single-table index and the oracle derive).
+    * Each plane dot is ONE codegen'd [[graft.functions.DotProduct]]
+    * node with a literal plane vector — at b = 10 (sf10) the unrolled
+    * literal form would be a 5120-term expression tree, exactly the
+    * blown-codegen shape the embProject scaladoc documents. */
+  private def mpBucket(v: Column, t: Int, b: Int): Column =
+    (0 until b).map { i =>
+      when(dot(v, typedLit(planes(t * b + i).toSeq)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Scored multi-table multi-probe candidates (query_id, vec_id,
+    * cosine): corpus hashed once into L bucket ids (one map pass, the
+    * array computed once per row then exploded to L index rows); each
+    * QUERY probes, per table, its own bucket plus the b Hamming-1
+    * neighbors (one sign bit flipped) — the standard multi-probe trade:
+    * a near neighbor that missed the exact pattern by ONE plane is
+    * still found, which is where most of the recall lost at larger b
+    * lives (measured mean recall@10 at sf1, b = 7: 0.37 exact-bucket
+    * → 0.86 with Hamming-1). Probe rows stay tiny (queries × L × (b+1)) and
+    * broadcast into the (t, bucket) equi-join; candidates dedup across
+    * tables and probes; exact cosine once per surviving pair. No
+    * corpus shuffle wider than the L-row fan-out; candidate volume is
+    * bounded by L·(b+1)·256 per query by the bits schedule — constant
+    * in corpus size. */
+  private def lshMpCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val b = Integer.numberOfTrailingZeros(ivfK(spark, dir))
+    val tabbed = c
+      .select(col("vec_id"),
+        posexplode(array((0 until mpTables).map(t => mpBucket(col("v"), t, b)): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val qtab = tabbed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("t"),
+        explode(array(col("bucket") +:
+          (0 until b).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+    val pairs = tabbed.join(broadcast(qtab), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val qv = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    pairs.join(c, "vec_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
+  }
+
+  /** Multi-table multi-probe LSH search: top-3 over the unioned
+    * candidates of [[mpTables]] independent sign-pattern tables, each
+    * probed at Hamming distance ≤ 1 — the USABLE LSH index the
+    * single-table [[annLshSearch]] negative control points at. Probe
+    * cost per query stays ≈ L·(b+1)·256 at any corpus size; recall
+    * comes from table independence × probe width (measured in
+    * [[annRecall2]] and the SCALE.md ANN table). */
+  def annLshMpSearch(spark: SparkSession, dir: String): DataFrame =
+    lshMpCandidates(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+
+  /** Oracle CTE fragment for the multi-table candidates — assumes a
+    * preceding `e` CTE with (vec_id, v, nrm). Ends at `mscored`. */
+  private[scale] val lshMpCandCte: String =
+    """bsched AS (
+      |  SELECT coalesce(min(1::BIGINT << g.b), 1::BIGINT << 20) AS k,
+      |         coalesce(min(g.b), 20) AS b
+      |  FROM unnest(generate_series(4, 20)) AS g(b)
+      |  WHERE (SELECT count(*) FROM embeddings) <= 256 * (1::BIGINT << g.b)),
+      |mplanes AS (
+      |  SELECT j, list_transform(generate_series(0, 63),
+      |           d -> ('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+      |                  / 2147483648.0 - 1.0) AS h
+      |  FROM unnest(generate_series(0, 8 * (SELECT b FROM bsched) - 1)) AS t(j)),
+      |msigns AS (
+      |  SELECT e.vec_id, p.j // (SELECT b FROM bsched) AS t,
+      |         CASE WHEN list_sum(list_transform(list_zip(e.v, p.h), q -> q[1] * q[2])) >= 0
+      |              THEN (1::BIGINT << (p.j % (SELECT b FROM bsched))) ELSE 0 END AS bit
+      |  FROM e, mplanes p),
+      |mb AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket
+      |       FROM msigns GROUP BY vec_id, t),
+      |mq AS (SELECT vec_id AS query_id, t, bucket FROM mb WHERE vec_id < 10),
+      |mqp AS (
+      |  SELECT query_id, t, xor(bucket, f.flip) AS bucket
+      |  FROM mq, unnest([0::BIGINT] || list_transform(
+      |         generate_series(0, (SELECT b FROM bsched) - 1),
+      |         i -> (1::BIGINT << i))) AS f(flip)),
+      |mpairs AS (
+      |  SELECT DISTINCT q.query_id, c.vec_id
+      |  FROM mb c JOIN mqp q ON c.t = q.t AND c.bucket = q.bucket
+      |  WHERE c.vec_id <> q.query_id),
+      |qm AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      |mscored AS (
+      |  SELECT p.query_id, p.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2])) / (e.nrm * q.qn) AS cosine
+      |  FROM mpairs p JOIN e ON e.vec_id = p.vec_id
+      |       JOIN qm q ON q.query_id = p.query_id)""".stripMargin
+
+  val annLshMpSearchSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |$lshMpCandCte,
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM mscored)
       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin
 
@@ -489,7 +631,18 @@ object Similarity {
     * output is bit-identical to [[annIvfSearch]] — spec-pinned like the
     * build side; nested behavior is oracle-pinned at sf1/sf10 and on
     * the committed 5000-vector parity artifact. */
-  def annIvf2Search(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf2Search(spark: SparkSession, dir: String): DataFrame =
+    ivf2Candidates(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+
+  /** The scored (query_id, vec_id, cosine) candidate frame behind
+    * [[annIvf2Search]] (top-3) and the `ivf2` row of [[annRecall2]]
+    * (top-10) — the routing is identical, only the cut differs. */
+  private def ivf2Candidates(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivf2Index(spark, dir)
     val c = idx.c
     val q = c.filter(col("vec_id") < 10)
@@ -512,23 +665,17 @@ object Similarity {
       .filter(col("rk") <= 2)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
     // exact search over only the probed lists
-    val cand = c.join(idx.assigned.select(col("vec_id"), col("cid")), "vec_id")
+    c.join(idx.assigned.select(col("vec_id"), col("cid")), "vec_id")
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    cand.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
   }
 
-  val annIvf2SearchSql: String =
-    s"""WITH e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v,
-      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-      |  FROM embeddings),
-      |$ivf2SchedCte,
+  /** Oracle CTE fragment for the two-level search candidates — assumes
+    * a preceding `e` CTE with (vec_id, v, nrm). Ends at `cand`. */
+  private[scale] val ivf2CandCte: String =
+    s"""$ivf2SchedCte,
       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM isched)),
       |sups AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < (SELECT k1 FROM isched2)),
       |croute AS (
@@ -556,14 +703,14 @@ object Similarity {
       |    FROM e JOIN vroute r ON e.vec_id = r.vec_id
       |           JOIN croute c ON c.sid = r.sid)
       |  WHERE rk = 1),
-      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      |q2 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
       |qsup AS (
       |  SELECT query_id, qv, qn, sid FROM (
-      |    SELECT q.query_id, q.qv, q.qn, s.sid,
-      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-      |             list_sum(list_transform(list_zip(q.qv, s.sv),
+      |    SELECT q2.query_id, q2.qv, q2.qn, s.sid,
+      |           row_number() OVER (PARTITION BY q2.query_id ORDER BY
+      |             list_sum(list_transform(list_zip(q2.qv, s.sv),
       |                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), s.sid) AS rk
-      |    FROM q CROSS JOIN sups s)
+      |    FROM q2 CROSS JOIN sups s)
       |  WHERE rk <= 2),
       |probes AS (
       |  SELECT query_id, qv, qn, cid FROM (
@@ -578,7 +725,14 @@ object Similarity {
       |         list_sum(list_transform(list_zip(e.v, p.qv), z -> z[1] * z[2])) / (e.nrm * p.qn) AS cosine
       |  FROM e JOIN lists l ON e.vec_id = l.vec_id
       |         JOIN probes p ON l.cid = p.cid
-      |  WHERE e.vec_id <> p.query_id),
+      |  WHERE e.vec_id <> p.query_id)""".stripMargin
+
+  val annIvf2SearchSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |$ivf2CandCte,
       |ranked AS (
       |  SELECT query_id, vec_id, cosine,
       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
@@ -929,6 +1083,75 @@ object Similarity {
       |  UNION ALL
       |  SELECT a.query_id, 'pq', count(*), count(b.vec_id)
       |  FROM pq a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id)
+      |SELECT query_id, method, n_retrieved, n_hits,
+      |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
+      |FROM rec""".stripMargin
+
+  /** Recall@10 acceptance probe for the round-10 scale-path indexes:
+    * `ivf2` (two-level routed search, nprobe 2) and `lsh_mp` (L = 8
+    * multi-table union) scored against the shared brute-force ground
+    * truth — the rows a deployment reads next to [[annRecall]]'s
+    * single-index numbers before picking an index. A SECOND probe
+    * rather than a rewrite of [[annRecall]], so the historical
+    * single-index rows keep their committed oracle unchanged. */
+  def annRecall2(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    def top10(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val brute = top10(bruteScored(spark, dir))
+    def recallOf(approx: DataFrame, method: String): DataFrame =
+      approx.alias("a").join(brute.alias("b"),
+          col("a.query_id") === col("b.query_id") && col("a.vec_id") === col("b.vec_id"),
+          "left")
+        .groupBy(col("a.query_id").as("query_id"))
+        .agg(count(lit(1)).as("n_retrieved"), count(col("b.vec_id")).as("n_hits"))
+        .select(col("query_id"), lit(method).as("method"),
+          col("n_retrieved"), col("n_hits"),
+          round(col("n_hits").cast("double") / k, 6).as("recall_at_10"))
+    recallOf(top10(ivf2Candidates(spark, dir)), "ivf2")
+      .union(recallOf(top10(lshMpCandidates(spark, dir)), "lsh_mp"))
+  }
+
+  val annRecall2Sql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |qb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      |bscored AS (
+      |  SELECT qb.query_id, e.vec_id,
+      |         list_sum(list_transform(list_zip(e.v, qb.qv), p -> p[1] * p[2])) / (e.nrm * qb.qn) AS cosine
+      |  FROM e, qb WHERE e.vec_id <> qb.query_id),
+      |brute AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM bscored)
+      |  WHERE rank <= 10),
+      |$ivf2CandCte,
+      |$lshMpCandCte,
+      |i2top AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM cand)
+      |  WHERE rank <= 10),
+      |mptop AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM mscored)
+      |  WHERE rank <= 10),
+      |rec AS (
+      |  SELECT a.query_id, 'ivf2' AS method, count(*) AS n_retrieved, count(b.vec_id) AS n_hits
+      |  FROM i2top a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  SELECT a.query_id, 'lsh_mp', count(*), count(b.vec_id)
+      |  FROM mptop a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
       |  GROUP BY a.query_id)
       |SELECT query_id, method, n_retrieved, n_hits,
       |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
@@ -1551,11 +1774,13 @@ object Similarity {
     "ann_dot_expr"    -> (annDotExpr _),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search"  -> (annLshSearch _),
+    "ann_lsh_mp_search" -> (annLshMpSearch _),
     "ann_ivf_assign"  -> (annIvfAssign _),
     "ann_ivf2_assign" -> (annIvf2Assign _),
     "ann_ivf2_search" -> (annIvf2Search _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
+    "ann_recall2"     -> (annRecall2 _),
     "rank_ndcg"       -> (rankNdcg _),
     "emb_project"     -> (embProject _),
     "ts_similar_windows" -> (tsSimilarWindows _))
@@ -1570,11 +1795,13 @@ object Similarity {
     "ann_dot_expr"    -> annBruteForceSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_search"  -> annLshSearchSql,
+    "ann_lsh_mp_search" -> annLshMpSearchSql,
     "ann_ivf_assign"  -> annIvfAssignSql,
     "ann_ivf2_assign" -> annIvf2AssignSql,
     "ann_ivf2_search" -> annIvf2SearchSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
+    "ann_recall2"     -> annRecall2Sql,
     "rank_ndcg"       -> rankNdcgSql,
     "emb_project"     -> embProjectSql,
     "ts_similar_windows" -> tsSimilarWindowsSql)
