@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Writes the nested two-level-IVF parity fixture: n deterministic
   * 64-dim vectors (the same generator `SimilaritySpec` pins structure
@@ -26,10 +27,13 @@ object GenIvf2Fixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    (0L until n).map { i =>
-      (i, Array.tabulate(64)(d => math.sin(0.37 * (i * 64 + d)).toFloat))
-    }.toDF("vec_id", "embedding")
+    // distributed generation: spark.range scales to any n without the
+    // driver materializing the corpus (same values as the previous
+    // driver-side tabulate — SIN is java.lang.Math.sin on both paths)
+    spark.range(n)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0L), lit(63L)),
+          d => sin(lit(0.37) * (col("id") * 64 + d)).cast("float")).as("embedding"))
       .repartition(4)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     System.err.println(s"[gen-ivf2] wrote $n vectors -> $out/embeddings.parquet")

@@ -339,7 +339,7 @@ object Similarity {
     * in corpus size. */
   private def lshMpCandidates(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val b = Integer.numberOfTrailingZeros(ivfK(spark, dir))
+    val b = lshTableBits(c.count())
     val tabbed = c
       .select(col("vec_id"),
         posexplode(array((0 until mpTables).map(t => mpBucket(col("v"), t, b)): _*)))
@@ -630,7 +630,14 @@ object Similarity {
     * singleton groups), so super-routing ≡ centroid-routing and the
     * output is bit-identical to [[annIvfSearch]] — spec-pinned like the
     * build side; nested behavior is oracle-pinned at sf1/sf10 and on
-    * the committed 5000-vector parity artifact. */
+    * the committed 5000-vector parity artifact.
+    *
+    * Production shape: this oracle query rebuilds the corpus list
+    * assignment inline (the [[ivf2Index]] `assigned` frame) so the
+    * measured row stays self-contained; a deployment materializes
+    * `assigned` ONCE at index-build time and searches against the
+    * stored table, so steady-state query cost is routing (k1 + 2·k/k1
+    * dots) plus the probed lists only — no per-query index rebuild. */
   def annIvf2Search(spark: SparkSession, dir: String): DataFrame =
     ivf2Candidates(spark, dir)
       .withColumn("rank", row_number().over(

@@ -39,6 +39,104 @@ object Sinks {
       .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"), col("origin"))
   }
 
+  /** K1 CLOSURE (round-11 decision, carried since round 5). The
+    * reference's upsert is SKIP-IF-EXISTS: `repository.py:120-129`
+    * checks `get_ohlcv_by_timestamp` and returns None on a hit
+    * ("Registro já existe ... pulando") — it NEVER updates a stored
+    * row. [[upsertMerged]]'s left-anti + append is therefore exact
+    * reference parity, not an approximation. UPDATE-wins MERGE is a
+    * beyond-reference capability a real incremental-ingest user still
+    * needs (late corrections), so it ships separately as
+    * [[k1MergeCow]]: partition-level copy-on-write over plain
+    * parquet — the same rewrite-touched-partitions-only plan a Delta/
+    * Iceberg COW `MERGE INTO` executes, expressed with vanilla Spark's
+    * dynamic partition overwrite. Transactionality (atomic commit,
+    * snapshot isolation) is a table-format concern (Delta/Iceberg),
+    * not an engine-query concern; the ENGINE's job — compute the
+    * merged state reading only touched partitions — is what the
+    * oracle pins. */
+
+  /** K1b — update-wins MERGE as partition-level copy-on-write:
+    * a date-partitioned daily-stats target is written once; a
+    * correction batch (late, covering only dates ≥ Jan 10, with some
+    * brand-new keys) is merged with UPDATE-WINS semantics; only the
+    * TOUCHED date partitions are read (broadcast semi-join on the
+    * batch's distinct dates ⇒ partition pruning at scale) and only
+    * those are rewritten (`partitionOverwriteMode=dynamic` leaves
+    * untouched partitions' files in place — the COW granularity).
+    * The read-back of the whole table is what the oracle checks:
+    * updated rows carry the batch's values, inserted rows appear,
+    * untouched partitions survive byte-identical with origin `kept`. */
+  def k1MergeCow(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k1cow_${math.abs(dir.hashCode)}"
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("date"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("user_id"), col("date"), col("n"), col("total_value"),
+        lit("kept").as("origin"))
+    daily.write.mode(SaveMode.Overwrite).partitionBy("date")
+      .option("compression", "zstd").parquet(tmp)
+    val target = spark.read.schema(daily.schema).parquet(tmp)
+    // late correction batch: doubled totals for a sampled subset of the
+    // last days, re-keyed so some rows are genuinely new (inserts)
+    val src = Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") && col("event_id") % 3 === 0)
+      .select(
+        when(col("event_id") % 9 === 0, col("user_id") + 1000)
+          .otherwise(col("user_id")).as("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("date"), col("value"))
+      .groupBy(col("user_id"), col("date"))
+      .agg(count(lit(1)).as("n_src"), round(sum(col("value")) * 2, 6).as("total_src"))
+    // COW read side: ONLY the touched partitions (pruned at scale)
+    val touched = src.select(col("date")).distinct()
+    val hot = target.join(broadcast(touched), Seq("date"), "left_semi")
+    val merged = hot.alias("t")
+      .join(src.alias("s"), Seq("user_id", "date"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("s.n_src"), col("t.n")).as("n"),
+        coalesce(col("s.total_src"), col("t.total_value")).as("total_value"),
+        when(col("s.n_src").isNotNull && col("t.n").isNotNull, lit("updated"))
+          .when(col("s.n_src").isNotNull, lit("inserted"))
+          .otherwise(lit("kept")).as("origin"),
+        col("date"))
+    // COW write side: dynamic overwrite rewrites ONLY merged's dates
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy("date").parquet(tmp)
+    spark.read.schema(daily.schema).parquet(tmp)
+      .select(col("user_id"), col("date").cast("timestamp").as("day"),
+        col("n"), col("total_value"), col("origin"))
+  }
+
+  val k1MergeCowSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS date,
+      |         count(*) AS n, round(sum(value), 6) + 0 AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |src AS (
+      |  SELECT CASE WHEN event_id % 9 = 0 THEN user_id + 1000 ELSE user_id END AS user_id,
+      |         CAST(date_trunc('day', ts) AS DATE) AS date,
+      |         count(*) AS n_src, round(sum(value) * 2, 6) + 0 AS total_src
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-10' AND event_id % 3 = 0
+      |  GROUP BY 1, 2),
+      |hot AS (SELECT * FROM daily WHERE date IN (SELECT date FROM src)),
+      |merged AS (
+      |  SELECT coalesce(s.user_id, t.user_id) AS user_id,
+      |         coalesce(s.date, t.date) AS date,
+      |         coalesce(s.n_src, t.n) AS n,
+      |         coalesce(s.total_src, t.total_value) AS total_value,
+      |         CASE WHEN s.n_src IS NOT NULL AND t.n IS NOT NULL THEN 'updated'
+      |              WHEN s.n_src IS NOT NULL THEN 'inserted'
+      |              ELSE 'kept' END AS origin
+      |  FROM hot t FULL OUTER JOIN src s
+      |    ON t.user_id = s.user_id AND t.date = s.date)
+      |SELECT user_id, CAST(date AS TIMESTAMP) AS day, n, total_value, origin FROM merged
+      |UNION ALL
+      |SELECT user_id, CAST(date AS TIMESTAMP) AS day, n, total_value, 'kept' AS origin
+      |FROM daily WHERE date NOT IN (SELECT date FROM src)""".stripMargin
+
   val upsertMergedSql: String =
     """WITH existing AS (
       |  SELECT user_id, ts, value, 'existing' AS origin FROM events),
@@ -367,6 +465,7 @@ object Sinks {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_upsert_merge"    -> (upsertMerged _),
+    "k1_merge_cow"       -> (k1MergeCow _),
     "k2_feature_save"    -> (k2FeatureSave _),
     "k3_indicator_roundtrip" -> (k3IndicatorRoundtrip _),
     "k7_json_roundtrip"  -> (k7JsonRoundtrip _),
@@ -375,6 +474,7 @@ object Sinks {
 
   def oracles: Map[String, String] = Map(
     "k1_upsert_merge"    -> upsertMergedSql,
+    "k1_merge_cow"       -> k1MergeCowSql,
     "k2_feature_save"    -> k2FeatureSaveSql,
     "k3_indicator_roundtrip" -> k3IndicatorRoundtripSql,
     "k7_json_roundtrip"  -> k7JsonRoundtripSql,

@@ -71,6 +71,11 @@ object StreamBench {
     val sweepRates = sys.env.get("SPARK_GRAFT_STREAM_SWEEP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
       .getOrElse(Seq.empty)
+    // optional channel filter (comma-separated names) so a targeted
+    // saturation push — e.g. the stateful fold family at 50k–100k
+    // ticks/s — doesn't pay for re-running all 13 channels per rate
+    val onlyChannels = sys.env.get("SPARK_GRAFT_STREAM_CHANNELS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -130,7 +135,7 @@ object StreamBench {
         "trending"           -> (() => counting("trending",
           Channels.trendingStream(spark, ticks).toDF())))
 
-      runs.map { case (name, start) =>
+      runs.filter(r => onlyChannels.forall(_.contains(r._1))).map { case (name, start) =>
         val s = measure(start(), seconds)
         System.err.println(s"[streambench] $name@$r: ${s.rows} rows, ${s.batches} batches, " +
           f"${if (s.spanSec > 0) s.rows / s.spanSec else 0.0}%.0f msg/s, ${if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0}%.4f ms/msg")

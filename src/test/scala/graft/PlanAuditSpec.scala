@@ -98,6 +98,20 @@ object PlanAuditSpec {
     // broadcast the k1-row super set (k1 ≤ 2^12 at the 2^20-centroid
     // cap — always broadcastable, that is the point of the level)
     "ann_ivf2_assign" -> 2,
+    // two-level IVF search: the same croute/vroute super-routing pair
+    // PLUS query→super routing (10 queries × broadcast supers), and
+    // croute plans TWICE — the shared `groups` frame is a lazy subtree
+    // consumed by both the probe-list branch and the assignment
+    // branch, so Catalyst plans it once under each (4 = 2·croute +
+    // vroute + qsup). Every build side is the k1-row supers frame
+    // (k1 ≤ 2^12) or the 10-row query set; stream side ≤ corpus.
+    "ann_ivf2_search" -> 4,
+    // acceptance probe: croute + vroute + qsup from the ivf2 candidate
+    // frame, plus the brute-force ground-truth pass (broadcast 10-row
+    // query set over the corpus — the documented bounded kernel shared
+    // with ann_brute_force / ann_recall). lsh_mp contributes zero: its
+    // probe join is a proper (t, bucket) equi-join.
+    "ann_recall2" -> 4,
     // the 2-row epoch frame fanning the corpus out per epoch
     "epoch_shuffle" -> 1,
     "ann_ivf_search" -> 2, "assoc_rules" -> 1, "dataset_card" -> 1,

@@ -34,9 +34,14 @@ object ZeroBarFixture {
     written.getOrElse {
       import spark.implicits._
       val d = java.nio.file.Files.createTempDirectory("graft_zerobar").toString
-      events.map { case (i, m, v) =>
-        (uid, new java.sql.Timestamp(baseMs + i * 3600000L + m * 60000L), v)
-      }.toDF("user_id", "ts", "value")
+      // full sf-events schema so EVERY events consumer (event_id-ordered
+      // segmented windows, event_type-gated ffill) runs over the fixture,
+      // not only the candle path; event_type alternates so the sparse
+      // purchase series w26 forward-fills actually has gaps
+      events.zipWithIndex.map { case ((i, m, v), n) =>
+        (n.toLong, new java.sql.Timestamp(baseMs + i * 3600000L + m * 60000L),
+          uid, if (n % 3 == 0) "purchase" else "view", v, s"""{"k": $n}""")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
       written = Some(d)
       d
