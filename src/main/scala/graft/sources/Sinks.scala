@@ -67,8 +67,11 @@ object Sinks {
     * The read-back of the whole table is what the oracle checks:
     * updated rows carry the batch's values, inserted rows appear,
     * untouched partitions survive byte-identical with origin `kept`. */
+  private[sources] def k1CowPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_k1cow_${math.abs(dir.hashCode)}"
+
   def k1MergeCow(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k1cow_${math.abs(dir.hashCode)}"
+    val tmp = k1CowPath(dir)
     val daily = Tables.events(spark, dir)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("date"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))

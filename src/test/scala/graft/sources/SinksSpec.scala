@@ -119,6 +119,39 @@ class SinksSpec extends SparkSpec {
     assert(math.abs(after.select(sum(col("value"))).head().getDouble(0) - sumBefore) < 1e-6)
   }
 
+  test("k1_merge_cow is genuinely copy-on-write: untouched date partitions keep their pass-1 files") {
+    val out = Sinks.k1MergeCow(spark, sfDir)
+    val rows = out.collect()
+    // semantic floor (values are oracle-pinned; this is the shape check)
+    val origins = rows.map(_.getString(4)).toSet
+    assert(origins == Set("kept", "updated", "inserted"), s"origins: $origins")
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    assert(rows.filter(_.getTimestamp(1).before(cutoff)).forall(_.getString(4) == "kept"),
+      "a date before the correction batch's horizon was modified")
+    // physical COW assertion, time-independent: every part file of one
+    // write job shares that job's UUID in its name. Pass 1 writes all
+    // dates; pass 2 (dynamic overwrite of the merged frame) must
+    // replace ONLY the touched dates — so untouched partitions carry
+    // pass-1 UUIDs, touched partitions pass-2 UUIDs, and the sets are
+    // disjoint. A silent fallback to STATIC overwrite (which deletes
+    // every other partition) or a whole-table rewrite both fail here.
+    val root = new java.io.File(Sinks.k1CowPath(sfDir))
+    val uuidsByDate = root.listFiles().filter(_.getName.startsWith("date="))
+      .map { d =>
+        val uuids = d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.getName.replaceFirst("^part-\\d+-", "").replaceFirst("-c\\d+.*$", "")).toSet
+        d.getName.stripPrefix("date=") -> uuids
+      }.toMap
+    val (hot, untouched) = uuidsByDate.partition(_._1 >= "2024-01-10")
+    assert(hot.nonEmpty && untouched.nonEmpty, s"fixture spans the cutoff: ${uuidsByDate.keys}")
+    val passOne = untouched.values.flatten.toSet
+    val passTwo = hot.values.flatten.toSet
+    assert(passOne.size == 1, s"untouched partitions must all be pass-1 files: $passOne")
+    assert(passTwo.size == 1, s"touched partitions must all be pass-2 files: $passTwo")
+    assert((passOne intersect passTwo).isEmpty,
+      "touched and untouched partitions share a write job - not copy-on-write")
+  }
+
   test("z-order manifest: a single-user predicate skips most files") {
     val manifest = Sinks.layoutZorder(spark, sfDir).cache()
     val nFiles = manifest.count()
