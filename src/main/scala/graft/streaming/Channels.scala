@@ -107,19 +107,22 @@ object Channels {
 
   /** S9 — deterministic synthetic tick stream from the rate source:
     * price walk driven by the rate value, three symbols round-robin. */
-  def tickSource(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+  def tickSource(spark: SparkSession, rowsPerSecond: Int = 100,
+      nSymbols: Int = 3): DataFrame =
     decorateTicks(
       spark.readStream.format("rate")
-        .option("rowsPerSecond", rowsPerSecond.toString).load())
+        .option("rowsPerSecond", rowsPerSecond.toString).load(), nSymbols)
 
   /** Pure column transform rate→ticks, shared with tests (batch or
-    * stream DataFrames with (timestamp, value)). */
-  def decorateTicks(rate: DataFrame): DataFrame = {
+    * stream DataFrames with (timestamp, value)). `nSymbols` widens the
+    * key population — a keyed state fold is serial PER KEY, so the
+    * saturation ceiling scales with it (the STREAMBENCH_KNEE receipt). */
+  def decorateTicks(rate: DataFrame, nSymbols: Int = 3): DataFrame = {
     val mid = lit(1.08) + sin(col("value") / 7.0) * 0.002 + (col("value") % 17) * 1e-5
     val spread = lit(0.00008) + (col("value") % 5) * 1e-6
     rate.select(
       col("timestamp").as("ts"),
-      concat(lit("PAIR"), (col("value") % 3).cast("int")).as("symbol"),
+      concat(lit("PAIR"), (col("value") % nSymbols).cast("int")).as("symbol"),
       (mid - spread / 2).as("bid"),
       (mid + spread / 2).as("ask"),
       mid.as("mid"),

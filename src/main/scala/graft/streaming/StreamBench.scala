@@ -76,6 +76,9 @@ object StreamBench {
     // ticks/s — doesn't pay for re-running all 13 channels per rate
     val onlyChannels = sys.env.get("SPARK_GRAFT_STREAM_CHANNELS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // key-population knob for the saturation receipt: the stateful fold
+    // ceiling should scale with symbol count, not executor count
+    val nSymbols = sys.env.getOrElse("SPARK_GRAFT_STREAM_SYMBOLS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -86,7 +89,7 @@ object StreamBench {
     import spark.implicits._
 
     def runAll(r: Int): Seq[(String, ChannelStats)] = {
-      def ticks: DataFrame = Channels.tickSource(spark, r)
+      def ticks: DataFrame = Channels.tickSource(spark, r, nSymbols)
       // tick-shaped candles: 1:1 mapping so the stateful pattern engine is
       // measured at tick rate (real 1-min candle windows would emit ~3
       // rows per minute — no load)
@@ -156,7 +159,7 @@ object StreamBench {
       if (sweepRates.isEmpty) ""
       else sweepRates.map(r => s""""$r":${channelsJson(runAll(r))}""")
         .mkString(""","rate_sweep":{""", ",", "}")
-    println(s"""{"metric":"streaming","rate_per_sec":$rate,"window_sec":$seconds,"channels":$js$sweepJs}""")
+    println(s"""{"metric":"streaming","rate_per_sec":$rate,"window_sec":$seconds,"n_symbols":$nSymbols,"channels":$js$sweepJs}""")
     spark.stop()
   }
 }

@@ -106,6 +106,10 @@ object PlanAuditSpec {
     // vroute + qsup). Every build side is the k1-row supers frame
     // (k1 ≤ 2^12) or the 10-row query set; stream side ≤ corpus.
     "ann_ivf2_search" -> 4,
+    // the production serve shape: croute/vroute vanish into the
+    // materialized index tables, leaving ONLY the 10-query × supers
+    // routing broadcast — the 4-vs-1 delta IS the point of the row
+    "ann_ivf2_serve" -> 1,
     // acceptance probe: croute + vroute + qsup from the ivf2 candidate
     // frame, plus the brute-force ground-truth pass (broadcast 10-row
     // query set over the corpus — the documented bounded kernel shared
