@@ -45,6 +45,10 @@ object Plans {
       "never k), tiny probe frames broadcast into ONE corpus-sized list join"),
     "ann_lsh_mp_search"   -> ("multi-table multi-probe LSH: bucket array computed once per row then " +
       "L-row explode, Hamming<=1 probe set broadcast, cross-table dedup, exact re-rank"),
+    "ann_ivf2_serve"      -> ("two-level IVF PRODUCTION shape: index materialized once, search " +
+      "reads the stored tables — the 4 build-time nested-loop stages collapse to the single " +
+      "query->super routing broadcast, and the (vec_id, cid) assignment broadcasts (known small " +
+      "size), so the corpus never shuffles"),
     "epoch_shuffle"       -> "deterministic epoch permutation: shard hash partition + per-shard window, no global sort",
     "imp_permutation"     -> "permutation importance: moments broadcast + co-partitioned shift join, ONE aggregate",
     "w40_pivot_points"    -> "day-level fit frame joined back to the intraday fact, no fact window",
