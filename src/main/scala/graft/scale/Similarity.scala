@@ -708,8 +708,12 @@ object Similarity {
     ivf2ServeRead(spark, dir)
   }
 
+  /** Per-dir AND per-JVM (pid suffix): concurrent engine processes on
+    * the same dir must not race each other's index rewrites — the same
+    * scratch-collision class the k1 COW table hit (Sinks.k1CowPath).
+    * Within a JVM the serve index is still written once and reused. */
   private[scale] def ivf2ServePath(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf2serve_${math.abs(dir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf2serve_${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
 
   /** The read-only serve path: search against the materialized index.
     * Bench's warmup runs the public entry (which writes the index)
