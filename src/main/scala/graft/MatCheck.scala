@@ -36,7 +36,12 @@ object MatCheck {
       case c => c.toString
     } + "\""
     var nErr = 0
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional filter (same contract as ShuffleAudit): a targeted run
+    // whose rows are merged into a full artifact notes the merge there
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val cell = try {
         val (n, h) = BenchAction.consume(fn(spark, sfDir))
         s"""{"rows":$n,"checksum":$h}"""

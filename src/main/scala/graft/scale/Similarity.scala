@@ -708,6 +708,38 @@ object Similarity {
     ivf2ServeRead(spark, dir)
   }
 
+  /** TWO-LEVEL IVF, incremental ingest: the assignment table is
+    * APPEND-ONLY, so adding a batch of vectors to a built index costs
+    * routing for the BATCH alone — the standard FAISS add() contract,
+    * which is what makes the index maintainable under streaming ingest
+    * instead of rebuilt per batch. The query stages it end-to-end:
+    * day-0 corpus (first 90% of vec_ids) assigned and written, then the
+    * arriving batch (last 10%) routed and APPENDED (`mode("append")` —
+    * a pure file add, no rewrite of day-0 partitions), then the full
+    * read-back checked against the SAME oracle as [[annIvf2Assign]] —
+    * valid because each vector routes independently (batch ≡
+    * incremental for assignment) and the batch excludes `vec_id < k`,
+    * so day-0's centroid/super sets equal the full corpus's. The
+    * vec_id filters push THROUGH the routing argmins to the corpus
+    * scan (group-key predicate pushdown), so each write really routes
+    * only its slice — the day-0 write never touches batch rows and the
+    * append never re-routes day-0. Freeze caveat a deployment inherits
+    * from FAISS: appended vectors are assigned under the index's
+    * schedule; once n outgrows the schedule boundary, rebuild. */
+  def annIvf2Append(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${ivf2ServePath(dir)}_append"
+    val idx = ivf2Index(spark, dir)
+    val cut = lit(corpus(spark, dir).count() * 9L / 10L)
+    val full = idx.assigned.select(col("vec_id"), col("cid"), col("d"))
+    full.filter(col("vec_id") < cut)
+      .write.mode("overwrite").parquet(tmp)        // day-0 build
+    full.filter(col("vec_id") >= cut)
+      .write.mode("append").parquet(tmp)           // the batch: append-only
+    spark.read.schema("vec_id BIGINT, cid BIGINT, d DOUBLE").parquet(tmp)
+      .select(col("vec_id"), col("cid").as("centroid_id"),
+        round(col("d"), 6).as("dist_sq"))
+  }
+
   /** Per-dir AND per-JVM (pid suffix): concurrent engine processes on
     * the same dir must not race each other's index rewrites — the same
     * scratch-collision class the k1 COW table hit (Sinks.k1CowPath).
@@ -1845,6 +1877,7 @@ object Similarity {
     "ann_ivf2_assign" -> (annIvf2Assign _),
     "ann_ivf2_search" -> (annIvf2Search _),
     "ann_ivf2_serve"  -> (annIvf2Serve _),
+    "ann_ivf2_append" -> (annIvf2Append _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
     "ann_recall2"     -> (annRecall2 _),
@@ -1869,6 +1902,10 @@ object Similarity {
     // same output as the inline search (same routing code, same cut):
     // the serve row exists to pin the materialize-once plan shape
     "ann_ivf2_serve"  -> annIvf2SearchSql,
+    // batch ≡ incremental for assignment (vectors route independently;
+    // the batch excludes vec_id < k), so the append roundtrip checks
+    // against the full-assignment oracle verbatim
+    "ann_ivf2_append" -> annIvf2AssignSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
     "ann_recall2"     -> annRecall2Sql,
