@@ -92,11 +92,21 @@ object Similarity {
   private[graft] def ivfSchedule(n: Long): Int =
     (4 to 20).map(b => 1 << b).find(k => n <= 256L * k).getOrElse(1 << 20)
 
-  /** Scheduled centroid count for the corpus under `dir` — one count
-    * job over the cached [[corpus]] (the same read [[graft.scale.Dedup
-    * .embeddingLshPairs]] pays for its banding schedule). */
+  /** Corpus row count, memoized per data dir: every schedule
+    * derivation ([[ivfK]], the LSH bits, the append cut) needs n, and
+    * even over the cached [[corpus]] each `.count()` is a whole Spark
+    * job — one per query invocation added up across the ANN family.
+    * n is a property of the immutable test dir, so pay it once. */
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[scale] def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCountCache.computeIfAbsent(dir, d => corpus(spark, d).count())
+
+  /** Scheduled centroid count for the corpus under `dir` — derived
+    * from the memoized [[corpusCount]] (the same read [[graft.scale
+    * .Dedup.embeddingLshPairs]] pays for its banding schedule). */
   private[scale] def ivfK(spark: SparkSession, dir: String): Int =
-    ivfSchedule(corpus(spark, dir).count())
+    ivfSchedule(corpusCount(spark, dir))
 
   /** Oracle mirror of [[ivfSchedule]]: DuckDB derives the same k from
     * the same count with the same integer arithmetic, so `vec_id <
@@ -339,7 +349,7 @@ object Similarity {
     * in corpus size. */
   private def lshMpCandidates(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val b = lshTableBits(c.count())
+    val b = lshTableBits(corpusCount(spark, dir))
     val tabbed = c
       .select(col("vec_id"),
         posexplode(array((0 until mpTables).map(t => mpBucket(col("v"), t, b)): _*)))
@@ -700,11 +710,13 @@ object Similarity {
     * annIvf2Search scaladoc's production note promises. */
   def annIvf2Serve(spark: SparkSession, dir: String): DataFrame = {
     val tmp = ivf2ServePath(dir)
+    ivf2ServeMarker(tmp).delete() // invalidate before touching any table
     val idx = ivf2Index(spark, dir)
     idx.supers.write.mode("overwrite").parquet(s"$tmp/supers")
     idx.groups.write.mode("overwrite").parquet(s"$tmp/groups")
     idx.assigned.select(col("vec_id"), col("cid"))
       .write.mode("overwrite").parquet(s"$tmp/assigned")
+    ivf2ServeMarker(tmp).createNewFile() // all three tables are down
     ivf2ServeRead(spark, dir)
   }
 
@@ -727,9 +739,9 @@ object Similarity {
     * from FAISS: appended vectors are assigned under the index's
     * schedule; once n outgrows the schedule boundary, rebuild. */
   def annIvf2Append(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${ivf2ServePath(dir)}_append"
+    val tmp = graft.util.Scratch.path("ivf2append", dir)
     val idx = ivf2Index(spark, dir)
-    val cut = lit(corpus(spark, dir).count() * 9L / 10L)
+    val cut = lit(corpusCount(spark, dir) * 9L / 10L)
     val full = idx.assigned.select(col("vec_id"), col("cid"), col("d"))
     full.filter(col("vec_id") < cut)
       .write.mode("overwrite").parquet(tmp)        // day-0 build
@@ -743,9 +755,18 @@ object Similarity {
   /** Per-dir AND per-JVM (pid suffix): concurrent engine processes on
     * the same dir must not race each other's index rewrites — the same
     * scratch-collision class the k1 COW table hit (Sinks.k1CowPath).
-    * Within a JVM the serve index is still written once and reused. */
+    * Digest-keyed and swept at JVM exit via [[graft.util.Scratch]];
+    * within a JVM the serve index is still written once and reused. */
   private[scale] def ivf2ServePath(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf2serve_${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    graft.util.Scratch.path("ivf2serve", dir)
+
+  /** Serve-index completion marker. Gating the read path on this file
+    * — written only AFTER all three tables land — rather than on bare
+    * directory existence means a JVM that crashed mid-build (or a
+    * stale pid-recycled dir) triggers a rebuild instead of silently
+    * serving a partial index. */
+  private def ivf2ServeMarker(tmp: String): java.io.File =
+    new java.io.File(s"$tmp/_GRAFT_INDEX_COMPLETE")
 
   /** The read-only serve path: search against the materialized index.
     * Bench's warmup runs the public entry (which writes the index)
@@ -754,7 +775,7 @@ object Similarity {
     * is always the stored-table search. */
   private[graft] def ivf2ServeRead(spark: SparkSession, dir: String): DataFrame = {
     val tmp = ivf2ServePath(dir)
-    if (!new java.io.File(s"$tmp/assigned").exists())
+    if (!ivf2ServeMarker(tmp).exists())
       return annIvf2Serve(spark, dir)
     top3(ivf2Route(corpus(spark, dir),
       spark.read.schema("sid BIGINT, sv ARRAY<DOUBLE>").parquet(s"$tmp/supers"),

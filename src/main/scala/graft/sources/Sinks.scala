@@ -67,14 +67,12 @@ object Sinks {
     * The read-back of the whole table is what the oracle checks:
     * updated rows carry the batch's values, inserted rows appear,
     * untouched partitions survive byte-identical with origin `kept`. */
-  /** Scratch table path, keyed by BOTH the data dir and this JVM: two
-    * engine processes pointed at the same dir (a bench and an audit,
-    * say) must not interleave static-overwrite deletes with each
-    * other's reads — caught live when a concurrent ShuffleAudit run
-    * raced a MatCheck read of this table mid-rewrite (44906 → 32873
-    * rows). In-JVM reuse semantics are unchanged. */
+  /** Scratch table path: pid-suffixed (no cross-process races —
+    * caught live when a concurrent ShuffleAudit raced a MatCheck read
+    * of this table mid-rewrite), digest-keyed, and swept at JVM exit —
+    * see [[graft.util.Scratch]]. In-JVM reuse semantics unchanged. */
   private[sources] def k1CowPath(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_k1cow_${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    graft.util.Scratch.path("k1cow", dir)
 
   def k1MergeCow(spark: SparkSession, dir: String): DataFrame = {
     val tmp = k1CowPath(dir)
@@ -418,9 +416,10 @@ object Sinks {
     * query result; `PlanSpec` asserts the scan carries PartitionFilters
     * rather than reading all 30 days. */
   def k3IndicatorRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    // pid-suffixed like k1CowPath: concurrent engine JVMs on one dir
-    // must not race each other's roundtrip rewrites
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k3_${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    // pid-suffixed + exit-swept like k1CowPath (graft.util.Scratch):
+    // concurrent engine JVMs on one dir must not race each other's
+    // roundtrip rewrites
+    val tmp = graft.util.Scratch.path("k3", dir)
     val daily = Tables.candles(spark, dir)
       .groupBy(col("user_id"), to_date(col("bucket")).as("date"))
       .agg(count(lit(1)).as("n_candles"),
@@ -461,7 +460,7 @@ object Sinks {
     * doubles survive the JSON text round-trip exactly (Spark writes
     * shortest-round-trip representations). */
   def k7JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k7_${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val tmp = graft.util.Scratch.path("k7", dir)
     exportJson(
       Tables.events(spark, dir)
         .groupBy(col("event_type"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.col
 class EmptyInputSpec extends SparkSpec {
 
   private lazy val emptyDir: String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-empty").toString)
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>

@@ -196,7 +196,7 @@ class PlanSpec extends SparkSpec {
     // is the difference between scanning 3 date partitions and all of them
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/events"
+    val dir = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft_dpp").toString) + "/events"
     sources.Sinks.writePartitioned(
       Tables.events(spark, sfDir).select(col("ts"), col("user_id"), col("value")), dir)
     val fact = spark.read.parquet(dir)

@@ -19,7 +19,7 @@ class TablesSpec extends SparkSpec {
     Tables.events(spark, dir)
 
   test("events adapts to a long (nanos) ts column") {
-    val dir = Files.createTempDirectory("ev_nanos").toString
+    val dir = graft.util.Scratch.register(Files.createTempDirectory("ev_nanos").toString)
     import spark.implicits._
     Seq((1L, micros * 1000L + 999L, 1.5), (2L, micros * 1000L, 2.5))
       .toDF("user_id", "ts", "value")
@@ -33,7 +33,7 @@ class TablesSpec extends SparkSpec {
   }
 
   test("events adapts to a native timestamp ts column") {
-    val dir = Files.createTempDirectory("ev_micros").toString
+    val dir = graft.util.Scratch.register(Files.createTempDirectory("ev_micros").toString)
     import spark.implicits._
     val raw = Seq((1L, micros, 1.5), (2L, micros + 3600L * 1000000L, 2.5))
       .toDF("user_id", "us", "value")
@@ -53,7 +53,7 @@ class TablesSpec extends SparkSpec {
     assert(df.schema("ts").dataType === TimestampType)
     assert(Tables.candles(spark, sfDir).limit(1).count() === 1L)
     // And an NTZ-typed file specifically:
-    val dir = Files.createTempDirectory("ev_ntz").toString
+    val dir = graft.util.Scratch.register(Files.createTempDirectory("ev_ntz").toString)
     import spark.implicits._
     Seq((1L, micros, 1.5)).toDF("user_id", "us", "value")
       .select(col("user_id"),

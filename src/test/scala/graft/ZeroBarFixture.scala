@@ -33,7 +33,7 @@ object ZeroBarFixture {
   def dir(spark: SparkSession): String = synchronized {
     written.getOrElse {
       import spark.implicits._
-      val d = java.nio.file.Files.createTempDirectory("graft_zerobar").toString
+      val d = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft_zerobar").toString)
       // full sf-events schema so EVERY events consumer (event_id-ordered
       // segmented windows, event_type-gated ffill) runs over the fixture,
       // not only the candle path; event_type alternates so the sparse

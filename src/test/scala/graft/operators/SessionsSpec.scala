@@ -54,7 +54,7 @@ class SessionsSpec extends SparkSpec {
     // kills every conversion (effect 1.0); removing view leaves the
     // start->click journey (P drops to 1/3, effect 0.5); signup absent
     // (effect 0). Shares normalize to 2/3 and 1/3 (micro-unit floors).
-    val tmp = java.nio.file.Files.createTempDirectory("graft-markov").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-markov").toString)
     def ev(id: Long, uid: Long, minute: Int, tp: String) =
       (id, java.sql.Timestamp.valueOf(f"2024-08-12 10:$minute%02d:00"), uid, tp, 1.0, "{}")
     Seq(

@@ -114,7 +114,7 @@ class CorpusOpsSpec extends SparkSpec {
     // the zero-token doc 3 used to land AT tok_offset 2048 inside it
     // (the fold only rolls when fill + n EXCEEDS the budget) — it must
     // instead be absent from the placement index entirely
-    val tmp = java.nio.file.Files.createTempDirectory("graft-pack0").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-pack0").toString)
     val tok1024 = (1 to 1024).map(i => s"t$i").mkString(" ")
     Seq(
       (1L, tok1024, "en", "web", 1L),

@@ -59,7 +59,7 @@ class DedupSpec extends SparkSpec {
     val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
     val own2 = (1 to 10).map(i => s"own2x$i").mkString(" ")
     val rep3 = (1 to 10).map(i => s"rep3x$i").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-para").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-para").toString)
     Seq(
       (1L, shared, "en", "web", 100L),
       (2L, s"$shared $own2", "en", "web", 200L),
@@ -81,7 +81,7 @@ class DedupSpec extends SparkSpec {
     val base = (1 to 40).map(i => s"bench$i").mkString(" ")
     val nearCopy = ((1 to 38).map(i => s"bench$i") ++ Seq("edited", "tail")).mkString(" ")
     val other = (1 to 40).map(i => s"other$i").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-decontam").toString)
     Seq(
       (97L, base, "en", "eval", 300L),
       (5L, nearCopy, "en", "web", 300L),
@@ -128,7 +128,7 @@ class DedupSpec extends SparkSpec {
     // containment = 1.0 but Jaccard ≈ 0.09 — below the 0.5 MinHash gate
     val quote = (1 to 12).map(i => s"quoted$i").mkString(" ")
     val filler = (1 to 108).map(i => s"host$i").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-contain").toString)
     Seq(
       (1L, quote, "en", "web", 100L),
       (2L, s"$filler $quote", "en", "web", 900L),
@@ -149,7 +149,7 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     // unique texts with no shared shingles → zero LSH pairs → the
     // convergence aggregate sums zero rows (NULL) and must read as 0
-    val tmp = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-clean").toString)
     (1L to 5L).map { i =>
       (i, s"unique document number $i with entirely distinct content token$i" +
         (1 to 10).map(j => s" filler${i}x$j").mkString, "en", "web", 60L)

@@ -52,7 +52,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("frame sampling skips empty payloads instead of throwing on a zero stride") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mm-empty").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-mm-empty").toString)
     Seq(
       (1L, "", "en", "web", 0L),
       (2L, "x" * 100, "en", "web", 100L))

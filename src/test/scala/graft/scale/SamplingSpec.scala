@@ -13,7 +13,7 @@ class SamplingSpec extends SparkSpec {
     // the sf fixture's langs share one vocabulary (mean accept ≈ 0.99 —
     // DSIR correctly finds nothing to reweight); discrimination needs
     // actually distinct domains
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-dsir").toString)
     val zhDocs = (1L to 20L).map(i =>
       (i, (1 to 30).map(j => s"alpha${(i + j) % 7}").mkString(" "), "zh", "web", 100L))
     val enDocs = (21L to 120L).map(i =>

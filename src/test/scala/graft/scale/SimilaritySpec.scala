@@ -10,7 +10,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("kmeans collapses duplicate seeds and drops empty clusters") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-kmeans").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-kmeans").toString)
     val a = Array.fill(64)(1.0f)
     val b = Array.fill(64)(-1.0f)
     (0L to 11L).map(i => (i, if (i < 6) a else b, if (i < 6) "a" else "b"))
@@ -69,7 +69,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("two-level IVF search on a nested corpus: well-formed top-3 per query") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf2s").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-ivf2s").toString)
     (0L until 5000L).map { i =>
       (i, Array.tabulate(64)(d => math.sin(0.37 * (i * 64 + d)).toFloat))
     }.toDF("vec_id", "embedding")
@@ -96,7 +96,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("two-level IVF on a corpus past the k floor: valid centroids, admissible distances") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-ivf2").toString)
     // 5000 deterministic vectors => k = 32, k1 = 16: genuinely nested
     val rows = (0L until 5000L).map { i =>
       (i, Array.tabulate(64)(d => math.sin(0.37 * (i * 64 + d)).toFloat))

@@ -10,7 +10,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("BPE fit learns merges greedily with deterministic tie-breaks") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-bpe").toString)
     Seq(
       (1L, "x y x y x y", "en", "web", 11L),
       (2L, "x y z", "en", "web", 5L))
@@ -33,7 +33,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("BPE encode applies the fitted merges and reports compression") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-enc").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-bpe-enc").toString)
     Seq(
       (1L, "x y x y x y", "en", "web", 11L),
       (2L, "x y z", "en", "web", 5L))
@@ -50,7 +50,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("PII scrub counts and redacts emails, IPs, and phone numbers") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-pii").toString)
     Seq(
       (1L, "contact alice.smith+spam@example-corp.io or bob@mail.co today", "en", "web", 60L),
       (2L, "server at 192.168.0.1 answered; backup at 10.0.0.254 did not", "en", "web", 60L),

@@ -9,7 +9,7 @@ import java.nio.file.Files
 class SinksSpec extends SparkSpec {
 
   test("writePartitioned lays out date partitions readable with pruning; retention drops old ones") {
-    val dir = Files.createTempDirectory("graft_sink").toString + "/events"
+    val dir = graft.util.Scratch.register(Files.createTempDirectory("graft_sink").toString) + "/events"
     val src = Tables.events(spark, sfDir).select(col("ts"), col("user_id"), col("value"))
     Sinks.writePartitioned(src, dir)
 
@@ -35,7 +35,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("MLReady frame persists MapType feature columns; to_json/from_json round-trips them") {
-    val dir = Files.createTempDirectory("graft_mlready").toString + "/mlready"
+    val dir = graft.util.Scratch.register(Files.createTempDirectory("graft_mlready").toString) + "/mlready"
     val src = Sinks.mlReadyFrame(spark, sfDir)
     Sinks.writeMlReady(src, dir)
     val back = spark.read.parquet(dir)
@@ -57,7 +57,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("exportJson writes a single readable JSON part") {
-    val dir = Files.createTempDirectory("graft_json").toString + "/report"
+    val dir = graft.util.Scratch.register(Files.createTempDirectory("graft_json").toString) + "/report"
     val df = Tables.events(spark, sfDir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     Sinks.exportJson(df, dir)
@@ -71,7 +71,7 @@ class SinksSpec extends SparkSpec {
     // the 100 TB reality: out of millions of part-files a few arrive
     // truncated; the lake read path must degrade to "skip + log", not
     // fail the whole job
-    val dir = Files.createTempDirectory("graft_corrupt").toString + "/t"
+    val dir = graft.util.Scratch.register(Files.createTempDirectory("graft_corrupt").toString) + "/t"
     Tables.events(spark, sfDir).select(col("user_id"), col("value"))
       .coalesce(1).write.parquet(dir)
     val good = spark.read.parquet(dir).count()
@@ -93,7 +93,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("compaction collapses small-file partitions without changing the data") {
-    val dir = Files.createTempDirectory("graft_compact").toString + "/events"
+    val dir = graft.util.Scratch.register(Files.createTempDirectory("graft_compact").toString) + "/events"
     val src = Tables.events(spark, sfDir).select(col("ts"), col("user_id"), col("value"))
     // simulate streaming-append fragmentation: many tiny files per partition
     Sinks.writePartitioned(src.repartition(20), dir)

@@ -133,8 +133,8 @@ class ChannelsSpec extends SparkSpec {
   test("T9 restore: feature stream restarts from checkpoint with state intact, no loss or duplication") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_restore").toString + "/features"
+    val ckpt = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    val out = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft_restore").toString) + "/features"
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
     // file sink: the exactly-once recoverable path (memory sink is not
     // fault tolerant across restarts)
@@ -553,8 +553,8 @@ class ChannelsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     def tts(sec: Int) = new java.sql.Timestamp(1700000040000L + sec * 1000L)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_trend_ckpt").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_trend_out").toString + "/trend"
+    val ckpt = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft_trend_ckpt").toString)
+    val out = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft_trend_out").toString) + "/trend"
     val mem = MemoryStream[(java.sql.Timestamp, String)]
     def start() = Channels.trendingStream(spark, mem.toDF().toDF("ts", "symbol"))
       .writeStream.format("parquet")
