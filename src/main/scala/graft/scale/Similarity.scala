@@ -738,7 +738,13 @@ object Similarity {
     * append never re-routes day-0. Freeze caveat a deployment inherits
     * from FAISS: appended vectors are assigned under the index's
     * schedule; once n outgrows the schedule boundary, rebuild. */
-  def annIvf2Append(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf2Append(spark: SparkSession, dir: String): DataFrame =
+    ivf2AssignmentView(spark, ivf2AppendWrite(spark, dir))
+
+  /** The append-table WRITE staged by [[annIvf2Append]] (day-0
+    * overwrite job + batch append job), factored out so the
+    * compaction operator can build the same small-file input. */
+  private def ivf2AppendWrite(spark: SparkSession, dir: String): String = {
     val tmp = graft.util.Scratch.path("ivf2append", dir)
     val idx = ivf2Index(spark, dir)
     val cut = lit(corpusCount(spark, dir) * 9L / 10L)
@@ -747,10 +753,84 @@ object Similarity {
       .write.mode("overwrite").parquet(tmp)        // day-0 build
     full.filter(col("vec_id") >= cut)
       .write.mode("append").parquet(tmp)           // the batch: append-only
-    spark.read.schema("vec_id BIGINT, cid BIGINT, d DOUBLE").parquet(tmp)
+    tmp
+  }
+
+  /** Oracle-shaped read-back of a stored assignment table. */
+  private def ivf2AssignmentView(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("vec_id BIGINT, cid BIGINT, d DOUBLE").parquet(path)
       .select(col("vec_id"), col("cid").as("centroid_id"),
         round(col("d"), 6).as("dist_sq"))
+
+  /** Compaction write target: one output file per this many input
+    * bytes — `spark.sql.files.maxPartitionBytes`'s default, i.e. the
+    * size at which a scan stops paying per-file open cost. */
+  private[scale] val compactTargetBytes = 128L << 20
+
+  /** Small-file COMPACTION of the append-only assignment table — the
+    * maintenance half of K5's "Parquet ZSTD + file compaction" row and
+    * the operator [[annIvf2Append]]'s contract needs: every appended
+    * batch adds files, and a year of small batches turns the scan's
+    * per-file open cost into the dominant term. The rewrite is a
+    * bin-packed `coalesce` (NOT `repartition`): reading the table
+    * already bin-packs splits to `maxPartitionBytes`, so collapsing to
+    * ceil(bytes / target) partitions rewrites into target-sized files
+    * with ZERO shuffle — the same shape a Delta/Iceberg OPTIMIZE file
+    * group executes — and sidesteps round-robin repartition's
+    * retry-determinism hazard. Content is byte-identical to the input
+    * (the oracle checks the read-back against the same full-assignment
+    * SQL as the append row); CompactionSpec pins the physical claim —
+    * file count drops to the target while the checksum is unchanged. */
+  def annIvf2Compact(spark: SparkSession, dir: String): DataFrame = {
+    val src = ivf2AppendWrite(spark, dir)
+    val dst = graft.util.Scratch.path("ivf2compact", dir)
+    val p = new org.apache.hadoop.fs.Path(src)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + compactTargetBytes - 1) / compactTargetBytes).toInt
+    spark.read.schema("vec_id BIGINT, cid BIGINT, d DOUBLE").parquet(src)
+      .coalesce(nFiles)
+      .write.mode("overwrite").option("compression", "zstd").parquet(dst)
+    ivf2AssignmentView(spark, dst)
   }
+
+  /** INDEX-STALENESS census — the detection query for the FAISS freeze
+    * caveat [[annIvf2Append]] documents: appended vectors are assigned
+    * under the schedule frozen at build time (k = [[ivfSchedule]](n₀)
+    * centroids chosen for the day-0 corpus), so once n outgrows the
+    * schedule's capacity (n > 256·k, the bound the whole family's
+    * per-list population math rests on) the index must be rebuilt. One
+    * row per scenario: `current` (the staged day-0 build vs today's
+    * corpus) and `projected_3x` (the same index after 3× growth), so
+    * both branches of the rebuild flag are exercised at every SF. n
+    * and the schedule come from the memoized [[corpusCount]] — a
+    * metadata census, the same driver-side shape a Delta/Iceberg
+    * table-health check runs. */
+  def annIvf2Staleness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = corpusCount(spark, dir)
+    val n0 = n * 9L / 10L            // the day-0 build annIvf2Append stages
+    val kBuilt = ivfSchedule(n0).toLong
+    val cap = 256L * kBuilt
+    Seq(
+      ("current", n, kBuilt, cap, n > cap),
+      ("projected_3x", 3L * n, kBuilt, cap, 3L * n > cap))
+      .toDF("scenario", "n", "k_built", "capacity", "rebuild_needed")
+  }
+
+  val annIvf2StalenessSql: String =
+    """WITH nt AS (SELECT count(*) AS n FROM embeddings),
+      |kt AS (
+      |  SELECT coalesce(min(1::BIGINT << g.b), 1::BIGINT << 20) AS k_built
+      |  FROM unnest(generate_series(4, 20)) AS g(b)
+      |  WHERE (SELECT n * 9 // 10 FROM nt) <= 256 * (1::BIGINT << g.b)),
+      |s AS (
+      |  SELECT 'current' AS scenario, (SELECT n FROM nt) AS n
+      |  UNION ALL
+      |  SELECT 'projected_3x', 3 * (SELECT n FROM nt))
+      |SELECT s.scenario, s.n, kt.k_built, 256 * kt.k_built AS capacity,
+      |       s.n > 256 * kt.k_built AS rebuild_needed
+      |FROM s CROSS JOIN kt""".stripMargin
 
   /** Per-dir AND per-JVM (pid suffix): concurrent engine processes on
     * the same dir must not race each other's index rewrites — the same
@@ -1899,6 +1979,8 @@ object Similarity {
     "ann_ivf2_search" -> (annIvf2Search _),
     "ann_ivf2_serve"  -> (annIvf2Serve _),
     "ann_ivf2_append" -> (annIvf2Append _),
+    "ann_ivf2_compact" -> (annIvf2Compact _),
+    "ann_ivf2_staleness" -> (annIvf2Staleness _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
     "ann_recall2"     -> (annRecall2 _),
@@ -1927,6 +2009,11 @@ object Similarity {
     // the batch excludes vec_id < k), so the append roundtrip checks
     // against the full-assignment oracle verbatim
     "ann_ivf2_append" -> annIvf2AssignSql,
+    // compaction rewrites files, not rows: the read-back checks against
+    // the same full-assignment oracle; CompactionSpec pins the physical
+    // file-count drop
+    "ann_ivf2_compact" -> annIvf2AssignSql,
+    "ann_ivf2_staleness" -> annIvf2StalenessSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
     "ann_recall2"     -> annRecall2Sql,
