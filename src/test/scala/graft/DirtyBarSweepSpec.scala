@@ -54,4 +54,38 @@ class DirtyBarSweepSpec extends SparkSpec {
     }
     assert(bad.isEmpty, "dirty-bar failures:\n  " + bad.mkString("\n  "))
   }
+
+  test("aggregation/quality/feature families survive the zero-price bar too") {
+    // round-11 verdict item #6: the same fixture through everything
+    // else that divides by a price, a range, or a volume — the a*
+    // aggregations (stats, resample, validation, outliers, backtest
+    // metrics, microstructure), the qc* repair/score pair, the f*
+    // filter and feature family (liquidity ratios, winsorize bounds,
+    // target encoding), and the vwap. a3_docs_by_lang is excluded on
+    // inputs, not nerves: it reads the documents table (no prices),
+    // which the events-only fixture deliberately lacks.
+    spark.catalog.clearCache()
+    val dir = ZeroBarFixture.dir(spark)
+    val names = SparkEntry.queries.keys.filter { n =>
+      (n.matches("""a\d+_.*""") && n != "a3_docs_by_lang") ||
+        n.startsWith("qc_") ||
+        (n.startsWith("f") && !n.startsWith("fn_")) ||
+        n == "s6_vwap"
+    }.toSeq.sorted
+    assert(names.size >= 25, s"a*/qc*/f* glob collapsed: ${names.size} entries")
+    val bad = names.flatMap { name =>
+      try {
+        val rows = SparkEntry.queries(name)(spark, dir).collect()
+        val dirtyCols = rows.iterator.flatMap { r =>
+          (0 until r.length).collect { case i if nonFinite(r.get(i)) => r.schema.fields(i).name }
+        }.toSet
+        if (dirtyCols.isEmpty) Nil
+        else Seq(s"$name: non-finite cells in ${dirtyCols.toSeq.sorted.mkString(", ")}")
+      } catch {
+        case e: Throwable =>
+          Seq(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
+    }
+    assert(bad.isEmpty, "dirty-bar failures:\n  " + bad.mkString("\n  "))
+  }
 }
