@@ -79,10 +79,29 @@ object StreamBench {
     // key-population knob for the saturation receipt: the stateful fold
     // ceiling should scale with symbol count, not executor count
     val nSymbols = sys.env.getOrElse("SPARK_GRAFT_STREAM_SYMBOLS", "3").toInt
+    require(nSymbols >= 1,
+      s"SPARK_GRAFT_STREAM_SYMBOLS must be >= 1, got $nSymbols — 0 or negative " +
+        "would flow into `value % nSymbols` and yield null symbols or an ANSI error")
+    // state-store provider knob: `rocksdb` swaps the default in-memory
+    // HDFS-backed store for RocksDB — at a realistic key population
+    // (thousands of symbols × open windows) state size outgrows executor
+    // heap long before CPU saturates, and RocksDB keeps it off-heap on
+    // local disk. The receipt this knob exists for: the 24-symbol knee
+    // re-run, in-memory vs RocksDB ms/msg (STREAMBENCH_KNEE.json).
+    val stateProvider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "memory") match {
+      case "memory" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STATE_PROVIDER must be memory|rocksdb, got $other")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.streaming.metricsEnabled", "true")
+      .config("spark.sql.streaming.stateStore.providerClass", stateProvider)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -159,7 +178,8 @@ object StreamBench {
       if (sweepRates.isEmpty) ""
       else sweepRates.map(r => s""""$r":${channelsJson(runAll(r))}""")
         .mkString(""","rate_sweep":{""", ",", "}")
-    println(s"""{"metric":"streaming","rate_per_sec":$rate,"window_sec":$seconds,"n_symbols":$nSymbols,"channels":$js$sweepJs}""")
+    val providerName = if (stateProvider.contains("RocksDB")) "rocksdb" else "memory"
+    println(s"""{"metric":"streaming","rate_per_sec":$rate,"window_sec":$seconds,"n_symbols":$nSymbols,"state_provider":"$providerName","channels":$js$sweepJs}""")
     spark.stop()
   }
 }
