@@ -30,6 +30,9 @@ object GraftFunctions {
   def doubleRawBitsBuilder(exprs: Seq[Expression]): DoubleRawBits =
     DoubleRawBits(Cast(exprs.head, DoubleType))
 
+  def lshBucketsBuilder(exprs: Seq[Expression]): LshBuckets =
+    LshBuckets(exprs.head, exprs(1), exprs(2), exprs(3))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm_avg", ewmAvgBuilder, "built-in")
@@ -41,10 +44,17 @@ object GraftFunctions {
       "graft_chunk_tokens", chunkTokensBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_double_raw_bits", doubleRawBitsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets", lshBucketsBuilder, "built-in")
   }
 
   /** Codegen'd dense dot product ([[DotProduct]]). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** All nTables sign-LSH bucket ids in one codegen'd pass
+    * ([[LshBuckets]]); `flatPlanes` is row-major (t·bits+i, dim). */
+  def lshBuckets(v: Column, flatPlanes: Array[Double], nTables: Int, bits: Int): Column =
+    call_function("graft_lsh_buckets", v, lit(flatPlanes), lit(nTables), lit(bits))
 
   /** Codegen'd sorted-merge intersection count ([[IntersectCount]]):
     * both arrays must be sorted ascending and distinct. */

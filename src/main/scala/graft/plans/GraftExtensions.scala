@@ -45,5 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_double_raw_bits"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.doubleRawBitsBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[graft.functions.LshBuckets].getName,
+        "graft_lsh_buckets"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.lshBucketsBuilder(exprs)))
   }
 }

@@ -321,17 +321,17 @@ object Similarity {
     * any single probe, the classic LSH trade. */
   private[scale] val mpTables = 8
 
-  /** Table t's bucket id: b sign bits over planes t·b … t·b+b−1 (the
-    * same md5 family the single-table index and the oracle derive).
-    * Each plane dot is ONE codegen'd [[graft.functions.DotProduct]]
-    * node with a literal plane vector — at b = 10 (sf10) the unrolled
-    * literal form would be a 5120-term expression tree, exactly the
-    * blown-codegen shape the embProject scaladoc documents. */
-  private def mpBucket(v: Column, t: Int, b: Int): Column =
-    (0 until b).map { i =>
-      when(dot(v, typedLit(planes(t * b + i).toSeq)) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All [[mpTables]] bucket ids of a vector — ONE codegen'd
+    * [[graft.functions.LshBuckets]] pass over the flat plane matrix
+    * (rows t·b … t·b+b−1 per table, the same md5 family the
+    * single-table index and the oracle derive). The first cut composed
+    * b `when(graft_dot(...))` trees per table; at b = 10 (sf10) that
+    * is 80 expression nodes in one projection — past the codegen
+    * budget, interpreted fallback, and 80 s of the 72 s lsh_mp wall
+    * (LshMpProbe receipt; candidates were bounded as designed). */
+  private def mpBucketsAll(v: Column, b: Int): Column =
+    graft.functions.GraftFunctions.lshBuckets(
+      v, planes.take(mpTables * b).flatten.toArray, mpTables, b)
 
   /** Scored multi-table multi-probe candidates (query_id, vec_id,
     * cosine): corpus hashed once into L bucket ids (one map pass, the
@@ -351,8 +351,7 @@ object Similarity {
     val c = corpus(spark, dir)
     val b = lshTableBits(corpusCount(spark, dir))
     val tabbed = c
-      .select(col("vec_id"),
-        posexplode(array((0 until mpTables).map(t => mpBucket(col("v"), t, b)): _*)))
+      .select(col("vec_id"), posexplode(mpBucketsAll(col("v"), b)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
     val qtab = tabbed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("t"),
