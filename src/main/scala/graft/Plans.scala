@@ -43,7 +43,8 @@ object Plans {
       "vector routing), group-local exact argmin — three hash aggregates, zero sorts, n*(k1 + k/k1) dots"),
     "ann_ivf2_search"     -> ("two-level IVF search: query routes super->group->list (k1 + 2k/k1 dots, " +
       "never k), tiny probe frames broadcast into ONE corpus-sized list join"),
-    "ann_lsh_mp_search"   -> ("multi-table multi-probe LSH: bucket array computed once per row then " +
+    "ann_lsh_mp_search"   -> ("multi-table multi-probe LSH: all L buckets per row from ONE codegen'd " +
+      "LshBuckets pass (r12 — the composed 80-node when/dot tree fell out of codegen at sf10) then " +
       "L-row explode, Hamming<=1 probe set broadcast, cross-table dedup, exact re-rank"),
     "ann_ivf2_serve"      -> ("two-level IVF PRODUCTION shape: index materialized once, search " +
       "reads the stored tables — the 4 build-time nested-loop stages collapse to the single " +

@@ -63,14 +63,26 @@ object Scratch {
     * paths are no-ops). The shutdown hook calls exactly this, so a
     * spec exercising it in-process tests the hook's body; the
     * hook-actually-fires receipt is the ScratchHookProbe subprocess
-    * test. Queries self-heal after a sweep (they rebuild on next use),
-    * so mid-process calls are safe, just wasteful. */
+    * test. NOTE for in-process callers: this sweeps the WHOLE
+    * registry, including dirs other components memoized (the shared
+    * test fixture taught this the hard way — a mid-suite sweep
+    * deleted it under 50 later tests before it self-healed). The
+    * main-source consumers all rebuild on next use; prefer
+    * [[cleanupPath]] for targeted teardown. */
   def cleanupNow(): Unit = {
     val it = registered.iterator()
     while (it.hasNext) {
       deleteRecursively(new File(it.next()))
       it.remove()
     }
+  }
+
+  /** Delete and deregister ONE scratch path — the targeted form for
+    * in-process teardown (specs), leaving every other registered dir
+    * alone. */
+  private[graft] def cleanupPath(p: String): Unit = {
+    deleteRecursively(new File(p))
+    registered.remove(p)
   }
 
   private def md5Hex(s: String): String =

@@ -31,7 +31,10 @@ object ZeroBarFixture {
 
   @volatile private var written: Option[String] = None
   def dir(spark: SparkSession): String = synchronized {
-    written.getOrElse {
+    // self-heal: the memoized dir is Scratch-registered, so an
+    // in-process registry sweep (or any external deletion) must
+    // trigger a rewrite, not poison every later consumer in the JVM
+    written.filter(d => new java.io.File(s"$d/events.parquet").exists()).getOrElse {
       import spark.implicits._
       val d = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft_zerobar").toString)
       // full sf-events schema so EVERY events consumer (event_id-ordered

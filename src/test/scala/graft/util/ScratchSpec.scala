@@ -19,14 +19,19 @@ class ScratchSpec extends AnyFunSuite {
     assert(a.contains(ProcessHandle.current().pid().toString))
   }
 
-  test("cleanupNow deletes every registered dir, including nested files") {
+  test("cleanupPath deletes a registered dir, including nested files") {
+    // targeted cleanup only: an in-process cleanupNow() would sweep
+    // dirs OTHER suites memoized in this shared JVM (it deleted the
+    // zero-bar fixture under 50 later tests before the fixture grew
+    // its self-heal) — the full-registry sweep is exercised by the
+    // isolated subprocess hook test below instead
     val p = Scratch.path("speccleanup", "some/data/dir")
     val d = new File(p)
     assert(d.mkdirs())
     val f = new File(d, "part-00000")
     val w = new java.io.FileWriter(f); w.write("x"); w.close()
     assert(Scratch.registeredPaths.contains(p))
-    Scratch.cleanupNow()
+    Scratch.cleanupPath(p)
     assert(!d.exists())
     assert(!Scratch.registeredPaths.contains(p))
   }
