@@ -50,6 +50,10 @@ object Plans {
       "reads the stored tables — the 4 build-time nested-loop stages collapse to the single " +
       "query->super routing broadcast, and the (vec_id, cid) assignment broadcasts (known small " +
       "size), so the corpus never shuffles"),
+    "ann_sq8_search"      -> ("scalar-quantized ANN (r12): stage 1 scans ONLY the (vec_id, q, qn) " +
+      "projection of the int8-quantized corpus against the broadcast query set; stage 2 fetches " +
+      "the <=10/query winners' exact vectors through equi-joins and re-ranks — the float corpus " +
+      "never enters the corpus-sized join"),
     "epoch_shuffle"       -> "deterministic epoch permutation: shard hash partition + per-shard window, no global sort",
     "imp_permutation"     -> "permutation importance: moments broadcast + co-partitioned shift join, ONE aggregate",
     "w40_pivot_points"    -> "day-level fit frame joined back to the intraday fact, no fact window",

@@ -831,6 +831,77 @@ object Similarity {
       |       s.n > 256 * kt.k_built AS rebuild_needed
       |FROM s CROSS JOIN kt""".stripMargin
 
+  /** The staged table [[annIvf2Delete]] mutates: the full two-level
+    * assignment, RANGE-CLUSTERED on vec_id into a fixed 8 files. The
+    * clustering is the point — a delete predicate on the cluster key
+    * touches a contiguous file subset, which is what makes copy-on-
+    * write DELETE affordable at scale (an unclustered table makes
+    * every file dirty and COW degenerates to a full rewrite; the same
+    * reason Delta/Iceberg pair DELETE with Z-order/clustering). The
+    * fixture stages 8 files; a production table sizes file count from
+    * bytes like [[annIvf2Compact]] does. */
+  private[scale] def ivf2DeleteStage(spark: SparkSession, dir: String): String = {
+    val tmp = graft.util.Scratch.path("ivf2del", dir)
+    ivf2Index(spark, dir).assigned
+      .select(col("vec_id"), col("cid"), col("d"))
+      .repartitionByRange(8, col("vec_id"))
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** The COW delete kernel, factored out so DeleteSpec can snapshot
+    * file state around it: (1) find the files containing doomed rows —
+    * `vec_id < cutoff` pushes to parquet row-group stats, so on the
+    * range-clustered layout CLEAN files are pruned at the IO level and
+    * the census reads almost nothing; (2) rewrite ONLY those files'
+    * surviving rows; (3) swap — add the rewritten parts, drop the
+    * dirty originals. The file-list collect is bounded by the table's
+    * FILE count (8 here; a manifest at scale), never its row count.
+    * Plain-parquet staging makes the swap a pair of filesystem ops
+    * where Delta/Iceberg commit a manifest atomically — the row-level
+    * work (decode + filter + re-encode, the term that matters at
+    * 100 TB) is identical and touches the dirty subset only. */
+  private[scale] def ivf2DeleteApply(spark: SparkSession, src: String, cutoff: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val schema = "vec_id BIGINT, cid BIGINT, d DOUBLE"
+    val dirty = spark.read.schema(schema).parquet(src)
+      .filter(col("vec_id") < cutoff)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0))
+    if (dirty.isEmpty) return
+    val stage = graft.util.Scratch.register(s"$src.rewrite")
+    spark.read.schema(schema).parquet(dirty.toIndexedSeq: _*)
+      .filter(col("vec_id") >= cutoff)
+      .write.mode("overwrite").parquet(stage)
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirty.foreach(f => fs.delete(new Path(f), false))
+    fs.listStatus(new Path(stage)).filter(_.getPath.getName.startsWith("part-"))
+      .foreach(s => fs.rename(s.getPath, new Path(src, s.getPath.getName)))
+    fs.delete(new Path(stage), true)
+  }
+
+  /** COW DELETE from the stored assignment table — the index-lifecycle
+    * operator FAISS calls `remove_ids` and a lakehouse calls `DELETE
+    * WHERE`, completing the family (build → search → serve → append →
+    * compact → staleness → DELETE): a retention purge drops the oldest
+    * 5% of vectors (`vec_id < n/20`) from the range-clustered staged
+    * table via [[ivf2DeleteApply]]'s file-pruned copy-on-write, then
+    * the read-back is oracle-checked against the full assignment SQL
+    * filtered by the same predicate. Deletion applies to the
+    * assignment TABLE only — the day-0 centroid/super sets are part of
+    * the frozen index and keep serving (FAISS semantics: removed ids
+    * stop appearing in results; the codebook is untouched until the
+    * [[annIvf2Staleness]] census says rebuild). */
+  def annIvf2Delete(spark: SparkSession, dir: String): DataFrame = {
+    val src = ivf2DeleteStage(spark, dir)
+    ivf2DeleteApply(spark, src, corpusCount(spark, dir) / 20L)
+    ivf2AssignmentView(spark, src)
+  }
+
+  val annIvf2DeleteSql: String =
+    s"""SELECT * FROM ($annIvf2AssignSql)
+       |WHERE vec_id >= (SELECT count(*) // 20 FROM embeddings)""".stripMargin
+
   /** Per-dir AND per-JVM (pid suffix): concurrent engine processes on
     * the same dir must not race each other's index rewrites — the same
     * scratch-collision class the k1 COW table hit (Sinks.k1CowPath).
@@ -1666,6 +1737,109 @@ object Similarity {
       |SELECT query_id, rank, vec_id AS neighbor_id, round(adist, 6) + 0 AS adist
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- SQ8
+  /** Corpus with per-vector int8 SCALAR QUANTIZATION attached — the
+    * fourth compression point on the ANN memory/recall curve (FAISS
+    * `SQ8`): each dimension stores `floor(x·127/maxabs(v))` ∈
+    * [-127, 127], one byte instead of four, so a float32 corpus scans
+    * 4× less IO than exact search and keeps per-DIMENSION resolution
+    * PQ gives up (PQ's 8 bytes/vector vs SQ8's 64 here — opposite ends
+    * of the compression/recall trade, and real deployments ship both).
+    * The per-vector scale makes quantized COSINE scale-free:
+    * qdot/(|qa|·|qb|) cancels both scales, and because every quantized
+    * cell is an integer the candidate scores are EXACT in float — no
+    * cross-engine summation-order hazard anywhere in stage 1. maxabs=0
+    * (the all-zero vector) quantizes to all-zero with cosine null, the
+    * same degenerate row exact search produces. */
+  private[scale] def sq8Corpus(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    c.withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("ma") > 0,
+          // Spark's floor returns BIGINT; cast back so the array stays
+          // ARRAY<DOUBLE> for graft_dot (values are exact small ints)
+          transform(col("v"), x => floor(x * lit(127.0) / col("ma")).cast("double")))
+        .otherwise(transform(col("v"), _ => lit(0.0))))
+      .withColumn("qn", sqrt(dot(col("q"), col("q"))))
+  }
+
+  /** SCALAR-QUANTIZED ANN with exact re-scoring — the standard two-
+    * stage SQ8 serving shape: stage 1 brute-scans the QUANTIZED corpus
+    * (the 4×-smaller byte table is all that streams through the scan;
+    * here the projection keeps only `(vec_id, q, qn)` so the exact
+    * vectors never enter the stage-1 join) and keeps top-10 per query
+    * by quantized cosine; stage 2 fetches ONLY the ≤ 10·|queries|
+    * winners' exact vectors (a broadcast semi-sized equi-join — the
+    * "random access into the float table" a vector store pays per
+    * query) and re-ranks them by exact cosine for the final top-3.
+    * Stage-1 scores are integer-exact (see [[sq8Corpus]]) and stage-2
+    * re-uses the brute-force scoring, so the oracle mirrors both
+    * stages bit-for-bit. At 100 TB the win is the scan: stage 1 reads
+    * the byte corpus sequentially (broadcast query set, no shuffle),
+    * stage 2 touches 100 rows. */
+  def annSq8Search(spark: SparkSession, dir: String): DataFrame = {
+    val c = sq8Corpus(spark, dir)
+    val stage1 = c.select(col("vec_id"), col("q"), col("qn"))
+    val q8 = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
+    val cand = stage1.join(broadcast(q8), col("vec_id") =!= col("query_id"))
+      .withColumn("acos", dot(col("q"), col("qq")) / (col("qn") * col("qqn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = corpus(spark, dir)
+    val qx = exact.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnr"))
+    cand.join(exact, Seq("vec_id"))
+      .join(qx, Seq("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("nrm") * col("qnr")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val annSq8SearchSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |sq AS (
+      |  SELECT vec_id, v, nrm,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      |              THEN list_transform(v, x ->
+      |                     floor(x * 127 / list_max(list_transform(v, y -> abs(y)))))
+      |              ELSE list_transform(v, x -> 0.0) END AS q
+      |  FROM e),
+      |sqn AS (
+      |  SELECT vec_id, v, nrm, q,
+      |         sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
+      |  FROM sq),
+      |q8 AS (SELECT vec_id AS query_id, q AS qq, qn AS qqn FROM sqn WHERE vec_id < 10),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q8.query_id, c.vec_id,
+      |           row_number() OVER (PARTITION BY q8.query_id ORDER BY
+      |             list_sum(list_transform(list_zip(c.q, q8.qq), p -> p[1] * p[2]))
+      |               / (c.qn * q8.qqn) DESC, c.vec_id) AS rk
+      |    FROM sqn c, q8 WHERE c.vec_id <> q8.query_id)
+      |  WHERE rk <= 10),
+      |qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnr FROM e WHERE vec_id < 10),
+      |resc AS (
+      |  SELECT t.query_id, t.vec_id,
+      |         list_sum(list_transform(list_zip(c.v, qx.qv), p -> p[1] * p[2]))
+      |           / (c.nrm * qx.qnr) AS cosine
+      |  FROM cand t JOIN e c ON c.vec_id = t.vec_id
+      |              JOIN qx ON qx.query_id = t.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM resc)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   // ---------------------------------------------------------------- k-means
   /** K-MEANS FIT — the index-training step the IVF family assumes
     * (`annIvfAssign` takes its centroid set as given): k=8, init =
@@ -1980,6 +2154,8 @@ object Similarity {
     "ann_ivf2_append" -> (annIvf2Append _),
     "ann_ivf2_compact" -> (annIvf2Compact _),
     "ann_ivf2_staleness" -> (annIvf2Staleness _),
+    "ann_ivf2_delete" -> (annIvf2Delete _),
+    "ann_sq8_search"  -> (annSq8Search _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
     "ann_recall2"     -> (annRecall2 _),
@@ -2013,6 +2189,8 @@ object Similarity {
     // file-count drop
     "ann_ivf2_compact" -> annIvf2AssignSql,
     "ann_ivf2_staleness" -> annIvf2StalenessSql,
+    "ann_ivf2_delete" -> annIvf2DeleteSql,
+    "ann_sq8_search"  -> annSq8SearchSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
     "ann_recall2"     -> annRecall2Sql,

@@ -91,6 +91,10 @@ object PlanAuditSpec {
     // (plan = ExistingRDD scan, 0 joins); their BUILD shapes are
     // plan-asserted separately in PlanSpec
     "ann_brute_force" -> 1,     // broadcast query set over the corpus
+    // SQ8 stage 1 is the same bounded kernel over the QUANTIZED
+    // projection (broadcast 10-query set, `=!=` join); stage 2's
+    // candidate fetch + query join are proper equi-joins
+    "ann_sq8_search" -> 1,
     "ann_recall" -> 2,          // ground truth + LSH probe, both bounded
     // --- fit-then-fold one-row broadcasts (count = folds in the plan)
     "a7_normalize" -> 1, "ann_dot_expr" -> 1, "ann_ivf_assign" -> 1,

@@ -1,0 +1,64 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The physical half of the `ann_ivf2_delete` contract (the oracle
+  * checks content): on the range-clustered staged table, a COW delete
+  * of the oldest 5% rewrites ONLY the files that contain doomed rows —
+  * clean files survive the swap byte-for-byte untouched — and a second
+  * apply with the same predicate is a pure no-op (nothing left to
+  * delete, no files touched). */
+class DeleteSpec extends SparkSpec {
+
+  private def snapshot(path: String): Map[String, (Long, Long)] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+
+  test("COW delete rewrites only dirty files; clean files are untouched; re-apply is a no-op") {
+    val src = Similarity.ivf2DeleteStage(spark, sfDir)
+    val n = Similarity.corpusCount(spark, sfDir)
+    val cutoff = n / 20L
+    assert(cutoff > 0, s"fixture must be big enough to delete something (n=$n)")
+    val stagedCount = spark.read.parquet(src).count()
+    assert(stagedCount == n, "staged table must hold the full assignment")
+
+    val before = snapshot(src)
+    assert(before.size == 8, s"range-clustered stage must be 8 files, got ${before.size}")
+    Similarity.ivf2DeleteApply(spark, src, cutoff)
+    val after = snapshot(src)
+
+    val untouched = before.keySet.intersect(after.keySet)
+      .filter(k => before(k) == after(k))
+    val rewritten = before.keySet.diff(after.keySet)
+    val added = after.keySet.diff(before.keySet)
+    // range clustering means the lowest-5% predicate lands in a file
+    // subset: most files must survive with identical (size, mtime)
+    assert(rewritten.nonEmpty, "at least one dirty file must be replaced")
+    assert(added.nonEmpty, "the rewrite must add surviving-row files")
+    assert(untouched.size >= 6,
+      s"clean files must not be rewritten: only ${untouched.size} of 8 untouched " +
+        s"(rewritten=${rewritten.size})")
+    // the .rewrite staging dir must not linger
+    assert(!new java.io.File(src + ".rewrite").exists(), "swap must remove the staging dir")
+
+    // content: exactly the full assignment minus the doomed range
+    val got = spark.read.parquet(src)
+    assert(got.count() == n - cutoff)
+    assert(got.agg(min(col("vec_id"))).head.getLong(0) == cutoff)
+    val expect = Similarity.annIvf2Assign(spark, sfDir)
+      .filter(col("vec_id") >= cutoff)
+      .select(col("vec_id"), col("centroid_id").as("cid"))
+    val gotKeyed = got.select(col("vec_id"), col("cid"))
+    assert(gotKeyed.exceptAll(expect).isEmpty && expect.exceptAll(gotKeyed).isEmpty,
+      "surviving rows must equal the full assignment filtered by the delete predicate")
+
+    // idempotence: nothing below the cutoff remains, so a second apply
+    // must touch no files at all
+    Similarity.ivf2DeleteApply(spark, src, cutoff)
+    assert(snapshot(src) == after, "re-applying the same delete must be a pure no-op")
+
+    graft.util.Scratch.cleanupPath(src)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `ann_sq8_search` invariants beyond the oracle's content check: the
+  * quantizer's range/anchor contract, the exactness of stage-2
+  * re-scoring (quantization may reorder CANDIDATES, never the scores
+  * of the survivors), and the recall the 10-wide candidate cut buys on
+  * the fixture. */
+class Sq8Spec extends SparkSpec {
+
+  test("int8 quantizer: every cell in [-127,127], the max-|x| dim hits ±127, zero-safe") {
+    val q = Similarity.sq8Corpus(spark, sfDir)
+      .select(col("vec_id"), col("q"))
+    val stats = q.select(
+        max(array_max(transform(col("q"), x => abs(x)))).as("absmax"),
+        min(array_max(transform(col("q"), x => abs(x)))).as("anchor"),
+        sum(when(forall(col("q"), x => x === floor(x).cast("double")), 0)
+          .otherwise(1)).as("nonint"))
+      .head()
+    assert(stats.getDouble(0) <= 127.0, "no quantized cell may exceed 127")
+    // floor sends the positive-max dim to exactly 127 (or the negative
+    // max to -127), so every non-zero vector's max |cell| is 127
+    assert(stats.getDouble(1) == 127.0, "each vector must anchor its scale at ±127")
+    assert(stats.getLong(2) == 0L, "every quantized cell must be an exact integer")
+  }
+
+  test("stage-2 re-scoring is exact: surviving (query, neighbor) cosines equal brute force") {
+    val sq8 = Similarity.annSq8Search(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val brute = Similarity.annBruteForce(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("bcos"))
+    val joined = sq8.join(brute, Seq("query_id", "neighbor_id"))
+    // every sq8 winner that brute force also ranked must carry the
+    // IDENTICAL exact cosine — stage 2 is not approximate
+    assert(joined.filter(col("cosine") =!= col("bcos")).isEmpty,
+      "re-scored cosines must be bit-identical to exact search")
+    // 10-wide candidates at 127-level resolution: top-3 recall vs
+    // exact must be high; on the deterministic fixture pin ≥ 2/3 per
+    // query (quantization may legitimately swap a near-tie boundary)
+    val perQuery = joined.groupBy(col("query_id")).count()
+    assert(perQuery.filter(col("count") < 2).isEmpty,
+      "each query must recover at least 2 of the exact top-3")
+  }
+}
