@@ -1382,6 +1382,9 @@ object Similarity {
           round(col("n_hits").cast("double") / k, 6).as("recall_at_10"))
     recallOf(top10(ivf2Candidates(spark, dir)), "ivf2")
       .union(recallOf(top10(lshMpCandidates(spark, dir)), "lsh_mp"))
+      // r12: the SQ8 index joins the acceptance sheet — its stage-1
+      // quantized top-10 against the same exact ground truth
+      .union(recallOf(top10(sq8Scored(spark, dir)), "sq8"))
   }
 
   val annRecall2Sql: String =
@@ -1414,6 +1417,28 @@ object Similarity {
       |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       |        FROM mscored)
       |  WHERE rank <= 10),
+      |sq8n AS (
+      |  SELECT vec_id,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      |              THEN list_transform(v, x ->
+      |                     floor(x * 127 / list_max(list_transform(v, y -> abs(y)))))
+      |              ELSE list_transform(v, x -> 0.0) END AS q
+      |  FROM e),
+      |sq8qn AS (
+      |  SELECT vec_id, q, sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
+      |  FROM sq8n),
+      |sq8q AS (SELECT vec_id AS query_id, q AS qq, qn AS qqn FROM sq8qn WHERE vec_id < 10),
+      |sscored8 AS (
+      |  SELECT sq8q.query_id, c.vec_id,
+      |         list_sum(list_transform(list_zip(c.q, sq8q.qq), p -> p[1] * p[2]))
+      |           / (c.qn * sq8q.qqn) AS cosine
+      |  FROM sq8qn c, sq8q WHERE c.vec_id <> sq8q.query_id),
+      |sq8top AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM sscored8)
+      |  WHERE rank <= 10),
       |rec AS (
       |  SELECT a.query_id, 'ivf2' AS method, count(*) AS n_retrieved, count(b.vec_id) AS n_hits
       |  FROM i2top a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
@@ -1421,6 +1446,10 @@ object Similarity {
       |  UNION ALL
       |  SELECT a.query_id, 'lsh_mp', count(*), count(b.vec_id)
       |  FROM mptop a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  SELECT a.query_id, 'sq8', count(*), count(b.vec_id)
+      |  FROM sq8top a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
       |  GROUP BY a.query_id)
       |SELECT query_id, method, n_retrieved, n_hits,
       |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
@@ -1776,15 +1805,23 @@ object Similarity {
     * stages bit-for-bit. At 100 TB the win is the scan: stage 1 reads
     * the byte corpus sequentially (broadcast query set, no shuffle),
     * stage 2 touches 100 rows. */
-  def annSq8Search(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage-1 quantized scores (query_id, vec_id, cosine) — the
+    * candidate generator behind [[annSq8Search]]'s top-10 cut and the
+    * `sq8` row of [[annRecall2]]. */
+  private[scale] def sq8Scored(spark: SparkSession, dir: String): DataFrame = {
     val c = sq8Corpus(spark, dir)
     val stage1 = c.select(col("vec_id"), col("q"), col("qn"))
     val q8 = c.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
-    val cand = stage1.join(broadcast(q8), col("vec_id") =!= col("query_id"))
-      .withColumn("acos", dot(col("q"), col("qq")) / (col("qn") * col("qqn")))
+    stage1.join(broadcast(q8), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q"), col("qq")) / (col("qn") * col("qqn")))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
+  def annSq8Search(spark: SparkSession, dir: String): DataFrame = {
+    val cand = sq8Scored(spark, dir)
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id"))))
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rk") <= 10)
       .select(col("query_id"), col("vec_id"))
     val exact = corpus(spark, dir)

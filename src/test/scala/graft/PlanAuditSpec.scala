@@ -118,8 +118,10 @@ object PlanAuditSpec {
     // frame, plus the brute-force ground-truth pass (broadcast 10-row
     // query set over the corpus — the documented bounded kernel shared
     // with ann_brute_force / ann_recall). lsh_mp contributes zero: its
-    // probe join is a proper (t, bucket) equi-join.
-    "ann_recall2" -> 4,
+    // probe join is a proper (t, bucket) equi-join. The 5th (r12) is
+    // the sq8 row's quantized stage-1 kernel — the same broadcast
+    // 10-query shape over the quantized projection.
+    "ann_recall2" -> 5,
     // the 2-row epoch frame fanning the corpus out per epoch
     "epoch_shuffle" -> 1,
     "ann_ivf_search" -> 2, "assoc_rules" -> 1, "dataset_card" -> 1,
