@@ -6,10 +6,16 @@
 # stages every round artifact the judge reads and shows what changed.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-git add -A -- \
-  'BENCH_*.json' 'CORRECTNESS_*.json' 'MATCHECK*.json' 'SHUFFLE_*.json' \
-  'STREAMBENCH*.json' 'BASELINE*.json' 'COPYCHECK.json' 'LEAKCHECK.json' \
-  'IVF2_*.json' 'PLANS.md' 'SCALE.md' 'SURVEY.md' 2>/dev/null || true
+# one git-add per pathspec: a single add with ALL specs stages NOTHING
+# when any one spec matches no file (git errors on the unmatched spec
+# and the || true swallowed it — the script silently did nothing when
+# e.g. COPYCHECK.json was absent)
+for spec in 'BENCH_*.json' 'CORRECTNESS_*.json' 'MATCHECK*.json' \
+    'SHUFFLE_*.json' 'STREAMBENCH*.json' 'BASELINE*.json' \
+    'COPYCHECK.json' 'LEAKCHECK.json' 'IVF2_*.json' \
+    'PLANS.md' 'SCALE.md' 'SURVEY.md' 'README.md' 'FIXTURES.md'; do
+  git add -A -- "$spec" 2>/dev/null || true
+done
 echo "== staged artifact changes =="
 git status --short -- '*.json' '*.md'
 UNTRACKED=$(git status --porcelain | grep -c '^??' || true)
