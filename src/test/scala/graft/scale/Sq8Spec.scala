@@ -43,4 +43,26 @@ class Sq8Spec extends SparkSpec {
     assert(perQuery.filter(col("count") < 2).isEmpty,
       "each query must recover at least 2 of the exact top-3")
   }
+
+  test("the storage claim is physical: a stored int8 table is a fraction of the float table") {
+    // the scan-size win the operator's scaladoc claims, measured on
+    // disk: the same vectors written as ARRAY<TINYINT> (the stored
+    // form a deployment scans in stage 1) vs ARRAY<DOUBLE>. Random
+    // doubles are incompressible (~8 B/dim); int8 cells bit-pack.
+    val dir = graft.util.Scratch.path("sq8bytes", sfDir)
+    val c = Similarity.sq8Corpus(spark, sfDir)
+    c.select(col("vec_id"), transform(col("q"), x => x.cast("tinyint")).as("q"))
+      .write.mode("overwrite").parquet(s"$dir/q8")
+    c.select(col("vec_id"), col("v"))
+      .write.mode("overwrite").parquet(s"$dir/f64")
+    def bytes(p: String): Long =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (q8b, f64b) = (bytes(s"$dir/q8"), bytes(s"$dir/f64"))
+    assert(q8b > 0 && f64b > 0)
+    assert(q8b.toDouble / f64b < 0.45,
+      f"quantized table must be well under half the float table: " +
+        f"$q8b vs $f64b (${q8b.toDouble / f64b}%.2f)")
+    graft.util.Scratch.cleanupPath(dir)
+  }
 }
