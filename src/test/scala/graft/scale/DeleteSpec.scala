@@ -61,4 +61,19 @@ class DeleteSpec extends SparkSpec {
 
     graft.util.Scratch.cleanupPath(src)
   }
+
+  test("the dirty-file census read pushes the delete predicate to the parquet scan") {
+    // the IO-level pruning claim: on the range-clustered layout the
+    // census read must reach the scan as a pushed filter (row-group
+    // stats then skip clean files' groups entirely)
+    val src = Similarity.ivf2DeleteStage(spark, sfDir)
+    val plan = spark.read.schema("vec_id BIGINT, cid BIGINT, d DOUBLE").parquet(src)
+      .filter(col("vec_id") < 25L)
+      .select(col("_metadata.file_path")).distinct()
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("LessThan(vec_id,25)"),
+      "vec_id predicate must appear in PushedFilters:\n" + plan)
+    graft.util.Scratch.cleanupPath(src)
+  }
 }
