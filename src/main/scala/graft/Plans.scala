@@ -54,6 +54,10 @@ object Plans {
       "projection of the int8-quantized corpus against the broadcast query set; stage 2 fetches " +
       "the <=10/query winners' exact vectors through equi-joins and re-ranks — the float corpus " +
       "never enters the corpus-sized join"),
+    "ann_sq8_serve"       -> ("SQ8 PRODUCTION shape (r13): stage 1 reads the STORED " +
+      "(vec_id, q TINYINT[], qn) parquet — the 4x-smaller scan that is SQ8's point — instead of " +
+      "re-quantizing the float corpus inline; the embeddings table appears only in the 10-row " +
+      "query-side scans and the <=10/query stage-2 fetch"),
     "epoch_shuffle"       -> "deterministic epoch permutation: shard hash partition + per-shard window, no global sort",
     "imp_permutation"     -> "permutation importance: moments broadcast + co-partitioned shift join, ONE aggregate",
     "w40_pivot_points"    -> "day-level fit frame joined back to the intraday fact, no fact window",

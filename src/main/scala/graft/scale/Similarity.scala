@@ -857,27 +857,105 @@ object Similarity {
     * surviving rows; (3) swap — add the rewritten parts, drop the
     * dirty originals. The file-list collect is bounded by the table's
     * FILE count (8 here; a manifest at scale), never its row count.
-    * Plain-parquet staging makes the swap a pair of filesystem ops
-    * where Delta/Iceberg commit a manifest atomically — the row-level
-    * work (decode + filter + re-encode, the term that matters at
-    * 100 TB) is identical and touches the dirty subset only. */
+    * Plain-parquet staging makes the swap filesystem ops where
+    * Delta/Iceberg commit a manifest atomically — the row-level work
+    * (decode + filter + re-encode, the term that matters at 100 TB) is
+    * identical and touches the dirty subset only.
+    *
+    * CRASH CONTRACT (the marker protocol the serve index already has):
+    * the swap is journaled through `_GRAFT_SWAP_PENDING` inside the
+    * table dir — [[ivf2DeletePrepare]] stages ALL surviving rows
+    * durably, then commits the journal with an atomic rename; only
+    * [[ivf2DeleteRecover]] mutates the table, strictly roll-forward
+    * from the journal, each filesystem op checked and idempotent. A
+    * kill anywhere leaves one of two readable states: marker absent →
+    * the table is byte-identical to pre-delete (staged files live
+    * OUTSIDE the dir and `_`-prefixed files are invisible to parquet
+    * reads); marker present → the next [[ivf2DeleteRecover]] (which
+    * [[ivf2DeleteApply]] runs first, and any reader of a COW-
+    * maintained table must run before reading) completes the identical
+    * swap. No state serves a partial table. */
   private[scale] def ivf2DeleteApply(spark: SparkSession, src: String, cutoff: Long): Unit = {
+    ivf2DeleteRecover(spark, src) // finish any interrupted prior swap
+    if (ivf2DeletePrepare(spark, src, cutoff)) ivf2DeleteRecover(spark, src)
+  }
+
+  /** Swap journal path — `_`-prefixed, so Spark/DuckDB parquet reads
+    * of the table dir never see it. Its EXISTENCE is the commit point:
+    * written only after every surviving row is durably staged. */
+  private[scale] def ivf2SwapMarker(src: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(src, "_GRAFT_SWAP_PENDING")
+
+  /** Phases 1+2 of the COW delete: census the dirty files, stage their
+    * surviving rows OUTSIDE the table dir, then COMMIT the swap intent
+    * — a tab-separated journal (`R staged dest` per part to adopt,
+    * `D path` per original to drop) written to a temp name and
+    * atomically renamed to [[ivf2SwapMarker]]. Returns false (no
+    * journal, table untouched) when nothing is dirty. Crash anywhere
+    * in here ⇒ marker absent ⇒ readers serve the pre-delete table and
+    * the orphan stage dir is exit-swept by [[graft.util.Scratch]]. */
+  private[scale] def ivf2DeletePrepare(spark: SparkSession, src: String, cutoff: Long): Boolean = {
     import org.apache.hadoop.fs.Path
     val schema = "vec_id BIGINT, cid BIGINT, d DOUBLE"
     val dirty = spark.read.schema(schema).parquet(src)
       .filter(col("vec_id") < cutoff)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0))
-    if (dirty.isEmpty) return
+    if (dirty.isEmpty) return false
     val stage = graft.util.Scratch.register(s"$src.rewrite")
     spark.read.schema(schema).parquet(dirty.toIndexedSeq: _*)
       .filter(col("vec_id") >= cutoff)
       .write.mode("overwrite").parquet(stage)
     val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dirty.foreach(f => fs.delete(new Path(f), false))
-    fs.listStatus(new Path(stage)).filter(_.getPath.getName.startsWith("part-"))
-      .foreach(s => fs.rename(s.getPath, new Path(src, s.getPath.getName)))
-    fs.delete(new Path(stage), true)
+    val parts = fs.listStatus(new Path(stage))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
+    val journal = parts.map(p => s"R\t$p\t${p.getName}") ++ dirty.map(d => s"D\t$d")
+    val tmpMarker = new Path(src, "_GRAFT_SWAP_PENDING.tmp")
+    val out = fs.create(tmpMarker, true)
+    out.write((journal.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmpMarker, ivf2SwapMarker(src)),
+      s"COW swap: journal commit rename failed for $src")
+    true
+  }
+
+  /** Phase 3, strictly ROLL-FORWARD from the committed journal —
+    * adopt every staged part still at its staged path (renames are
+    * per-file atomic; one already adopted by an interrupted attempt no
+    * longer exists at the staged path and is skipped), then drop every
+    * dirty original still present, then clear the stage dir and the
+    * journal itself. Every filesystem op that should succeed is
+    * REQUIRED to (a false return — name collision, cross-FS rename,
+    * permission — raises instead of silently losing rows, the failure
+    * mode of the pre-r13 unchecked swap). Idempotent: re-running after
+    * a kill at ANY line completes the same swap; a no-marker call is a
+    * no-op. */
+  private[scale] def ivf2DeleteRecover(spark: SparkSession, src: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = ivf2SwapMarker(src)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val journal = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    journal.foreach(_.split('\t') match {
+      case Array("R", staged, destName) =>
+        val s = new Path(staged)
+        if (fs.exists(s))
+          require(fs.rename(s, new Path(src, destName)),
+            s"COW swap: adopt rename failed: $staged -> $src/$destName")
+      case _ => ()
+    })
+    journal.foreach(_.split('\t') match {
+      case Array("D", doomed) =>
+        val d = new Path(doomed)
+        if (fs.exists(d))
+          require(fs.delete(d, false), s"COW swap: drop failed: $doomed")
+      case _ => ()
+    })
+    val stage = new Path(s"$src.rewrite")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    require(fs.delete(marker, false), s"COW swap: journal clear failed for $src")
   }
 
   /** COW DELETE from the stored assignment table — the index-lifecycle
@@ -1357,12 +1435,15 @@ object Similarity {
       |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
       |FROM rec""".stripMargin
 
-  /** Recall@10 acceptance probe for the round-10 scale-path indexes:
-    * `ivf2` (two-level routed search, nprobe 2) and `lsh_mp` (L = 8
-    * multi-table union) scored against the shared brute-force ground
-    * truth — the rows a deployment reads next to [[annRecall]]'s
-    * single-index numbers before picking an index. A SECOND probe
-    * rather than a rewrite of [[annRecall]], so the historical
+  /** Recall@10 acceptance sheet over every DEPLOYABLE index: `ivf2`
+    * (two-level routed search, nprobe 2), `lsh_mp` (L = 8 multi-table
+    * union), `sq8` (quantized stage-1, inline), `sq8_serve` (the same
+    * stage 1 over the STORED int8 table — proves the lossless
+    * round-trip through the oracle), and `pq` (8-byte ADC codes, the
+    * 32× compression point) — all scored against the shared
+    * brute-force ground truth: the table a deployment reads before
+    * picking an index (see README's index-selection table). A SECOND
+    * probe rather than a rewrite of [[annRecall]], so the historical
     * single-index rows keep their committed oracle unchanged. */
   def annRecall2(spark: SparkSession, dir: String): DataFrame = {
     val k = 10
@@ -1380,11 +1461,25 @@ object Similarity {
         .select(col("query_id"), lit(method).as("method"),
           col("n_retrieved"), col("n_hits"),
           round(col("n_hits").cast("double") / k, 6).as("recall_at_10"))
+    // PQ orders by ASYMMETRIC DISTANCE (ascending), not cosine — its
+    // own cut, same ground truth
+    val pqTop = pqScored(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
     recallOf(top10(ivf2Candidates(spark, dir)), "ivf2")
       .union(recallOf(top10(lshMpCandidates(spark, dir)), "lsh_mp"))
       // r12: the SQ8 index joins the acceptance sheet — its stage-1
       // quantized top-10 against the same exact ground truth
       .union(recallOf(top10(sq8Scored(spark, dir)), "sq8"))
+      // r13: the sheet covers every DEPLOYABLE index — `pq` (the 32×
+      // compression point) and `sq8_serve` (the stored-int8 table the
+      // production path actually scans; bit-identical to `sq8` by the
+      // lossless TINYINT round-trip, and this row PROVES it through
+      // the oracle, not just the spec)
+      .union(recallOf(pqTop, "pq"))
+      .union(recallOf(top10(
+        sq8ScoredOver(spark, dir, sq8StoredStage1(spark, dir))), "sq8_serve"))
   }
 
   val annRecall2Sql: String =
@@ -1420,24 +1515,60 @@ object Similarity {
       |sq8n AS (
       |  SELECT vec_id,
       |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-      |              THEN list_transform(v, x ->
-      |                     floor(x * 127 / list_max(list_transform(v, y -> abs(y)))))
+      |              THEN list_transform(v, x -> greatest(-127.0, least(127.0,
+      |                     floor(x * 127 / list_max(list_transform(v, y -> abs(y)))))))
       |              ELSE list_transform(v, x -> 0.0) END AS q
       |  FROM e),
       |sq8qn AS (
       |  SELECT vec_id, q, sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
       |  FROM sq8n),
-      |sq8q AS (SELECT vec_id AS query_id, q AS qq, qn AS qqn FROM sq8qn WHERE vec_id < 10),
+      |sq8q AS (SELECT vec_id AS query_id, q AS qq, qn AS qqn
+      |         FROM sq8qn WHERE vec_id < 10),
       |sscored8 AS (
       |  SELECT sq8q.query_id, c.vec_id,
       |         list_sum(list_transform(list_zip(c.q, sq8q.qq), p -> p[1] * p[2]))
-      |           / (c.qn * sq8q.qqn) AS cosine
+      |           / nullif(c.qn * sq8q.qqn, 0) AS cosine
       |  FROM sq8qn c, sq8q WHERE c.vec_id <> sq8q.query_id),
       |sq8top AS (
       |  SELECT query_id, vec_id
       |  FROM (SELECT query_id, vec_id,
       |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       |        FROM sscored8)
+      |  WHERE rank <= 10),
+      |pqsub AS (
+      |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+      |  FROM e, unnest(generate_series(0, 7)) AS t(s)),
+      |pqcsub AS (SELECT vec_id AS cid, s, sub AS csub FROM pqsub WHERE vec_id < 16),
+      |pqd AS (
+      |  SELECT p.vec_id, p.s, c.cid,
+      |         list_sum(list_transform(list_zip(p.sub, c.csub),
+      |                                 q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d
+      |  FROM pqsub p JOIN pqcsub c USING (s)),
+      |pqcodes AS (
+      |  SELECT vec_id, s, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+      |        FROM pqd)
+      |  WHERE rk = 1),
+      |pqqd AS (SELECT vec_id AS query_id, s, cid, d FROM pqd WHERE vec_id < 10),
+      |pqagg AS (
+      |  SELECT c.vec_id, q.query_id,
+      |         sum(CASE WHEN c.s = 0 THEN q.d END) AS d0,
+      |         sum(CASE WHEN c.s = 1 THEN q.d END) AS d1,
+      |         sum(CASE WHEN c.s = 2 THEN q.d END) AS d2,
+      |         sum(CASE WHEN c.s = 3 THEN q.d END) AS d3,
+      |         sum(CASE WHEN c.s = 4 THEN q.d END) AS d4,
+      |         sum(CASE WHEN c.s = 5 THEN q.d END) AS d5,
+      |         sum(CASE WHEN c.s = 6 THEN q.d END) AS d6,
+      |         sum(CASE WHEN c.s = 7 THEN q.d END) AS d7
+      |  FROM pqcodes c JOIN pqqd q ON q.s = c.s AND q.cid = c.cid
+      |  WHERE c.vec_id <> q.query_id
+      |  GROUP BY c.vec_id, q.query_id),
+      |pqtop AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
+      |        FROM pqagg)
       |  WHERE rank <= 10),
       |rec AS (
       |  SELECT a.query_id, 'ivf2' AS method, count(*) AS n_retrieved, count(b.vec_id) AS n_hits
@@ -1449,6 +1580,17 @@ object Similarity {
       |  GROUP BY a.query_id
       |  UNION ALL
       |  SELECT a.query_id, 'sq8', count(*), count(b.vec_id)
+      |  FROM sq8top a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  SELECT a.query_id, 'pq', count(*), count(b.vec_id)
+      |  FROM pqtop a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  -- the engine's sq8_serve row scans the STORED int8 table; its
+      |  -- stage-1 scores round-trip TINYINT losslessly, so the oracle
+      |  -- derivation is the same quantized top-10
+      |  SELECT a.query_id, 'sq8_serve', count(*), count(b.vec_id)
       |  FROM sq8top a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
       |  GROUP BY a.query_id)
       |SELECT query_id, method, n_retrieved, n_hits,
@@ -1696,7 +1838,18 @@ object Similarity {
     * single-valued conditional sums — a bare sum() would re-associate
     * doubles nondeterministically and flip near-tie ranks vs the
     * oracle). Approximation error vs exact cosine is the PQ trade. */
-  def annPqSearch(spark: SparkSession, dir: String): DataFrame = {
+  def annPqSearch(spark: SparkSession, dir: String): DataFrame =
+    pqScored(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adist"), 6).as("adist"))
+
+  /** The ADC-scored (query_id, vec_id, adist) frame behind
+    * [[annPqSearch]]'s top-3 cut and the `pq` row of [[annRecall2]]
+    * (top-10, ascending — adist is a DISTANCE). */
+  private[scale] def pqScored(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val cents = pqPieces(c.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v")), "v")
@@ -1720,11 +1873,7 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(parts.head, parts.tail: _*)
       .withColumn("adist", (0 until 8).map(s => col(s"d$s")).reduce(_ + _))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("adist"), 6).as("adist"))
+      .select(col("query_id"), col("vec_id"), col("adist"))
   }
 
   val annPqSearchSql: String =
@@ -1777,49 +1926,66 @@ object Similarity {
     * The per-vector scale makes quantized COSINE scale-free:
     * qdot/(|qa|·|qb|) cancels both scales, and because every quantized
     * cell is an integer the candidate scores are EXACT in float — no
-    * cross-engine summation-order hazard anywhere in stage 1. maxabs=0
-    * (the all-zero vector) quantizes to all-zero with cosine null, the
-    * same degenerate row exact search produces. */
+    * cross-engine summation-order hazard anywhere in stage 1. The
+    * clamp to [-127, 127] closes floor's 1-ulp hazard: (x·127)/maxabs
+    * at the max-|x| dim double-rounds to 127±1ulp, and the NEGATIVE
+    * max would otherwise floor to -128 — outside both the documented
+    * range and TINYINT-storable symmetry FAISS SQ8 keeps. maxabs=0
+    * (the all-zero vector) quantizes to all-zero with qn 0; stage 1
+    * NULLIFs its cosine in both engines (see [[sq8ScoredOver]]). */
   private[scale] def sq8Corpus(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     c.withColumn("ma", array_max(transform(col("v"), x => abs(x))))
       .withColumn("q", when(col("ma") > 0,
           // Spark's floor returns BIGINT; cast back so the array stays
           // ARRAY<DOUBLE> for graft_dot (values are exact small ints)
-          transform(col("v"), x => floor(x * lit(127.0) / col("ma")).cast("double")))
+          transform(col("v"), x => greatest(lit(-127.0),
+            least(lit(127.0), floor(x * lit(127.0) / col("ma")).cast("double")))))
         .otherwise(transform(col("v"), _ => lit(0.0))))
       .withColumn("qn", sqrt(dot(col("q"), col("q"))))
   }
 
-  /** SCALAR-QUANTIZED ANN with exact re-scoring — the standard two-
-    * stage SQ8 serving shape: stage 1 brute-scans the QUANTIZED corpus
-    * (the 4×-smaller byte table is all that streams through the scan;
-    * here the projection keeps only `(vec_id, q, qn)` so the exact
-    * vectors never enter the stage-1 join) and keeps top-10 per query
-    * by quantized cosine; stage 2 fetches ONLY the ≤ 10·|queries|
-    * winners' exact vectors (a broadcast semi-sized equi-join — the
-    * "random access into the float table" a vector store pays per
-    * query) and re-ranks them by exact cosine for the final top-3.
-    * Stage-1 scores are integer-exact (see [[sq8Corpus]]) and stage-2
-    * re-uses the brute-force scoring, so the oracle mirrors both
-    * stages bit-for-bit. At 100 TB the win is the scan: stage 1 reads
-    * the byte corpus sequentially (broadcast query set, no shuffle),
-    * stage 2 touches 100 rows. */
-  /** Stage-1 quantized scores (query_id, vec_id, cosine) — the
+  /** The 10 quantized query vectors (query_id, qq, qqn). */
+  private def sq8Query(spark: SparkSession, dir: String): DataFrame =
+    sq8Corpus(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
+
+  /** Stage-1 quantized scoring over an EXPLICIT quantized-corpus frame
+    * (vec_id, q, qn) — the same kernel serves the self-contained
+    * measured query ([[sq8Scored]]: quantize the float corpus inline)
+    * and the production shape ([[sq8ServeRead]]: the frame is the
+    * STORED int8 table, the 4×-smaller scan that is the point of SQ8).
+    * The NULLIF'd divisor is the zero-vector guard: qn=0 (the all-zero
+    * vector) would divide by zero, which Spark NULLs but DuckDB
+    * ±inf/NaNs — ordering-visible; NULLIF makes BOTH engines emit NULL
+    * cosine (ranked last under DESC in both, identically). A filter
+    * would be wrong here, not just slower: filtering on the computed
+    * qn above this join re-evaluates the whole quantization once in
+    * the Filter and again in the Project (+50% measured wall at
+    * sf0.1); NULLIF is one comparison inside the existing projection. */
+  private def sq8ScoredOver(spark: SparkSession, dir: String,
+      stage1: DataFrame): DataFrame =
+    stage1
+      .join(broadcast(sq8Query(spark, dir)), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("q"), col("qq")) / nullif(col("qn") * col("qqn"), lit(0.0)))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+
+  /** Stage-1 quantized scores (query_id, vec_id, cosine) with the
+    * quantization computed inline from the float corpus — the
     * candidate generator behind [[annSq8Search]]'s top-10 cut and the
     * `sq8` row of [[annRecall2]]. */
-  private[scale] def sq8Scored(spark: SparkSession, dir: String): DataFrame = {
-    val c = sq8Corpus(spark, dir)
-    val stage1 = c.select(col("vec_id"), col("q"), col("qn"))
-    val q8 = c.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
-    stage1.join(broadcast(q8), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("q"), col("qq")) / (col("qn") * col("qqn")))
-      .select(col("query_id"), col("vec_id"), col("cosine"))
-  }
+  private[scale] def sq8Scored(spark: SparkSession, dir: String): DataFrame =
+    sq8ScoredOver(spark, dir,
+      sq8Corpus(spark, dir).select(col("vec_id"), col("q"), col("qn")))
 
-  def annSq8Search(spark: SparkSession, dir: String): DataFrame = {
-    val cand = sq8Scored(spark, dir)
+  /** Stage 2: cut the scored candidates to top-10 per query, fetch
+    * ONLY those ≤ 10·|queries| winners' exact vectors (a candidate-
+    * sized equi-join — the "random access into the float table" a
+    * vector store pays per query), re-rank by exact cosine, keep 3. */
+  private def sq8Rescore(spark: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    val cand = scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rk") <= 10)
@@ -1837,6 +2003,82 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SCALAR-QUANTIZED ANN with exact re-scoring — the standard two-
+    * stage SQ8 serving shape: stage 1 brute-scans the QUANTIZED corpus
+    * (the projection keeps only `(vec_id, q, qn)` so the exact vectors
+    * never enter the stage-1 join) and keeps top-10 per query by
+    * quantized cosine; stage 2 re-ranks the winners by exact cosine
+    * for the final top-3 (see [[sq8Rescore]]). Stage-1 scores are
+    * integer-exact (see [[sq8Corpus]]) and stage-2 re-uses the brute-
+    * force scoring, so the oracle mirrors both stages bit-for-bit.
+    * This row stays SELF-CONTAINED (quantizes the float corpus
+    * inline); the scan-IO win — stage 1 reading the 4×-smaller stored
+    * byte table — is the serve variant, [[annSq8Serve]]. */
+  def annSq8Search(spark: SparkSession, dir: String): DataFrame =
+    sq8Rescore(spark, dir, sq8Scored(spark, dir))
+
+  /** SQ8, production serve shape — the mirror of [[annIvf2Serve]]'s
+    * build/serve split: the quantized corpus `(vec_id, q TINYINT[64],
+    * qn)` is MATERIALIZED to parquet once (the index-build write a
+    * deployment pays at ingest), gated by the same completion-marker
+    * protocol as the ivf2 serve index, and stage 1 then SCANS THE
+    * STORED BYTE TABLE — the 4×-smaller sequential read that is SQ8's
+    * whole value at 100 TB — instead of re-quantizing the float corpus
+    * per query. TINYINT round-trips losslessly (every cell is an
+    * integer in [-127, 127]; qn is stored as the exact double), so the
+    * output is bit-identical to [[annSq8Search]] and shares its
+    * oracle; what changes is the PLAN — the measured warm pass
+    * ([[sq8ServeRead]] via `SparkEntry.benchImpls`) reads `qtable` in
+    * stage 1 and touches the float table only for the ≤ 100 stage-2
+    * winners plus the 10-row query set. */
+  def annSq8Serve(spark: SparkSession, dir: String): DataFrame = {
+    sq8ServeBuild(spark, dir)
+    sq8ServeRead(spark, dir)
+  }
+
+  /** The index-build write: quantize once, land `(vec_id, q TINYINT[],
+    * qn)`, then the completion marker. */
+  private def sq8ServeBuild(spark: SparkSession, dir: String): Unit = {
+    val tmp = sq8ServePath(dir)
+    sq8ServeMarker(tmp).delete() // invalidate before touching the table
+    sq8Corpus(spark, dir)
+      .select(col("vec_id"),
+        transform(col("q"), _.cast("tinyint")).as("q"), col("qn"))
+      .write.mode("overwrite").parquet(s"$tmp/qtable")
+    sq8ServeMarker(tmp).createNewFile()
+  }
+
+  /** The stored quantized corpus as a stage-1 frame (TINYINT cast back
+    * to double — lossless), building the table first on a fresh JVM.
+    * Shared by [[sq8ServeRead]] and the `sq8_serve` row of
+    * [[annRecall2]]. */
+  private[scale] def sq8StoredStage1(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = sq8ServePath(dir)
+    if (!sq8ServeMarker(tmp).exists()) sq8ServeBuild(spark, dir)
+    spark.read.schema("vec_id BIGINT, q ARRAY<TINYINT>, qn DOUBLE")
+      .parquet(s"$tmp/qtable")
+      .select(col("vec_id"), vecDouble(col("q")).as("q"), col("qn"))
+  }
+
+  /** Per-dir, per-JVM, exit-swept — same rationale as [[ivf2ServePath]]. */
+  private[scale] def sq8ServePath(dir: String): String =
+    graft.util.Scratch.path("sq8serve", dir)
+
+  /** Completion marker gating [[sq8ServeRead]] — written only AFTER
+    * the quantized table lands, so a crash mid-write triggers a
+    * rebuild instead of serving a partial table (the
+    * [[ivf2ServeMarker]] protocol). */
+  private def sq8ServeMarker(tmp: String): java.io.File =
+    new java.io.File(s"$tmp/_GRAFT_INDEX_COMPLETE")
+
+  /** The read-only SQ8 serve path: stage 1 over the stored int8 table
+    * (cast back to double for the codegen'd dot — lossless, every cell
+    * an integer in [-127, 127]), stage 2 unchanged. Self-heals by
+    * building once on a fresh JVM, so the measured warm call is always
+    * the stored-table scan. */
+  private[graft] def sq8ServeRead(spark: SparkSession, dir: String): DataFrame =
+    sq8Rescore(spark, dir, sq8ScoredOver(spark, dir, sq8StoredStage1(spark, dir)))
+
   val annSq8SearchSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1845,21 +2087,22 @@ object Similarity {
       |sq AS (
       |  SELECT vec_id, v, nrm,
       |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-      |              THEN list_transform(v, x ->
-      |                     floor(x * 127 / list_max(list_transform(v, y -> abs(y)))))
+      |              THEN list_transform(v, x -> greatest(-127.0, least(127.0,
+      |                     floor(x * 127 / list_max(list_transform(v, y -> abs(y)))))))
       |              ELSE list_transform(v, x -> 0.0) END AS q
       |  FROM e),
       |sqn AS (
       |  SELECT vec_id, v, nrm, q,
       |         sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
       |  FROM sq),
-      |q8 AS (SELECT vec_id AS query_id, q AS qq, qn AS qqn FROM sqn WHERE vec_id < 10),
+      |q8 AS (SELECT vec_id AS query_id, q AS qq, qn AS qqn
+      |       FROM sqn WHERE vec_id < 10),
       |cand AS (
       |  SELECT query_id, vec_id FROM (
       |    SELECT q8.query_id, c.vec_id,
       |           row_number() OVER (PARTITION BY q8.query_id ORDER BY
       |             list_sum(list_transform(list_zip(c.q, q8.qq), p -> p[1] * p[2]))
-      |               / (c.qn * q8.qqn) DESC, c.vec_id) AS rk
+      |               / nullif(c.qn * q8.qqn, 0) DESC, c.vec_id) AS rk
       |    FROM sqn c, q8 WHERE c.vec_id <> q8.query_id)
       |  WHERE rk <= 10),
       |qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnr FROM e WHERE vec_id < 10),
@@ -2193,6 +2436,7 @@ object Similarity {
     "ann_ivf2_staleness" -> (annIvf2Staleness _),
     "ann_ivf2_delete" -> (annIvf2Delete _),
     "ann_sq8_search"  -> (annSq8Search _),
+    "ann_sq8_serve"   -> (annSq8Serve _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
     "ann_recall2"     -> (annRecall2 _),
@@ -2228,6 +2472,9 @@ object Similarity {
     "ann_ivf2_staleness" -> annIvf2StalenessSql,
     "ann_ivf2_delete" -> annIvf2DeleteSql,
     "ann_sq8_search"  -> annSq8SearchSql,
+    // serve = search content-wise (lossless TINYINT round-trip); only
+    // the plan differs — stage 1 scans the stored int8 table
+    "ann_sq8_serve"   -> annSq8SearchSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
     "ann_recall2"     -> annRecall2Sql,

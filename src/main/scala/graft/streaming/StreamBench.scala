@@ -28,7 +28,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 object StreamBench {
   private case class ChannelStats(rows: Long, execMs: Long, batches: Int,
                                   maxBatchMs: Long, wallSec: Double,
-                                  spanSec: Double, extendSec: Int)
+                                  spanSec: Double, extendSec: Int,
+                                  stateRows: Long, stateBytes: Long)
 
   private def measure(q: StreamingQuery, seconds: Int): ChannelStats = {
     val t0 = System.nanoTime()
@@ -56,8 +57,15 @@ object StreamBench {
         val ts = ps.map(p => java.time.Instant.parse(p.timestamp).toEpochMilli)
         ((ts.max + exec.last) - ts.min) / 1000.0
       }
+    // state footprint from the LAST non-empty progress (steady state):
+    // numRowsTotal = keyed-state rows held, memoryUsedBytes = the
+    // store's own usage figure (heap for HDFSBacked, block-cache +
+    // memtable estimate for RocksDB) — the receipt the key-population
+    // runs need to show WHERE the in-memory provider's footprint goes
+    val lastState = ps.lastOption.map(_.stateOperators).getOrElse(Array.empty)
     ChannelStats(ps.map(_.numInputRows).sum, exec.sum, ps.length,
-      if (exec.isEmpty) 0L else exec.max, wall, spanSec, extra)
+      if (exec.isEmpty) 0L else exec.max, wall, spanSec, extra,
+      lastState.map(_.numRowsTotal).sum, lastState.map(_.memoryUsedBytes).sum)
   }
 
   def main(args: Array[String]): Unit = {
@@ -170,7 +178,7 @@ object StreamBench {
         val msgSec = if (s.spanSec > 0) s.rows / s.spanSec else s.rows / s.wallSec
         val msPerMsg = if (s.rows > 0) s.execMs.toDouble / s.rows else 0.0
         val avgBatch = if (s.batches > 0) s.execMs.toDouble / s.batches else 0.0
-        f"""\"$n\":{"rows":${s.rows},"batches":${s.batches},"msg_per_sec":$msgSec%.1f,"ms_per_msg":$msPerMsg%.4f,"avg_batch_ms":$avgBatch%.1f,"max_batch_ms":${s.maxBatchMs},"span_sec":${s.spanSec}%.1f,"extend_sec":${s.extendSec}}"""
+        f"""\"$n\":{"rows":${s.rows},"batches":${s.batches},"msg_per_sec":$msgSec%.1f,"ms_per_msg":$msPerMsg%.4f,"avg_batch_ms":$avgBatch%.1f,"max_batch_ms":${s.maxBatchMs},"span_sec":${s.spanSec}%.1f,"extend_sec":${s.extendSec},"state_rows":${s.stateRows},"state_bytes":${s.stateBytes}}"""
       }.mkString("{", ",", "}")
 
     val js = channelsJson(runAll(rate))

@@ -28,6 +28,7 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object Scratch {
   private val registered = ConcurrentHashMap.newKeySet[String]()
+  private val pinned = ConcurrentHashMap.newKeySet[String]()
   @volatile private var hookInstalled = false
 
   /** A scratch path unique to (tag, data dir, this JVM), registered
@@ -51,38 +52,69 @@ object Scratch {
     registered.asScala.toSet
   }
 
+  /** PIN a registered path against the in-process sweep: a pinned dir
+    * survives [[cleanupNow]] and is deleted only by [[cleanupAll]]
+    * (the shutdown hook) or an explicit [[cleanupPath]]. The
+    * sweep-scope contract, component by component:
+    *   - marker-gated serve indexes (ivf2serve, sq8serve) and the COW
+    *     round-trip tables are NOT pinned — rebuild-on-next-use IS
+    *     their contract (the completion marker dies with the dir, so
+    *     the next read self-heals), and leaving them sweepable is
+    *     what keeps [[cleanupNow]] useful for reclaiming scratch.
+    *   - live session memos with NO self-heal-on-read (the shared
+    *     zero-bar test fixture before it grew one) must pin: a
+    *     mid-session sweep deleting them breaks every later consumer.
+    * A pin is registration metadata, not a leak: the exit hook still
+    * removes the dir. */
+  private[graft] def pin(p: String): String = {
+    pinned.add(p)
+    p
+  }
+
   private def ensureHook(): Unit = synchronized {
     if (!hookInstalled) {
       Runtime.getRuntime.addShutdownHook(
-        new Thread(() => cleanupNow(), "graft-scratch-cleanup"))
+        new Thread(() => cleanupAll(), "graft-scratch-cleanup"))
       hookInstalled = true
     }
   }
 
-  /** Delete every registered scratch dir now (idempotent; missing
-    * paths are no-ops). The shutdown hook calls exactly this, so a
-    * spec exercising it in-process tests the hook's body; the
-    * hook-actually-fires receipt is the ScratchHookProbe subprocess
-    * test. NOTE for in-process callers: this sweeps the WHOLE
-    * registry, including dirs other components memoized (the shared
-    * test fixture taught this the hard way — a mid-suite sweep
-    * deleted it under 50 later tests before it self-healed). The
-    * main-source consumers all rebuild on next use; prefer
-    * [[cleanupPath]] for targeted teardown. */
+  /** Delete every registered UNPINNED scratch dir now (idempotent;
+    * missing paths are no-ops) — the in-process reclaim. Pinned dirs
+    * (see [[pin]]) are exempt, so a mid-session sweep can no longer
+    * delete a live memoized dir out from under later consumers (the
+    * zero-bar-fixture incident this guard exists for). The shutdown
+    * hook runs [[cleanupAll]], which also takes the pinned set. */
   def cleanupNow(): Unit = {
+    val it = registered.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (!pinned.contains(p)) {
+        deleteRecursively(new File(p))
+        it.remove()
+      }
+    }
+  }
+
+  /** The exit sweep: every registered dir, pinned included. Only the
+    * shutdown hook (and the subprocess probe asserting it) should
+    * call this mid-process. */
+  private[graft] def cleanupAll(): Unit = {
     val it = registered.iterator()
     while (it.hasNext) {
       deleteRecursively(new File(it.next()))
       it.remove()
     }
+    pinned.clear()
   }
 
   /** Delete and deregister ONE scratch path — the targeted form for
     * in-process teardown (specs), leaving every other registered dir
-    * alone. */
+    * alone. Removes any pin: explicit teardown outranks it. */
   private[graft] def cleanupPath(p: String): Unit = {
     deleteRecursively(new File(p))
     registered.remove(p)
+    pinned.remove(p)
   }
 
   private def md5Hex(s: String): String =

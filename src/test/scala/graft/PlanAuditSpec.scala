@@ -95,6 +95,11 @@ object PlanAuditSpec {
     // projection (broadcast 10-query set, `=!=` join); stage 2's
     // candidate fetch + query join are proper equi-joins
     "ann_sq8_search" -> 1,
+    // the serve variant keeps the same single bounded kernel; the
+    // stream side is the STORED int8 table instead of the inline
+    // quantization (the build write happens before the plan measured
+    // here — benchImpls points the warm pass at sq8ServeRead)
+    "ann_sq8_serve" -> 1,
     "ann_recall" -> 2,          // ground truth + LSH probe, both bounded
     // --- fit-then-fold one-row broadcasts (count = folds in the plan)
     "a7_normalize" -> 1, "ann_dot_expr" -> 1, "ann_ivf_assign" -> 1,
@@ -118,10 +123,12 @@ object PlanAuditSpec {
     // frame, plus the brute-force ground-truth pass (broadcast 10-row
     // query set over the corpus — the documented bounded kernel shared
     // with ann_brute_force / ann_recall). lsh_mp contributes zero: its
-    // probe join is a proper (t, bucket) equi-join. The 5th (r12) is
-    // the sq8 row's quantized stage-1 kernel — the same broadcast
-    // 10-query shape over the quantized projection.
-    "ann_recall2" -> 5,
+    // probe join is a proper (t, bucket) equi-join, and so does pq
+    // (r13) — ADC joins are equi on (s) / (s, cid). The 5th (r12) is
+    // the sq8 row's quantized stage-1 kernel, the 6th (r13) the
+    // sq8_serve row's — the same broadcast 10-query shape over the
+    // stored int8 table.
+    "ann_recall2" -> 6,
     // the 2-row epoch frame fanning the corpus out per epoch
     "epoch_shuffle" -> 1,
     "ann_ivf_search" -> 2, "assoc_rules" -> 1, "dataset_card" -> 1,

@@ -36,7 +36,11 @@ object ZeroBarFixture {
     // trigger a rewrite, not poison every later consumer in the JVM
     written.filter(d => new java.io.File(s"$d/events.parquet").exists()).getOrElse {
       import spark.implicits._
-      val d = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft_zerobar").toString)
+      // pinned: a live cross-suite memo — an in-process cleanupNow()
+      // must not delete it mid-session (belt next to the self-heal
+      // braces above; the exit hook still removes it)
+      val d = graft.util.Scratch.pin(graft.util.Scratch.register(
+        java.nio.file.Files.createTempDirectory("graft_zerobar").toString))
       // full sf-events schema so EVERY events consumer (event_id-ordered
       // segmented windows, event_type-gated ffill) runs over the fixture,
       // not only the candle path; event_type alternates so the sparse

@@ -62,6 +62,55 @@ class DeleteSpec extends SparkSpec {
     graft.util.Scratch.cleanupPath(src)
   }
 
+  test("crash windows: pre-commit kill serves the pre-delete table; post-commit kill rolls forward") {
+    import org.apache.hadoop.fs.Path
+    val src = Similarity.ivf2DeleteStage(spark, sfDir)
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = Similarity.corpusCount(spark, sfDir)
+    val cutoff = n / 20L
+
+    // --- window 1: kill BEFORE the journal commit. An orphan stage
+    // dir exists but no marker — readers must see the PRE-delete table
+    // and recover must be a strict no-op.
+    val orphan = new java.io.File(src + ".rewrite")
+    orphan.mkdirs()
+    new java.io.FileWriter(new java.io.File(orphan, "part-orphan")) { write("x"); close() }
+    Similarity.ivf2DeleteRecover(spark, src)
+    assert(spark.read.parquet(src).count() == n,
+      "no-marker state must serve the pre-delete table")
+    assert(orphan.exists(), "recover without a marker must not touch the stage dir")
+    graft.util.Scratch.cleanupPath(src + ".rewrite")
+
+    // --- window 2: kill AFTER the commit point, mid-swap. Prepare
+    // stages survivors + commits the journal; simulate an interrupted
+    // recover by replaying its first op for ONE journal entry of each
+    // kind, then killing — the re-run must complete the identical swap.
+    assert(Similarity.ivf2DeletePrepare(spark, src, cutoff),
+      "fixture must have dirty files to stage")
+    val marker = Similarity.ivf2SwapMarker(src)
+    assert(fs.exists(marker), "prepare must leave the committed journal")
+    val journal = scala.io.Source.fromFile(
+      new java.io.File(new java.net.URI(marker.toString).getPath)).getLines().toList
+    val renames = journal.collect { case l if l.startsWith("R\t") => l.split('\t') }
+    val drops = journal.collect { case l if l.startsWith("D\t") => l.split('\t') }
+    assert(renames.nonEmpty && drops.nonEmpty, "journal must carry both op kinds")
+    // interrupted progress: one part already adopted, one original already dropped
+    assert(fs.rename(new Path(renames.head(1)), new Path(src, renames.head(2))))
+    assert(fs.delete(new Path(drops.head(1)), false))
+    // the "restart": roll forward from the journal
+    Similarity.ivf2DeleteRecover(spark, src)
+    assert(!fs.exists(marker), "recover must clear the journal")
+    assert(!new java.io.File(src + ".rewrite").exists(), "recover must clear the stage dir")
+    val got = spark.read.parquet(src)
+    assert(got.count() == n - cutoff)
+    assert(got.agg(min(col("vec_id"))).head.getLong(0) == cutoff,
+      "post-recovery table must be exactly the post-delete state")
+    // and a recover with no marker stays a no-op
+    Similarity.ivf2DeleteRecover(spark, src)
+    assert(spark.read.parquet(src).count() == n - cutoff)
+    graft.util.Scratch.cleanupPath(src)
+  }
+
   test("the dirty-file census read pushes the delete predicate to the parquet scan") {
     // the IO-level pruning claim: on the range-clustered layout the
     // census read must reach the scan as a pushed filter (row-group

@@ -36,6 +36,22 @@ class ScratchSpec extends AnyFunSuite {
     assert(!Scratch.registeredPaths.contains(p))
   }
 
+  test("an in-process sweep cannot delete a pinned live dir; the exit sweep still can") {
+    val live = Scratch.pin(Scratch.path("specpinned", "live/memo/dir"))
+    val doomed = Scratch.path("specswept", "scratch/dir")
+    Seq(live, doomed).foreach { p =>
+      val d = new File(p); assert(d.mkdirs())
+      val w = new java.io.FileWriter(new File(d, "part-00000")); w.write("x"); w.close()
+    }
+    Scratch.cleanupNow()
+    assert(new File(live).exists(), "cleanupNow must skip pinned dirs")
+    assert(Scratch.registeredPaths.contains(live), "a pinned dir stays registered for exit")
+    assert(!new File(doomed).exists(), "cleanupNow must still sweep unpinned dirs")
+    // the hook body takes everything, pins included
+    Scratch.cleanupAll()
+    assert(!new File(live).exists(), "cleanupAll (the exit hook) must remove pinned dirs")
+  }
+
   test("the shutdown hook removes scratch dirs at JVM exit (subprocess receipt)") {
     // forked test JVM ⇒ java.class.path is the real classpath; the
     // probe is pure JVM so no Spark conf or add-opens are needed
