@@ -58,6 +58,10 @@ object Plans {
       "(vec_id, q TINYINT[], qn) parquet — the 4x-smaller scan that is SQ8's point — instead of " +
       "re-quantizing the float corpus inline; the embeddings table appears only in the 10-row " +
       "query-side scans and the <=10/query stage-2 fetch"),
+    "ann_ivfsq_search"    -> ("IVF-SQ8 composed index (r13, FAISS IVF<k>,SQ8): the ivf2 routing " +
+      "argmins pick nprobe=2 lists, the probed lists scan QUANTIZED through equi-joins on " +
+      "(cid)/(vec_id) — zero new nested loops — and the <=10/query winners re-score exact; " +
+      "the nprobe/k row cut and the 4x byte cut compound in the corpus-sized stage"),
     "epoch_shuffle"       -> "deterministic epoch permutation: shard hash partition + per-shard window, no global sort",
     "imp_permutation"     -> "permutation importance: moments broadcast + co-partitioned shift join, ONE aggregate",
     "w40_pivot_points"    -> "day-level fit frame joined back to the intraday fact, no fact window",

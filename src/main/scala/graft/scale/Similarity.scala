@@ -666,6 +666,20 @@ object Similarity {
     * carries (vec_id, cid) only. */
   private def ivf2Route(c: DataFrame, supers: DataFrame, groups: DataFrame,
       assigned: DataFrame): DataFrame = {
+    val probes = ivf2Probes(c, supers, groups)
+    // exact search over only the probed lists
+    c.join(assigned, "vec_id")
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
+  }
+
+  /** The query→super→list routing alone: (query_id, qv, qn, cid), the
+    * nprobe = 2 probed lists per query — shared by the exact probed
+    * scan ([[ivf2Route]]) and the quantized one ([[annIvfSqSearch]]). */
+  private def ivf2Probes(c: DataFrame, supers: DataFrame,
+      groups: DataFrame): DataFrame = {
     val q = c.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     // query -> super routing: k1 dots per query, keep the 2 nearest
@@ -678,19 +692,13 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("sid"))
     // centroid probe set within the routed supers: 2·k/k1 candidates,
     // keep the nprobe = 2 nearest lists
-    val probes = groups.join(broadcast(qsup), "sid")
+    groups.join(broadcast(qsup), "sid")
       .select(col("query_id"), col("qv"), col("qn"), col("cid"),
         sqDist("qv", "cv").as("dist"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))))
       .filter(col("rk") <= 2)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
-    // exact search over only the probed lists
-    c.join(assigned, "vec_id")
-      .join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
   }
 
   /** TWO-LEVEL IVF, production serve shape: the index (supers, groups,
@@ -1019,9 +1027,12 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
 
-  /** Oracle CTE fragment for the two-level search candidates — assumes
-    * a preceding `e` CTE with (vec_id, v, nrm). Ends at `cand`. */
-  private[scale] val ivf2CandCte: String =
+  /** Oracle CTE fragment for the two-level ROUTING — assumes a
+    * preceding `e` CTE with (vec_id, v, nrm). Ends at `probes`
+    * (query_id, qv, qn, cid) with `lists` (vec_id, cid) alongside;
+    * [[ivf2CandCte]] adds the exact probed scan, [[annIvfSqSearchSql]]
+    * the quantized one. */
+  private[scale] val ivf2ProbeCte: String =
     s"""$ivf2SchedCte,
       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM isched)),
       |sups AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < (SELECT k1 FROM isched2)),
@@ -1066,7 +1077,11 @@ object Similarity {
       |             list_sum(list_transform(list_zip(u.qv, g.cv),
       |                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), g.cid) AS rk
       |    FROM qsup u JOIN croute g ON g.sid = u.sid)
-      |  WHERE rk <= 2),
+      |  WHERE rk <= 2)""".stripMargin
+
+  /** [[ivf2ProbeCte]] plus the exact probed-list scan. Ends at `cand`. */
+  private[scale] val ivf2CandCte: String =
+    s"""$ivf2ProbeCte,
       |cand AS (
       |  SELECT p.query_id, e.vec_id,
       |         list_sum(list_transform(list_zip(e.v, p.qv), z -> z[1] * z[2])) / (e.nrm * p.qn) AS cosine
@@ -1480,6 +1495,9 @@ object Similarity {
       .union(recallOf(pqTop, "pq"))
       .union(recallOf(top10(
         sq8ScoredOver(spark, dir, sq8StoredStage1(spark, dir))), "sq8_serve"))
+      // the composed production index: routing-bounded recall, scored
+      // through the quantized list scan
+      .union(recallOf(top10(ivfSqScored(spark, dir)), "ivfsq"))
   }
 
   val annRecall2Sql: String =
@@ -1570,6 +1588,20 @@ object Similarity {
       |                 ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
       |        FROM pqagg)
       |  WHERE rank <= 10),
+      |ivfsqscored AS (
+      |  SELECT p.query_id, c.vec_id,
+      |         list_sum(list_transform(list_zip(c.q, sq8q.qq), z -> z[1] * z[2]))
+      |           / nullif(c.qn * sq8q.qqn, 0) AS cosine
+      |  FROM sq8qn c JOIN lists l ON c.vec_id = l.vec_id
+      |               JOIN probes p ON l.cid = p.cid
+      |               JOIN sq8q ON sq8q.query_id = p.query_id
+      |  WHERE c.vec_id <> p.query_id),
+      |ivfsqtop AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM ivfsqscored)
+      |  WHERE rank <= 10),
       |rec AS (
       |  SELECT a.query_id, 'ivf2' AS method, count(*) AS n_retrieved, count(b.vec_id) AS n_hits
       |  FROM i2top a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
@@ -1592,6 +1624,10 @@ object Similarity {
       |  -- derivation is the same quantized top-10
       |  SELECT a.query_id, 'sq8_serve', count(*), count(b.vec_id)
       |  FROM sq8top a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  SELECT a.query_id, 'ivfsq', count(*), count(b.vec_id)
+      |  FROM ivfsqtop a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
       |  GROUP BY a.query_id)
       |SELECT query_id, method, n_retrieved, n_hits,
       |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
@@ -2079,6 +2115,97 @@ object Similarity {
   private[graft] def sq8ServeRead(spark: SparkSession, dir: String): DataFrame =
     sq8Rescore(spark, dir, sq8ScoredOver(spark, dir, sq8StoredStage1(spark, dir)))
 
+  /** IVF-SQ8 — the composed index FAISS ships as `IVF<k>,SQ8`, and the
+    * one a 100 TB deployment actually runs: two-level ROUTING picks the
+    * nprobe = 2 lists per query (the [[annIvf2Search]] machinery,
+    * exact float centroids — routing tables are k-sized, compressing
+    * them buys nothing), the probed lists are scanned QUANTIZED (the
+    * [[annSq8Search]] stage-1 kernel over only the routed vectors —
+    * this scan is the term that is corpus-sized in a pure IVF, and
+    * SQ8 cuts its bytes 4×; multiplied, the two stages read
+    * ~nprobe/k · 1/4 of the float corpus), and the ≤ 10·|queries|
+    * quantized winners re-score exact ([[sq8Rescore]], shared with
+    * both SQ8 rows). Quantized list scores are integer-exact, routing
+    * reuses the spec-pinned ivf2 argmins, and stage 2 is the brute
+    * scoring — so the whole composition carries no cross-engine float
+    * hazard beyond what its parents already pinned. Self-contained
+    * like `ann_ivf2_search` (index frames built in-plan); the
+    * production shape combines [[annIvf2Serve]]'s stored routing
+    * tables with [[annSq8Serve]]'s stored int8 corpus. Recall is
+    * bounded by the routing (the ivf2 row of [[annRecall2]]): within
+    * probed lists 127-level quantization reorders nothing on this
+    * corpus, so the `ivfsq` acceptance row scores ≈ ivf2's. */
+  def annIvfSqSearch(spark: SparkSession, dir: String): DataFrame =
+    sq8Rescore(spark, dir, ivfSqScored(spark, dir))
+
+  /** Quantized probed-list scores (query_id, vec_id, cosine) — the
+    * stage-1 candidate generator behind [[annIvfSqSearch]] and the
+    * `ivfsq` row of [[annRecall2]]. */
+  private def ivfSqScored(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivf2Index(spark, dir)
+    val probes = ivf2Probes(idx.c, idx.supers, idx.groups)
+      .select(col("query_id"), col("cid"))
+    val qc = sq8Corpus(spark, dir)
+    val q8 = qc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
+    // ≤ nprobe·|queries| rows carrying the quantized query — broadcast
+    val probeQ = probes.join(q8, "query_id")
+    qc.select(col("vec_id"), col("q"), col("qn"))
+      .join(idx.assigned.select(col("vec_id"), col("cid")), "vec_id")
+      .join(broadcast(probeQ), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("q"), col("qq")) / nullif(col("qn") * col("qqn"), lit(0.0)))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
+  val annIvfSqSearchSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |$ivf2ProbeCte,
+      |sq AS (
+      |  SELECT vec_id,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      |              THEN list_transform(v, x -> greatest(-127.0, least(127.0,
+      |                     floor(x * 127 / list_max(list_transform(v, y -> abs(y)))))))
+      |              ELSE list_transform(v, x -> 0.0) END AS q
+      |  FROM e),
+      |sqn AS (
+      |  SELECT vec_id, q, sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
+      |  FROM sq),
+      |q8 AS (SELECT vec_id AS query_id, q AS qq, qn AS qqn FROM sqn WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT p.query_id, c.vec_id,
+      |         list_sum(list_transform(list_zip(c.q, q8.qq), z -> z[1] * z[2]))
+      |           / nullif(c.qn * q8.qqn, 0) AS cosine
+      |  FROM sqn c JOIN lists l ON c.vec_id = l.vec_id
+      |             JOIN probes p ON l.cid = p.cid
+      |             JOIN q8 ON q8.query_id = p.query_id
+      |  WHERE c.vec_id <> p.query_id),
+      |cand10 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY cosine DESC, vec_id) AS rk
+      |    FROM scored)
+      |  WHERE rk <= 10),
+      |qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnr FROM e WHERE vec_id < 10),
+      |resc AS (
+      |  SELECT t.query_id, t.vec_id,
+      |         list_sum(list_transform(list_zip(c.v, qx.qv), z -> z[1] * z[2]))
+      |           / (c.nrm * qx.qnr) AS cosine
+      |  FROM cand10 t JOIN e c ON c.vec_id = t.vec_id
+      |                JOIN qx ON qx.query_id = t.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM resc)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   val annSq8SearchSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2437,6 +2564,7 @@ object Similarity {
     "ann_ivf2_delete" -> (annIvf2Delete _),
     "ann_sq8_search"  -> (annSq8Search _),
     "ann_sq8_serve"   -> (annSq8Serve _),
+    "ann_ivfsq_search" -> (annIvfSqSearch _),
     "ann_ivf_search"  -> (annIvfSearch _),
     "ann_recall"      -> (annRecall _),
     "ann_recall2"     -> (annRecall2 _),
@@ -2475,6 +2603,7 @@ object Similarity {
     // serve = search content-wise (lossless TINYINT round-trip); only
     // the plan differs — stage 1 scans the stored int8 table
     "ann_sq8_serve"   -> annSq8SearchSql,
+    "ann_ivfsq_search" -> annIvfSqSearchSql,
     "ann_ivf_search"  -> annIvfSearchSql,
     "ann_recall"      -> annRecallSql,
     "ann_recall2"     -> annRecall2Sql,

@@ -115,6 +115,11 @@ object PlanAuditSpec {
     // vroute + qsup). Every build side is the k1-row supers frame
     // (k1 ≤ 2^12) or the 10-row query set; stream side ≤ corpus.
     "ann_ivf2_search" -> 4,
+    // IVF-SQ8 composes the ivf2 ROUTING (same 4 supers-broadcast
+    // stages as ann_ivf2_search: 2·croute + vroute + qsup) with the
+    // quantized list scan — which adds ZERO nested loops (the probe
+    // join is an equi-join on cid, the stage-2 fetch on vec_id)
+    "ann_ivfsq_search" -> 4,
     // the production serve shape: croute/vroute vanish into the
     // materialized index tables, leaving ONLY the 10-query × supers
     // routing broadcast — the 4-vs-1 delta IS the point of the row
@@ -127,8 +132,10 @@ object PlanAuditSpec {
     // (r13) — ADC joins are equi on (s) / (s, cid). The 5th (r12) is
     // the sq8 row's quantized stage-1 kernel, the 6th (r13) the
     // sq8_serve row's — the same broadcast 10-query shape over the
-    // stored int8 table.
-    "ann_recall2" -> 6,
+    // stored int8 table. The ivfsq row (r13) adds its 4 routing
+    // stages (2·croute + vroute + qsup, the ann_ivfsq_search census);
+    // its quantized list scan adds zero.
+    "ann_recall2" -> 10,
     // the 2-row epoch frame fanning the corpus out per epoch
     "epoch_shuffle" -> 1,
     "ann_ivf_search" -> 2, "assoc_rules" -> 1, "dataset_card" -> 1,
