@@ -62,6 +62,10 @@ object Plans {
       "argmins pick nprobe=2 lists, the probed lists scan QUANTIZED through equi-joins on " +
       "(cid)/(vec_id) — zero new nested loops — and the <=10/query winners re-score exact; " +
       "the nprobe/k row cut and the 4x byte cut compound in the corpus-sized stage"),
+    "ann_ivfsq_serve"     -> ("IVF-SQ8 FULL production composition (r13): routing reads the " +
+      "stored ivf2 tables, the probed lists read the stored TINYINT corpus — the 4 build-time " +
+      "nested loops collapse to the single query->super broadcast and NOTHING recomputes; " +
+      "steady-state = routing dots + nprobe/k quantized scan + <=10/query exact re-score"),
     "epoch_shuffle"       -> "deterministic epoch permutation: shard hash partition + per-shard window, no global sort",
     "imp_permutation"     -> "permutation importance: moments broadcast + co-partitioned shift join, ONE aggregate",
     "w40_pivot_points"    -> "day-level fit frame joined back to the intraday fact, no fact window",

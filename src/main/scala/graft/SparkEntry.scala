@@ -59,6 +59,7 @@ object SparkEntry {
     // cold (public) run materialized, no index rebuild in the plan
     "ann_ivf2_serve"      -> (scale.Similarity.ivf2ServeRead _),
     "ann_sq8_serve"       -> (scale.Similarity.sq8ServeRead _),
+    "ann_ivfsq_serve"     -> (scale.Similarity.ivfSqServeRead _),
     "w32_candle_patterns" -> (operators.WindowsAdvanced.w32CandlePatternsImpl _))
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

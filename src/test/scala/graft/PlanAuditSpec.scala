@@ -120,6 +120,10 @@ object PlanAuditSpec {
     // quantized list scan — which adds ZERO nested loops (the probe
     // join is an equi-join on cid, the stage-2 fetch on vec_id)
     "ann_ivfsq_search" -> 4,
+    // the composed serve: routing tables AND the int8 corpus are
+    // stored, so like ann_ivf2_serve only the 10-query × supers
+    // routing broadcast remains — the 4-vs-1 delta is the point
+    "ann_ivfsq_serve" -> 1,
     // the production serve shape: croute/vroute vanish into the
     // materialized index tables, leaving ONLY the 10-query × supers
     // routing broadcast — the 4-vs-1 delta IS the point of the row

@@ -90,6 +90,22 @@ class Sq8Spec extends SparkSpec {
     assert(probedPop.count() == 30, "ivf2 probed top-3 population sanity")
   }
 
+  test("IVF-SQ8 serve: stored routing tables + stored int8 corpus, bit-identical") {
+    val served = Similarity.annIvfSqServe(spark, sfDir)
+    val inline = Similarity.annIvfSqSearch(spark, sfDir)
+    assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty,
+      "the composed serve path must not change a single row")
+    // both stored halves must appear in the warm read's scan set
+    val plan = Similarity.ivfSqServeRead(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains(Similarity.ivf2ServePath(sfDir)),
+      "routing must read the stored ivf2 index:\n" + plan)
+    assert(plan.contains(Similarity.sq8ServePath(sfDir)),
+      "the probed-list scan must read the stored int8 corpus:\n" + plan)
+    graft.util.Scratch.cleanupPath(Similarity.ivf2ServePath(sfDir))
+    graft.util.Scratch.cleanupPath(Similarity.sq8ServePath(sfDir))
+  }
+
   test("the storage claim is physical: a stored int8 table is a fraction of the float table") {
     // the scan-size win the operator's scaladoc claims, measured on
     // disk: the same vectors written as ARRAY<TINYINT> (the stored
