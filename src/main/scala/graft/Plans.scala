@@ -56,8 +56,17 @@ object Plans {
       "never enters the corpus-sized join"),
     "ann_sq8_serve"       -> ("SQ8 PRODUCTION shape (r13): stage 1 reads the STORED " +
       "(vec_id, q TINYINT[], qn) parquet — the 4x-smaller scan that is SQ8's point — instead of " +
-      "re-quantizing the float corpus inline; the embeddings table appears only in the 10-row " +
-      "query-side scans and the <=10/query stage-2 fetch"),
+      "re-quantizing the float corpus inline; since r14 the quantized QUERY rows also come from " +
+      "the stored table, so embeddings appears only in stage 2 (exact fetch + exact query rows)"),
+    "ann_sq8_append"      -> ("SQ8 corpus ingest (r14, the FAISS add contract's corpus half): " +
+      "day-0 quantize-and-write + batch quantize-and-APPEND — the vec_id slice filters push " +
+      "through the quantization to the embeddings scan, so each write job quantizes only its " +
+      "slice and the append adds files without touching day-0 parts; the read-back runs the " +
+      "identical two-stage search plan as ann_sq8_search over the stored table"),
+    "ann_sq8_delete"      -> ("SQ8 corpus COW delete (r14, FAISS remove_ids' code half): dirty-" +
+      "file census with vec_id<cutoff pushed to row-group stats on the range-clustered int8 " +
+      "table (clean files IO-pruned), surviving rows of dirty files rewritten, journaled swap; " +
+      "the read-back projects survivors to integer-exact scalars — no corpus-sized join anywhere"),
     "ann_ivfsq_search"    -> ("IVF-SQ8 composed index (r13, FAISS IVF<k>,SQ8): the ivf2 routing " +
       "argmins pick nprobe=2 lists, the probed lists scan QUANTIZED through equi-joins on " +
       "(cid)/(vec_id) — zero new nested loops — and the <=10/query winners re-score exact; " +

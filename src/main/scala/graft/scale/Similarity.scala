@@ -536,10 +536,10 @@ object Similarity {
     * k rows), and the per-vector exact-within-group assignment
     * (vec_id, cid, d). All lazy — each registered query pays for what
     * it materializes, so the bench rows stay honest. */
-  private case class Ivf2Index(k: Int, k1: Int, c: DataFrame,
+  private[scale] case class Ivf2Index(k: Int, k1: Int, c: DataFrame,
       supers: DataFrame, groups: DataFrame, assigned: DataFrame)
 
-  private def ivf2Index(spark: SparkSession, dir: String): Ivf2Index = {
+  private[scale] def ivf2Index(spark: SparkSession, dir: String): Ivf2Index = {
     val c = corpus(spark, dir)
     val k = ivfK(spark, dir)
     val k1 = ivfSchedule(k.toLong)
@@ -678,9 +678,9 @@ object Similarity {
   /** The query→super→list routing alone: (query_id, qv, qn, cid), the
     * nprobe = 2 probed lists per query — shared by the exact probed
     * scan ([[ivf2Route]]) and the quantized one ([[annIvfSqSearch]]). */
-  private def ivf2Probes(c: DataFrame, supers: DataFrame,
+  private[scale] def ivf2Probes(c: DataFrame, supers: DataFrame,
       groups: DataFrame): DataFrame = {
-    val q = c.filter(col("vec_id") < 10)
+    val q = c.filter(col("vec_id") < annQueryCount)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     // query -> super routing: k1 dots per query, keep the 2 nearest
     val qsup = q.join(broadcast(supers), lit(true))
@@ -890,7 +890,10 @@ object Similarity {
     * CRASH CONTRACT (the marker protocol the serve index already has):
     * the swap is journaled through `_GRAFT_SWAP_PENDING` inside the
     * table dir — [[ivf2DeletePrepare]] stages ALL surviving rows
-    * durably, then commits the journal with an atomic rename; only
+    * (closed by Spark's committer; the journal itself is hsync'd, the
+    * parts are not — so the contract is exact under process kills and
+    * journal-synced best-effort under power loss), then commits the
+    * journal with an atomic rename; only
     * [[ivf2DeleteRecover]] mutates the table, strictly roll-forward
     * from the journal, each filesystem op checked and idempotent. A
     * kill anywhere leaves one of two readable states: marker absent →
@@ -900,10 +903,20 @@ object Similarity {
     * [[ivf2DeleteApply]] runs first, and any reader of a COW-
     * maintained table must run before reading) completes the identical
     * swap. No state serves a partial table. */
-  private[scale] def ivf2DeleteApply(spark: SparkSession, src: String, cutoff: Long): Unit = {
+  private[scale] def ivf2DeleteApply(spark: SparkSession, src: String, cutoff: Long,
+      schema: String = ivf2AssignSchema): Unit = {
     ivf2DeleteRecover(spark, src) // finish any interrupted prior swap
-    if (ivf2DeletePrepare(spark, src, cutoff)) ivf2DeleteRecover(spark, src)
+    if (ivf2DeletePrepare(spark, src, cutoff, schema)) ivf2DeleteRecover(spark, src)
   }
+
+  /** The assignment-table schema the COW kernel defaults to; the
+    * quantized-corpus delete ([[annSq8Delete]]) passes [[sq8Schema]] —
+    * the kernel itself is schema-agnostic (census, stage, swap). */
+  private[scale] val ivf2AssignSchema = "vec_id BIGINT, cid BIGINT, d DOUBLE"
+
+  /** The stored int8-corpus schema ([[sq8ServeBuild]]'s qtable and the
+    * append/delete maintenance rows over it). */
+  private[scale] val sq8Schema = "vec_id BIGINT, q ARRAY<TINYINT>, qn DOUBLE"
 
   /** Swap journal path — `_`-prefixed, so Spark/DuckDB parquet reads
     * of the table dir never see it. Its EXISTENCE is the commit point:
@@ -919,9 +932,9 @@ object Similarity {
     * journal, table untouched) when nothing is dirty. Crash anywhere
     * in here ⇒ marker absent ⇒ readers serve the pre-delete table and
     * the orphan stage dir is exit-swept by [[graft.util.Scratch]]. */
-  private[scale] def ivf2DeletePrepare(spark: SparkSession, src: String, cutoff: Long): Boolean = {
+  private[scale] def ivf2DeletePrepare(spark: SparkSession, src: String, cutoff: Long,
+      schema: String = ivf2AssignSchema): Boolean = {
     import org.apache.hadoop.fs.Path
-    val schema = "vec_id BIGINT, cid BIGINT, d DOUBLE"
     val dirty = spark.read.schema(schema).parquet(src)
       .filter(col("vec_id") < cutoff)
       .select(col("_metadata.file_path")).distinct()
@@ -938,6 +951,18 @@ object Similarity {
     val tmpMarker = new Path(src, "_GRAFT_SWAP_PENDING.tmp")
     val out = fs.create(tmpMarker, true)
     out.write((journal.mkString("\n") + "\n").getBytes("UTF-8"))
+    // flush the journal to the device before the commit rename: without
+    // it the marker's EXISTENCE could survive a power loss while its
+    // CONTENT (or a staged part it references) sat in the page cache —
+    // and roll-forward would adopt a truncated file. hsync() syncs where
+    // the filesystem supports Syncable (HDFS, local RawLocalFileSystem)
+    // and degrades to a flush elsewhere. Durability scope: the journal
+    // is synced here; the staged parquet parts are closed by Spark
+    // committers without fsync, so the crash contract is exact for
+    // process kills and best-effort (journal-synced) for power loss —
+    // the same scope a plain-parquet lakehouse commit has without a
+    // WAL'd metastore.
+    out.hsync()
     out.close()
     require(fs.rename(tmpMarker, ivf2SwapMarker(src)),
       s"COW swap: journal commit rename failed for $src")
@@ -1466,8 +1491,10 @@ object Similarity {
     * (two-level routed search, nprobe 2), `lsh_mp` (L = 8 multi-table
     * union), `sq8` (quantized stage-1, inline), `sq8_serve` (the same
     * stage 1 over the STORED int8 table — proves the lossless
-    * round-trip through the oracle), and `pq` (8-byte ADC codes, the
-    * 32× compression point) — all scored against the shared
+    * round-trip through the oracle), `pq` (8-byte ADC codes, the
+    * 32× compression point), and `opq` (the same 8-byte codes behind
+    * the fixed orthogonal rotation — ≈ pq here, the isotropic-corpus
+    * answer) — all scored against the shared
     * brute-force ground truth: the table a deployment reads before
     * picking an index (see README's index-selection table). A SECOND
     * probe rather than a rewrite of [[annRecall]], so the historical
@@ -1490,10 +1517,12 @@ object Similarity {
           round(col("n_hits").cast("double") / k, 6).as("recall_at_10"))
     // PQ orders by ASYMMETRIC DISTANCE (ascending), not cosine — its
     // own cut, same ground truth
-    val pqTop = pqScored(spark, dir)
+    def adistTop(scored: DataFrame): DataFrame = scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))))
       .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val pqTop = adistTop(pqScored(spark, dir))
+    val opqTop = adistTop(opqScored(spark, dir))
     recallOf(top10(ivf2Candidates(spark, dir)), "ivf2")
       .union(recallOf(top10(lshMpCandidates(spark, dir)), "lsh_mp"))
       // r12: the SQ8 index joins the acceptance sheet — its stage-1
@@ -1510,6 +1539,12 @@ object Similarity {
       // the composed production index: routing-bounded recall, scored
       // through the quantized list scan
       .union(recallOf(top10(ivfSqScored(spark, dir)), "ivfsq"))
+      // r14: `opq` — PQ behind the fixed orthogonal rotation at the
+      // SAME 8-byte code size; on this isotropic fixture the honest
+      // measured delta vs `pq` is ≈ 0 (no energy imbalance to fix —
+      // see [[annOpqSearch]]); the row is how an anisotropic corpus
+      // would surface the standard OPQ win
+      .union(recallOf(opqTop, "opq"))
   }
 
   val annRecall2Sql: String =
@@ -1600,6 +1635,48 @@ object Similarity {
       |                 ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
       |        FROM pqagg)
       |  WHERE rank <= 10),
+      |rote AS (
+      |  SELECT vec_id,
+      |         list_transform(generate_series(0, 63), i ->
+      |           list_sum(list_transform(generate_series(0, 63), j ->
+      |             CASE WHEN (bit_count(i & j) + bit_count(j)) % 2 = 0
+      |                  THEN v[j+1] ELSE -v[j+1] END)) / 8.0) AS v
+      |  FROM e),
+      |opqsub AS (
+      |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+      |  FROM rote, unnest(generate_series(0, 7)) AS t(s)),
+      |opqcsub AS (SELECT vec_id AS cid, s, sub AS csub FROM opqsub WHERE vec_id < 16),
+      |opqd AS (
+      |  SELECT p.vec_id, p.s, c.cid,
+      |         list_sum(list_transform(list_zip(p.sub, c.csub),
+      |                                 q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d
+      |  FROM opqsub p JOIN opqcsub c USING (s)),
+      |opqcodes AS (
+      |  SELECT vec_id, s, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+      |        FROM opqd)
+      |  WHERE rk = 1),
+      |opqqd AS (SELECT vec_id AS query_id, s, cid, d FROM opqd WHERE vec_id < 10),
+      |opqagg AS (
+      |  SELECT c.vec_id, q.query_id,
+      |         sum(CASE WHEN c.s = 0 THEN q.d END) AS d0,
+      |         sum(CASE WHEN c.s = 1 THEN q.d END) AS d1,
+      |         sum(CASE WHEN c.s = 2 THEN q.d END) AS d2,
+      |         sum(CASE WHEN c.s = 3 THEN q.d END) AS d3,
+      |         sum(CASE WHEN c.s = 4 THEN q.d END) AS d4,
+      |         sum(CASE WHEN c.s = 5 THEN q.d END) AS d5,
+      |         sum(CASE WHEN c.s = 6 THEN q.d END) AS d6,
+      |         sum(CASE WHEN c.s = 7 THEN q.d END) AS d7
+      |  FROM opqcodes c JOIN opqqd q ON q.s = c.s AND q.cid = c.cid
+      |  WHERE c.vec_id <> q.query_id
+      |  GROUP BY c.vec_id, q.query_id),
+      |opqtop AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
+      |        FROM opqagg)
+      |  WHERE rank <= 10),
       |ivfsqscored AS (
       |  SELECT p.query_id, c.vec_id,
       |         list_sum(list_transform(list_zip(c.q, sq8q.qq), z -> z[1] * z[2]))
@@ -1640,6 +1717,10 @@ object Similarity {
       |  UNION ALL
       |  SELECT a.query_id, 'ivfsq', count(*), count(b.vec_id)
       |  FROM ivfsqtop a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  SELECT a.query_id, 'opq', count(*), count(b.vec_id)
+      |  FROM opqtop a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
       |  GROUP BY a.query_id)
       |SELECT query_id, method, n_retrieved, n_hits,
       |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10
@@ -1897,8 +1978,15 @@ object Similarity {
   /** The ADC-scored (query_id, vec_id, adist) frame behind
     * [[annPqSearch]]'s top-3 cut and the `pq` row of [[annRecall2]]
     * (top-10, ascending — adist is a DISTANCE). */
-  private[scale] def pqScored(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  private[scale] def pqScored(spark: SparkSession, dir: String): DataFrame =
+    pqScoredOver(corpus(spark, dir))
+
+  /** The ADC pipeline over an EXPLICIT (vec_id, v) corpus frame — the
+    * same kernel serves plain PQ ([[pqScored]]) and OPQ
+    * ([[opqScored]]: the frame arrives pre-rotated; codebook, codes
+    * and query LUT all derive from the rotated vectors, which is the
+    * whole OPQ recipe — rotate once, then vanilla PQ). */
+  private def pqScoredOver(c: DataFrame): DataFrame = {
     val cents = pqPieces(c.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v")), "v")
       .select(col("cid"), col("s"), col("sub").as("csub"))
@@ -1963,6 +2051,74 @@ object Similarity {
       |SELECT query_id, rank, vec_id AS neighbor_id, round(adist, 6) + 0 AS adist
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- OPQ
+  /** Fixed Hadamard-with-signs ROTATION — the deterministic stand-in
+    * for OPQ's learned rotation (FAISS `OPQ` prefix; a fixed random
+    * rotation is the standard cheap variant): r_i = (1/8)·Σ_j s_j·
+    * (-1)^popcount(i AND j)·v_j with s_j = (-1)^popcount(j). That is
+    * R = (1/√64)·H·D — H the 64-point Walsh-Hadamard matrix, D a ±1
+    * diagonal — an ORTHOGONAL matrix, so L2 distances (and hence PQ
+    * code semantics) are preserved exactly while every input
+    * coordinate spreads across all 8 PQ subspaces. Everything is
+    * integer-signed sums divided by a power of two, reproducible
+    * bit-for-bit in the DuckDB mirror. Written as one codegen'd
+    * expression (d = 64 ⇒ 4096 fused terms per row — a map-side pass;
+    * the O(d log d) in-place FWHT would need mapPartitions and fall
+    * out of codegen for no win at this d). */
+  private def hdRotate(v: Column): Column =
+    transform(sequence(lit(0), lit(63)), i =>
+      aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, j) =>
+          when((bit_count(i.bitwiseAND(j)) + bit_count(j)) % 2 === 0, x)
+            .otherwise(-x)),
+        lit(0.0), (a, b) => a + b) / 8.0)
+
+  /** OPQ-rotated ADC scores — [[pqScoredOver]] on the rotated corpus:
+    * codebook (rotated slices of `vec_id < 16`), corpus codes, and the
+    * query LUT all live in the rotated space. */
+  private[scale] def opqScored(spark: SparkSession, dir: String): DataFrame =
+    pqScoredOver(corpus(spark, dir)
+      .select(col("vec_id"), hdRotate(col("v")).as("v")))
+
+  /** OPQ SEARCH — PQ behind a fixed orthogonal rotation, at IDENTICAL
+    * compression (same 8 one-byte codes per vector): the standard fix
+    * for PQ's subspace-independence assumption. MEASURED HONESTLY on
+    * this fixture: the embeddings table is isotropic (per-dim std
+    * uniform at ~0.125, off-diagonal correlation ≈ 0 — checked
+    * directly on the testdata), so the rotation has no energy
+    * imbalance to fix and recall lands ≈ pq's (the `opq` row of
+    * [[annRecall2]] pins the measured delta). The row exists because
+    * a deployment's real embeddings are anisotropic (trained encoders
+    * concentrate energy — the OPQ paper's premise) and the engine must
+    * ship the rotated path for them; the acceptance sheet is where the
+    * per-corpus decision gets made. */
+  def annOpqSearch(spark: SparkSession, dir: String): DataFrame =
+    opqScored(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adist"), 6).as("adist"))
+
+  /** The rotation CTE (`e0` raw → `e(vec_id, v)` rotated) shared by the
+    * opq oracle and the opq row of the recall2 oracle. */
+  private val opqRotCte: String =
+    """e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (
+      |  SELECT vec_id,
+      |         list_transform(generate_series(0, 63), i ->
+      |           list_sum(list_transform(generate_series(0, 63), j ->
+      |             CASE WHEN (bit_count(i & j) + bit_count(j)) % 2 = 0
+      |                  THEN v[j+1] ELSE -v[j+1] END)) / 8.0) AS v
+      |  FROM e0)""".stripMargin
+
+  val annOpqSearchSql: String = {
+    // vanilla PQ SQL with the corpus CTE swapped for the rotated one
+    val pqBody = annPqSearchSql.stripPrefix(
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),")
+    s"WITH $opqRotCte,$pqBody"
+  }
+
   // ---------------------------------------------------------------- SQ8
   /** Corpus with per-vector int8 SCALAR QUANTIZATION attached — the
     * fourth compression point on the ANN memory/recall curve (FAISS
@@ -1993,9 +2149,26 @@ object Similarity {
       .withColumn("qn", sqrt(dot(col("q"), col("q"))))
   }
 
-  /** The 10 quantized query vectors (query_id, qq, qqn). */
-  private def sq8Query(spark: SparkSession, dir: String): DataFrame =
-    sq8Corpus(spark, dir).filter(col("vec_id") < 10)
+  /** ANN query-set size — 10 by default (the oracle-pinned value every
+    * SQL mirror hardcodes as `vec_id < 10`); the env knob exists ONLY
+    * for scale receipts (SCALE.md's |queries|-scaling row runs the
+    * serve paths at 1000 to pin that serving cost grows with
+    * |queries|·(routing + probed lists) while the corpus-side scan is
+    * shared). Never set it under MatCheck/Verify/Bench — the DuckDB
+    * mirrors stay at 10 by design, so a non-default value is an
+    * intentional oracle mismatch. */
+  private[scale] def annQueryCount: Int =
+    sys.env.get("SPARK_GRAFT_ANN_QUERIES").map(_.toInt).getOrElse(10)
+
+  /** The quantized query vectors (query_id, qq, qqn), derived from the
+    * SAME frame stage 1 scans: inline callers pass the inline-quantized
+    * corpus (queries re-quantize with it, as before), the serve paths
+    * pass the STORED int8 table — so a serve plan's float-table
+    * footprint is purely stage-2 (the ≤ 10·|queries| exact fetch plus
+    * the query re-score rows) instead of re-quantizing the float corpus
+    * for 10 query rows per run. */
+  private def sq8QueryOf(stage1: DataFrame): DataFrame =
+    stage1.filter(col("vec_id") < annQueryCount)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
 
   /** Stage-1 quantized scoring over an EXPLICIT quantized-corpus frame
@@ -2014,7 +2187,7 @@ object Similarity {
   private def sq8ScoredOver(spark: SparkSession, dir: String,
       stage1: DataFrame): DataFrame =
     stage1
-      .join(broadcast(sq8Query(spark, dir)), col("vec_id") =!= col("query_id"))
+      .join(broadcast(sq8QueryOf(stage1)), col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         dot(col("q"), col("qq")) / nullif(col("qn") * col("qqn"), lit(0.0)))
       .select(col("query_id"), col("vec_id"), col("cosine"))
@@ -2031,7 +2204,7 @@ object Similarity {
     * ONLY those ≤ 10·|queries| winners' exact vectors (a candidate-
     * sized equi-join — the "random access into the float table" a
     * vector store pays per query), re-rank by exact cosine, keep 3. */
-  private def sq8Rescore(spark: SparkSession, dir: String,
+  private[scale] def sq8Rescore(spark: SparkSession, dir: String,
       scored: DataFrame): DataFrame = {
     val cand = scored
       .withColumn("rk", row_number().over(
@@ -2039,7 +2212,7 @@ object Similarity {
       .filter(col("rk") <= 10)
       .select(col("query_id"), col("vec_id"))
     val exact = corpus(spark, dir)
-    val qx = exact.filter(col("vec_id") < 10)
+    val qx = exact.filter(col("vec_id") < annQueryCount)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnr"))
     cand.join(exact, Seq("vec_id"))
       .join(qx, Seq("query_id"))
@@ -2070,8 +2243,10 @@ object Similarity {
     * qn)` is MATERIALIZED to parquet once (the index-build write a
     * deployment pays at ingest), gated by the same completion-marker
     * protocol as the ivf2 serve index, and stage 1 then SCANS THE
-    * STORED BYTE TABLE — the 4×-smaller sequential read that is SQ8's
-    * whole value at 100 TB — instead of re-quantizing the float corpus
+    * STORED BYTE TABLE — the 4×-smaller sequential read (the FAISS
+    * float32 convention; 8× vs this fixture's stored float64 table)
+    * that is SQ8's whole value at 100 TB — instead of re-quantizing
+    * the float corpus
     * per query. TINYINT round-trips losslessly (every cell is an
     * integer in [-127, 127]; qn is stored as the exact double), so the
     * output is bit-identical to [[annSq8Search]] and shares its
@@ -2089,12 +2264,17 @@ object Similarity {
   private def sq8ServeBuild(spark: SparkSession, dir: String): Unit = {
     val tmp = sq8ServePath(dir)
     sq8ServeMarker(tmp).delete() // invalidate before touching the table
+    sq8QTable(spark, dir).write.mode("overwrite").parquet(s"$tmp/qtable")
+    sq8ServeMarker(tmp).createNewFile()
+  }
+
+  /** The storable quantized corpus `(vec_id, q TINYINT[64], qn)` — the
+    * frame every int8-table write lands ([[sq8ServeBuild]],
+    * [[annSq8Append]]'s day-0 build and batch, the delete fixture). */
+  private def sq8QTable(spark: SparkSession, dir: String): DataFrame =
     sq8Corpus(spark, dir)
       .select(col("vec_id"),
         transform(col("q"), _.cast("tinyint")).as("q"), col("qn"))
-      .write.mode("overwrite").parquet(s"$tmp/qtable")
-    sq8ServeMarker(tmp).createNewFile()
-  }
 
   /** The stored quantized corpus as a stage-1 frame (TINYINT cast back
     * to double — lossless), building the table first on a fresh JVM.
@@ -2103,10 +2283,14 @@ object Similarity {
   private[scale] def sq8StoredStage1(spark: SparkSession, dir: String): DataFrame = {
     val tmp = sq8ServePath(dir)
     if (!sq8ServeMarker(tmp).exists()) sq8ServeBuild(spark, dir)
-    spark.read.schema("vec_id BIGINT, q ARRAY<TINYINT>, qn DOUBLE")
-      .parquet(s"$tmp/qtable")
-      .select(col("vec_id"), vecDouble(col("q")).as("q"), col("qn"))
+    sq8TableView(spark, s"$tmp/qtable")
   }
+
+  /** A stored int8 table read back as a stage-1 frame (TINYINT cast to
+    * double — lossless). */
+  private def sq8TableView(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(sq8Schema).parquet(path)
+      .select(col("vec_id"), vecDouble(col("q")).as("q"), col("qn"))
 
   /** Per-dir, per-JVM, exit-swept — same rationale as [[ivf2ServePath]]. */
   private[scale] def sq8ServePath(dir: String): String =
@@ -2126,6 +2310,114 @@ object Similarity {
     * the stored-table scan. */
   private[graft] def sq8ServeRead(spark: SparkSession, dir: String): DataFrame =
     sq8Rescore(spark, dir, sq8ScoredOver(spark, dir, sq8StoredStage1(spark, dir)))
+
+  /** SQ8 incremental ingest — the CORPUS half of the FAISS `add()`
+    * contract ([[annIvf2Append]] is the routing half; together the
+    * composed [[annIvfSqServe]] index ingests end-to-end): per-vector
+    * scalar quantization carries NO cross-vector state (each vector's
+    * scale is its own max-|x|, not a corpus statistic), so batch ≡
+    * incremental EXACTLY and adding a batch to a built int8 table costs
+    * quantizing the BATCH alone. The query stages it: day-0 corpus
+    * (first 90% of vec_ids) quantized and written, the arriving batch
+    * (last 10%) quantized and APPENDED (`mode("append")` — a pure file
+    * add; Sq8Spec pins that day-0 files are byte-identical after the
+    * append). The vec_id filters push through the quantization to the
+    * parquet scan, so each write really quantizes only its slice. The
+    * full read-back then runs the SAME two-stage search as
+    * [[annSq8Search]] and checks its oracle verbatim — valid precisely
+    * because of the no-cross-vector-state property. Unlike IVF's
+    * append, there is no freeze caveat: SQ8 has no trained codebook to
+    * outgrow, so the int8 table never needs a staleness-driven rebuild.
+    * Reference anchor: the K5 retention/compaction lifecycle rows
+    * (SURVEY §2.5) that `ann_ivf2_append` already follows. */
+  def annSq8Append(spark: SparkSession, dir: String): DataFrame =
+    sq8Rescore(spark, dir, sq8ScoredOver(spark, dir,
+      sq8TableView(spark, sq8AppendWrite(spark, dir))))
+
+  /** Both phases of the append-table write; the spec drives the phases
+    * separately to snapshot file state between them. */
+  private def sq8AppendWrite(spark: SparkSession, dir: String): String = {
+    val tmp = sq8AppendDay0(spark, dir)
+    sq8AppendBatch(spark, dir, tmp)
+    tmp
+  }
+
+  /** Day-0 build: quantize and land the first 90% of vec_ids. */
+  private[scale] def sq8AppendDay0(spark: SparkSession, dir: String): String = {
+    val tmp = graft.util.Scratch.path("sq8append", dir)
+    val cut = lit(corpusCount(spark, dir) * 9L / 10L)
+    sq8QTable(spark, dir).filter(col("vec_id") < cut)
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** The arriving batch: quantize the last 10% and append — a pure
+    * file add, no day-0 partition is rewritten. */
+  private[scale] def sq8AppendBatch(spark: SparkSession, dir: String, tmp: String): Unit = {
+    val cut = lit(corpusCount(spark, dir) * 9L / 10L)
+    sq8QTable(spark, dir).filter(col("vec_id") >= cut)
+      .write.mode("append").parquet(tmp)
+  }
+
+  /** The staged table [[annSq8Delete]] mutates: the int8 corpus
+    * RANGE-CLUSTERED on vec_id into a fixed 8 files — same rationale
+    * as [[ivf2DeleteStage]]: a delete predicate on the cluster key
+    * touches a contiguous file subset, so copy-on-write stays
+    * file-pruned instead of degenerating to a full rewrite. */
+  private[scale] def sq8DeleteStage(spark: SparkSession, dir: String): String = {
+    val tmp = graft.util.Scratch.path("sq8del", dir)
+    sq8QTable(spark, dir)
+      .repartitionByRange(8, col("vec_id"))
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** COW DELETE from the stored int8 corpus — the delete half of the
+    * corpus-maintenance contract ([[annSq8Append]] is the add half,
+    * [[annIvf2Delete]] the routing-table half): FAISS `remove_ids` on
+    * an `IVF,SQ8` index drops BOTH the list entry and the code, and
+    * this row is the code half — without it a deleted vector's int8
+    * row survives in the qtable and the standalone [[annSq8Serve]]
+    * scan (which has no assignment join to tombstone-filter it, unlike
+    * the composed index — see the contract note on [[annIvfSqServe]])
+    * would keep returning it. Same retention predicate and machinery
+    * as the assignment delete: drop the oldest 5% (`vec_id < n/20`)
+    * from the range-clustered staged table via [[ivf2DeleteApply]]'s
+    * journaled file-pruned copy-on-write (schema-parameterized — the
+    * kernel is census/stage/swap and never interprets columns). The
+    * read-back projects the surviving quantized rows to scalars
+    * `(vec_id, qnorm, qsum)` — qn and the cell sum are integer-exact,
+    * so the DuckDB oracle recomputes them from the float table and
+    * hash-matches bit-for-bit. */
+  def annSq8Delete(spark: SparkSession, dir: String): DataFrame = {
+    val src = sq8DeleteStage(spark, dir)
+    ivf2DeleteApply(spark, src, corpusCount(spark, dir) / 20L, sq8Schema)
+    spark.read.schema(sq8Schema).parquet(src)
+      .select(col("vec_id"), round(col("qn"), 6).as("qnorm"),
+        aggregate(vecDouble(col("q")), lit(0.0), _ + _).as("qsum"))
+  }
+
+  /** The quantization CTEs shared by the sq8 oracles (→ `sqn(vec_id,
+    * q, qn)` over the full corpus). */
+  private val sq8QuantCte: String =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sq AS (
+      |  SELECT vec_id,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      |              THEN list_transform(v, x -> greatest(-127.0, least(127.0,
+      |                     floor(x * 127 / list_max(list_transform(v, y -> abs(y)))))))
+      |              ELSE list_transform(v, x -> 0.0) END AS q
+      |  FROM e),
+      |sqn AS (
+      |  SELECT vec_id, q, sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
+      |  FROM sq)""".stripMargin
+
+  val annSq8DeleteSql: String =
+    s"""WITH $sq8QuantCte
+      |SELECT vec_id, round(qn, 6) + 0 AS qnorm, list_sum(q) + 0 AS qsum
+      |FROM sqn
+      |WHERE vec_id >= (SELECT count(*) // 20 FROM embeddings)""".stripMargin
 
   /** IVF-SQ8 — the composed index FAISS ships as `IVF<k>,SQ8`, and the
     * one a 100 TB deployment actually runs: two-level ROUTING picks the
@@ -2165,13 +2457,14 @@ object Similarity {
     * the full production composition ([[ivfSqServeRead]]: routing
     * tables from [[ivf2StoredIndex]], corpus from
     * [[sq8StoredStage1]]). */
-  private def ivfSqScoredOver(spark: SparkSession, dir: String,
+  private[scale] def ivfSqScoredOver(spark: SparkSession, dir: String,
       supers: DataFrame, groups: DataFrame, assigned: DataFrame,
       qcorpus: DataFrame): DataFrame = {
     val probes = ivf2Probes(corpus(spark, dir), supers, groups)
       .select(col("query_id"), col("cid"))
-    val q8 = sq8Corpus(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
+    // quantized queries from the SAME frame the lists scan (the stored
+    // int8 table on the serve path — see [[sq8QueryOf]])
+    val q8 = sq8QueryOf(qcorpus)
     // ≤ nprobe·|queries| rows carrying the quantized query — broadcast
     val probeQ = probes.join(q8, "query_id")
     qcorpus
@@ -2193,7 +2486,19 @@ object Similarity {
     * |queries| exact re-score — NO index computation anywhere in the
     * plan. Output bit-identical to [[annIvfSqSearch]] (same routing
     * argmins from the stored tables, lossless int8 round-trip), same
-    * oracle; the bench warm pass measures [[ivfSqServeRead]]. */
+    * oracle; the bench warm pass measures [[ivfSqServeRead]].
+    *
+    * MAINTENANCE CONTRACT: ingest appends BOTH halves
+    * ([[annIvf2Append]] for routing, [[annSq8Append]] for the int8
+    * corpus); deletes likewise route through both
+    * ([[annIvf2Delete]] / [[annSq8Delete]]). The composed index is
+    * additionally tombstone-safe against a ROUTING-ONLY delete: stage
+    * 1's inner join on the assignment table filters any vec_id absent
+    * from it, so an int8 row whose assignment was deleted can never
+    * reach the output even before the corpus-side delete lands
+    * (Sq8Spec's tombstone-proof pins this). The standalone
+    * [[annSq8Serve]] has no such join — its deletes MUST go through
+    * [[annSq8Delete]]. */
   def annIvfSqServe(spark: SparkSession, dir: String): DataFrame = {
     ivf2ServeBuild(spark, dir)
     sq8ServeBuild(spark, dir)
@@ -2599,6 +2904,7 @@ object Similarity {
     "ann_brute_force" -> (annBruteForce _),
     "ann_pq_encode"   -> (annPqEncode _),
     "ann_pq_search"   -> (annPqSearch _),
+    "ann_opq_search"  -> (annOpqSearch _),
     "ann_dot_expr"    -> (annDotExpr _),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search"  -> (annLshSearch _),
@@ -2613,6 +2919,8 @@ object Similarity {
     "ann_ivf2_delete" -> (annIvf2Delete _),
     "ann_sq8_search"  -> (annSq8Search _),
     "ann_sq8_serve"   -> (annSq8Serve _),
+    "ann_sq8_append"  -> (annSq8Append _),
+    "ann_sq8_delete"  -> (annSq8Delete _),
     "ann_ivfsq_search" -> (annIvfSqSearch _),
     "ann_ivfsq_serve" -> (annIvfSqServe _),
     "ann_ivf_search"  -> (annIvfSearch _),
@@ -2629,6 +2937,7 @@ object Similarity {
     "ann_brute_force" -> annBruteForceSql,
     "ann_pq_encode"   -> annPqEncodeSql,
     "ann_pq_search"   -> annPqSearchSql,
+    "ann_opq_search"  -> annOpqSearchSql,
     "ann_dot_expr"    -> annBruteForceSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_search"  -> annLshSearchSql,
@@ -2653,6 +2962,11 @@ object Similarity {
     // serve = search content-wise (lossless TINYINT round-trip); only
     // the plan differs — stage 1 scans the stored int8 table
     "ann_sq8_serve"   -> annSq8SearchSql,
+    // batch ≡ incremental for per-vector quantization (no cross-vector
+    // state), so the appended table's full read-back searches against
+    // the same two-stage oracle verbatim
+    "ann_sq8_append"  -> annSq8SearchSql,
+    "ann_sq8_delete"  -> annSq8DeleteSql,
     "ann_ivfsq_search" -> annIvfSqSearchSql,
     // serve = search content-wise (stored routing argmins + lossless
     // int8 round-trip); only the plan differs — nothing recomputes

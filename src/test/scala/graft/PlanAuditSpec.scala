@@ -100,6 +100,10 @@ object PlanAuditSpec {
     // quantization (the build write happens before the plan measured
     // here — benchImpls points the warm pass at sq8ServeRead)
     "ann_sq8_serve" -> 1,
+    // the append row reads the same kernel back over the append-staged
+    // table: one bounded `=!=` stage-1 join, nothing else nested (the
+    // day-0/batch writes happen before the measured read-back plan)
+    "ann_sq8_append" -> 1,
     "ann_recall" -> 2,          // ground truth + LSH probe, both bounded
     // --- fit-then-fold one-row broadcasts (count = folds in the plan)
     "a7_normalize" -> 1, "ann_dot_expr" -> 1, "ann_ivf_assign" -> 1,

@@ -64,11 +64,19 @@ class Sq8Spec extends SparkSpec {
   test("IVF-SQ8 composition: results come only from probed lists, re-scored exactly") {
     val ivfsq = Similarity.annIvfSqSearch(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    // routing containment: every winner must be a vector the ivf2
-    // probed-list scan also saw (same routing, exact vs quantized list
-    // scores) — a result from an unprobed list means routing leaked
-    val probedPop = Similarity.annIvf2Search(spark, sfDir)
-      .select(col("query_id"), col("neighbor_id"))
+    // routing containment, asserted against the ROUTING-DEFINED
+    // candidate population (assignment table joined to the per-query
+    // probe set — computed independently of the quantized scan kernel):
+    // an ivfsq winner outside it means the quantized list scan leaked a
+    // vector routing never probed
+    val idx = Similarity.ivf2Index(spark, sfDir)
+    val allowed = idx.assigned.select(col("vec_id"), col("cid"))
+      .join(Similarity.ivf2Probes(idx.c, idx.supers, idx.groups)
+        .select(col("query_id"), col("cid")), Seq("cid"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    assert(ivfsq.select(col("query_id"), col("neighbor_id"))
+      .exceptAll(allowed).isEmpty,
+      "every IVF-SQ8 winner must lie in a probed list for its query")
     val exactCand = Similarity.annBruteForce(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("bcos"))
     val joined = ivfsq.join(exactCand, Seq("query_id", "neighbor_id"))
@@ -87,7 +95,6 @@ class Sq8Spec extends SparkSpec {
     assert(sqTop1.select(col("query_id"), col("neighbor_id"))
       .exceptAll(ivfTop1).isEmpty,
       "per-query top-1 must match the exact probed scan")
-    assert(probedPop.count() == 30, "ivf2 probed top-3 population sanity")
   }
 
   test("IVF-SQ8 serve: stored routing tables + stored int8 corpus, bit-identical") {
@@ -102,6 +109,86 @@ class Sq8Spec extends SparkSpec {
       "routing must read the stored ivf2 index:\n" + plan)
     assert(plan.contains(Similarity.sq8ServePath(sfDir)),
       "the probed-list scan must read the stored int8 corpus:\n" + plan)
+    graft.util.Scratch.cleanupPath(Similarity.ivf2ServePath(sfDir))
+    graft.util.Scratch.cleanupPath(Similarity.sq8ServePath(sfDir))
+  }
+
+  test("append is a pure file add: day-0 files byte-identical, read-back = full-build search") {
+    val tmp = Similarity.sq8AppendDay0(spark, sfDir)
+    def snapshot(): Map[String, (Long, Long)] =
+      Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val day0 = snapshot()
+    assert(day0.nonEmpty, "day-0 build must land files")
+    Similarity.sq8AppendBatch(spark, sfDir, tmp)
+    val after = snapshot()
+    // no-rewrite contract: every day-0 part survives the append with
+    // identical length and mtime; the batch only ADDS files
+    day0.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig),
+        s"append must not rewrite day-0 part $name") }
+    assert(after.size > day0.size, "the appended batch must add files")
+    // and the appended table searches identically to a full build
+    // (batch ≡ incremental: per-vector quantization has no corpus state)
+    val appended = Similarity.annSq8Append(spark, sfDir)
+    val full = Similarity.annSq8Search(spark, sfDir)
+    assert(appended.exceptAll(full).isEmpty && full.exceptAll(appended).isEmpty,
+      "search over the appended table must equal the full-build search")
+    graft.util.Scratch.cleanupPath(tmp)
+  }
+
+  test("corpus delete: a deleted vec_id's int8 row is gone and can never be served") {
+    val src = Similarity.sq8DeleteStage(spark, sfDir)
+    val cutoff = Similarity.corpusCount(spark, sfDir) / 20L
+    Similarity.ivf2DeleteApply(spark, src, cutoff, Similarity.sq8Schema)
+    val survivors = spark.read.schema(Similarity.sq8Schema).parquet(src)
+    assert(survivors.filter(col("vec_id") < cutoff).isEmpty,
+      "no doomed int8 row may survive the COW swap")
+    assert(survivors.filter(col("vec_id") >= cutoff).count() ==
+      Similarity.corpusCount(spark, sfDir) - cutoff,
+      "every surviving row must still be present")
+    graft.util.Scratch.cleanupPath(src)
+  }
+
+  test("tombstone-proof: an assignment-table delete alone already bars a vec_id from composed IVF-SQ8 output") {
+    // the composed index's stage 1 inner-joins the assignment table, so
+    // a routing-only delete (the int8 row still in the qtable) must be
+    // enough to keep the deleted ids out of served results — the
+    // contract annIvfSqServe's scaladoc pins for the window between the
+    // routing delete landing and the corpus delete landing
+    val src = Similarity.ivf2DeleteStage(spark, sfDir)
+    val cutoff = Similarity.corpusCount(spark, sfDir) / 20L
+    Similarity.ivf2DeleteApply(spark, src, cutoff)
+    val assigned = spark.read
+      .schema("vec_id BIGINT, cid BIGINT, d DOUBLE").parquet(src)
+      .select(col("vec_id"), col("cid"))
+    val idx = Similarity.ivf2Index(spark, sfDir)
+    val served = Similarity.sq8Rescore(spark, sfDir,
+      Similarity.ivfSqScoredOver(spark, sfDir, idx.supers, idx.groups, assigned,
+        Similarity.sq8Corpus(spark, sfDir).select(col("vec_id"), col("q"), col("qn"))))
+    assert(served.filter(col("neighbor_id") < cutoff).isEmpty,
+      "a vec_id deleted from the assignment table must never be served")
+    assert(served.count() > 0, "the post-delete index must still serve results")
+    graft.util.Scratch.cleanupPath(src)
+  }
+
+  test("serve plans touch the float table only in stage 2 (queries come from the stored qtable)") {
+    def embScans(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      "embeddings\\.parquet".r.findAllIn(plan).length
+    }
+    // sq8 serve: stage 1 (corpus scan + quantized queries) reads the
+    // stored int8 table; embeddings appears only for stage 2's exact
+    // fetch and exact query rows — 2 scans, not 3
+    assert(embScans(Similarity.sq8ServeRead(spark, sfDir)) <= 2,
+      "sq8 serve must not re-quantize queries from the float table")
+    // composed serve: + 1 scan for exact float ROUTING (by design —
+    // routing tables are k-sized; compressing the query side of routing
+    // buys nothing and would quantize the argmins)
+    assert(embScans(Similarity.ivfSqServeRead(spark, sfDir)) <= 3,
+      "ivfsq serve must read embeddings only for routing + stage 2")
     graft.util.Scratch.cleanupPath(Similarity.ivf2ServePath(sfDir))
     graft.util.Scratch.cleanupPath(Similarity.sq8ServePath(sfDir))
   }
