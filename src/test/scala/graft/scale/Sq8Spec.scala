@@ -135,6 +135,20 @@ class Sq8Spec extends SparkSpec {
     val full = Similarity.annSq8Search(spark, sfDir)
     assert(appended.exceptAll(full).isEmpty && full.exceptAll(appended).isEmpty,
       "search over the appended table must equal the full-build search")
+    // the COMPOSED index over the appended corpus: routing from the
+    // in-plan ivf2 frames + quantized lists from the appended qtable
+    // must be bit-identical to the self-contained ivfsq search — the
+    // end-to-end ingest claim (routing appends via ann_ivf2_append,
+    // corpus bytes via this row, results unchanged)
+    val qview = spark.read.schema(Similarity.sq8Schema).parquet(tmp)
+      .select(col("vec_id"), Similarity.vecDouble(col("q")).as("q"), col("qn"))
+    val idx = Similarity.ivf2Index(spark, sfDir)
+    val composed = Similarity.sq8Rescore(spark, sfDir,
+      Similarity.ivfSqScoredOver(spark, sfDir, idx.supers, idx.groups,
+        idx.assigned.select(col("vec_id"), col("cid")), qview))
+    val inline = Similarity.annIvfSqSearch(spark, sfDir)
+    assert(composed.exceptAll(inline).isEmpty && inline.exceptAll(composed).isEmpty,
+      "IVF-SQ8 over the appended qtable must equal the self-contained search")
     graft.util.Scratch.cleanupPath(tmp)
   }
 
