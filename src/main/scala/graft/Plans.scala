@@ -67,6 +67,10 @@ object Plans {
       "file census with vec_id<cutoff pushed to row-group stats on the range-clustered int8 " +
       "table (clean files IO-pruned), surviving rows of dirty files rewritten, journaled swap; " +
       "the read-back projects survivors to integer-exact scalars — no corpus-sized join anywhere"),
+    "ann_ivfsq_delete"    -> ("composed IVF-SQ8 delete (r14, end-to-end remove_ids): one SCATTERED " +
+      "purge predicate (vec_id%20=13) COW-deleted from BOTH stored halves (assignment + int8 corpus), " +
+      "then the composed search over the post-delete staged tables — candidates join the purged " +
+      "assignment so deleted ids cannot route, and the purged qtable so they cannot score"),
     "ann_ivfsq_search"    -> ("IVF-SQ8 composed index (r13, FAISS IVF<k>,SQ8): the ivf2 routing " +
       "argmins pick nprobe=2 lists, the probed lists scan QUANTIZED through equi-joins on " +
       "(cid)/(vec_id) — zero new nested loops — and the <=10/query winners re-score exact; " +

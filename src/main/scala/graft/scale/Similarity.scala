@@ -865,8 +865,9 @@ object Similarity {
     * reason Delta/Iceberg pair DELETE with Z-order/clustering). The
     * fixture stages 8 files; a production table sizes file count from
     * bytes like [[annIvf2Compact]] does. */
-  private[scale] def ivf2DeleteStage(spark: SparkSession, dir: String): String = {
-    val tmp = graft.util.Scratch.path("ivf2del", dir)
+  private[scale] def ivf2DeleteStage(spark: SparkSession, dir: String,
+      tag: String = "ivf2del"): String = {
+    val tmp = graft.util.Scratch.path(tag, dir)
     ivf2Index(spark, dir).assigned
       .select(col("vec_id"), col("cid"), col("d"))
       .repartitionByRange(8, col("vec_id"))
@@ -904,9 +905,18 @@ object Similarity {
     * maintained table must run before reading) completes the identical
     * swap. No state serves a partial table. */
   private[scale] def ivf2DeleteApply(spark: SparkSession, src: String, cutoff: Long,
-      schema: String = ivf2AssignSchema): Unit = {
+      schema: String = ivf2AssignSchema): Unit =
+    cowDeleteApply(spark, src, schema, col("vec_id") < cutoff)
+
+  /** The kernel behind [[ivf2DeleteApply]] with the doomed-row set as
+    * an explicit predicate (must be row-group-stats-prunable on the
+    * cluster key for the census to stay file-pruned): the retention
+    * rows delete `vec_id < cutoff`; [[annIvfSqDelete]]'s targeted
+    * purge deletes a tail range. */
+  private[scale] def cowDeleteApply(spark: SparkSession, src: String,
+      schema: String, doomed: Column): Unit = {
     ivf2DeleteRecover(spark, src) // finish any interrupted prior swap
-    if (ivf2DeletePrepare(spark, src, cutoff, schema)) ivf2DeleteRecover(spark, src)
+    if (cowDeletePrepare(spark, src, schema, doomed)) ivf2DeleteRecover(spark, src)
   }
 
   /** The assignment-table schema the COW kernel defaults to; the
@@ -933,16 +943,20 @@ object Similarity {
     * in here ⇒ marker absent ⇒ readers serve the pre-delete table and
     * the orphan stage dir is exit-swept by [[graft.util.Scratch]]. */
   private[scale] def ivf2DeletePrepare(spark: SparkSession, src: String, cutoff: Long,
-      schema: String = ivf2AssignSchema): Boolean = {
+      schema: String = ivf2AssignSchema): Boolean =
+    cowDeletePrepare(spark, src, schema, col("vec_id") < cutoff)
+
+  private[scale] def cowDeletePrepare(spark: SparkSession, src: String,
+      schema: String, doomed: Column): Boolean = {
     import org.apache.hadoop.fs.Path
     val dirty = spark.read.schema(schema).parquet(src)
-      .filter(col("vec_id") < cutoff)
+      .filter(doomed)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0))
     if (dirty.isEmpty) return false
     val stage = graft.util.Scratch.register(s"$src.rewrite")
     spark.read.schema(schema).parquet(dirty.toIndexedSeq: _*)
-      .filter(col("vec_id") >= cutoff)
+      .filter(!doomed)
       .write.mode("overwrite").parquet(stage)
     val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new Path(stage))
@@ -2364,8 +2378,9 @@ object Similarity {
     * as [[ivf2DeleteStage]]: a delete predicate on the cluster key
     * touches a contiguous file subset, so copy-on-write stays
     * file-pruned instead of degenerating to a full rewrite. */
-  private[scale] def sq8DeleteStage(spark: SparkSession, dir: String): String = {
-    val tmp = graft.util.Scratch.path("sq8del", dir)
+  private[scale] def sq8DeleteStage(spark: SparkSession, dir: String,
+      tag: String = "sq8del"): String = {
+    val tmp = graft.util.Scratch.path(tag, dir)
     sq8QTable(spark, dir)
       .repartitionByRange(8, col("vec_id"))
       .write.mode("overwrite").parquet(tmp)
@@ -2418,6 +2433,48 @@ object Similarity {
       |SELECT vec_id, round(qn, 6) + 0 AS qnorm, list_sum(q) + 0 AS qsum
       |FROM sqn
       |WHERE vec_id >= (SELECT count(*) // 20 FROM embeddings)""".stripMargin
+
+  /** COMPOSED IVF-SQ8 DELETE — the end-to-end FAISS `remove_ids` for
+    * the production index: one purge predicate applied to BOTH stored
+    * halves (the assignment table AND the int8 corpus, each through
+    * the journaled COW swap), then the composed search served over the
+    * post-delete tables. The purge is SCATTERED — `vec_id % 20 = 13`,
+    * exactly 5% of every id block at every SF (the scaled fixtures'
+    * replica offsets are multiples of 20, and a dense space is
+    * trivially uniform) — deliberately the OPPOSITE workload from the
+    * retention rows' clustered range: a GDPR/user purge hits ids
+    * spread across the table, row-group stats prune NOTHING, every
+    * file censuses dirty, and the COW swap runs its full-rewrite worst
+    * case. Together the delete family now covers both ends: clustered
+    * range → file-pruned COW ([[annIvf2Delete]]/[[annSq8Delete]]);
+    * scattered ids → full rewrite (this row). The query set
+    * (vec_id < 10; 0–9 mod 20 ≠ 13) survives the purge. Centroids and
+    * supers stay — frozen-index semantics, same as [[annIvf2Delete]].
+    * The oracle is the ivfsq search SQL with the purged ids excluded
+    * from the candidate set — equivalent to deleting from both tables
+    * because a stage-1 candidate requires presence in BOTH (the list
+    * entry routes it, the code row scores it). */
+  def annIvfSqDelete(spark: SparkSession, dir: String): DataFrame = {
+    val doomed = col("vec_id") % 20 === 13
+    val asg = ivf2DeleteStage(spark, dir, "ivfsqdelA")
+    cowDeleteApply(spark, asg, ivf2AssignSchema, doomed)
+    val qt = sq8DeleteStage(spark, dir, "ivfsqdelQ")
+    cowDeleteApply(spark, qt, sq8Schema, doomed)
+    val idx = ivf2Index(spark, dir)
+    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,
+      spark.read.schema(ivf2AssignSchema).parquet(asg)
+        .select(col("vec_id"), col("cid")),
+      sq8TableView(spark, qt)))
+  }
+
+  // lazy: derives from annIvfSqSearchSql, which is declared later in
+  // the object body (vals initialize in declaration order)
+  lazy val annIvfSqDeleteSql: String = {
+    val anchor = "WHERE c.vec_id <> p.query_id)"
+    require(annIvfSqSearchSql.contains(anchor), "ivfsq oracle anchor moved")
+    annIvfSqSearchSql.replace(anchor,
+      "WHERE c.vec_id <> p.query_id AND c.vec_id % 20 <> 13)")
+  }
 
   /** IVF-SQ8 — the composed index FAISS ships as `IVF<k>,SQ8`, and the
     * one a 100 TB deployment actually runs: two-level ROUTING picks the
@@ -2921,6 +2978,7 @@ object Similarity {
     "ann_sq8_serve"   -> (annSq8Serve _),
     "ann_sq8_append"  -> (annSq8Append _),
     "ann_sq8_delete"  -> (annSq8Delete _),
+    "ann_ivfsq_delete" -> (annIvfSqDelete _),
     "ann_ivfsq_search" -> (annIvfSqSearch _),
     "ann_ivfsq_serve" -> (annIvfSqServe _),
     "ann_ivf_search"  -> (annIvfSearch _),
@@ -2967,6 +3025,7 @@ object Similarity {
     // the same two-stage oracle verbatim
     "ann_sq8_append"  -> annSq8SearchSql,
     "ann_sq8_delete"  -> annSq8DeleteSql,
+    "ann_ivfsq_delete" -> annIvfSqDeleteSql,
     "ann_ivfsq_search" -> annIvfSqSearchSql,
     // serve = search content-wise (stored routing argmins + lossless
     // int8 round-trip); only the plan differs — nothing recomputes

@@ -128,6 +128,12 @@ object PlanAuditSpec {
     // stored, so like ann_ivf2_serve only the 10-query × supers
     // routing broadcast remains — the 4-vs-1 delta is the point
     "ann_ivfsq_serve" -> 1,
+    // the composed delete's measured plan is the post-delete search
+    // over the two STAGED (written) tables: the corpus-sided
+    // croute/vroute stages read staged parquet, leaving the qsup
+    // routing broadcast + one supers-broadcast stage from the in-plan
+    // index frames the routing reuses
+    "ann_ivfsq_delete" -> 2,
     // the production serve shape: croute/vroute vanish into the
     // materialized index tables, leaving ONLY the 10-query × supers
     // routing broadcast — the 4-vs-1 delta IS the point of the row
