@@ -2026,8 +2026,16 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("adist"))
   }
 
-  val annPqSearchSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The ADC oracle body over a caller-supplied corpus CTE chain that
+    * must end in `e(vec_id, v)` — the SQL mirror of [[pqScoredOver]]'s
+    * explicit-frame parameter: plain PQ passes the raw embeddings CTE,
+    * OPQ the rotated chain ([[opqRotCte]]), the anisotropic recall
+    * rows their rescaled variants. Parameterizing here (instead of
+    * string-surgery on a finished oracle) is what keeps every derived
+    * oracle immune to reformatting — the r14 advice's stripPrefix
+    * hazard. */
+  private def pqAdcSql(corpusCte: String): String =
+    s"""WITH $corpusCte,
       |sub AS (
       |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
       |  FROM e, unnest(generate_series(0, 7)) AS t(s)),
@@ -2064,6 +2072,9 @@ object Similarity {
       |  FROM agg)
       |SELECT query_id, rank, vec_id AS neighbor_id, round(adist, 6) + 0 AS adist
       |FROM ranked WHERE rank <= 3""".stripMargin
+
+  val annPqSearchSql: String =
+    pqAdcSql("e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
 
   // ---------------------------------------------------------------- OPQ
   /** Fixed Hadamard-with-signs ROTATION — the deterministic stand-in
@@ -2126,12 +2137,8 @@ object Similarity {
       |                  THEN v[j+1] ELSE -v[j+1] END)) / 8.0) AS v
       |  FROM e0)""".stripMargin
 
-  val annOpqSearchSql: String = {
-    // vanilla PQ SQL with the corpus CTE swapped for the rotated one
-    val pqBody = annPqSearchSql.stripPrefix(
-      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),")
-    s"WITH $opqRotCte,$pqBody"
-  }
+  // vanilla PQ oracle with the corpus CTE swapped for the rotated one
+  val annOpqSearchSql: String = pqAdcSql(opqRotCte)
 
   // ---------------------------------------------------------------- SQ8
   /** Corpus with per-vector int8 SCALAR QUANTIZATION attached — the
@@ -2170,9 +2177,22 @@ object Similarity {
     * |queries|·(routing + probed lists) while the corpus-side scan is
     * shared). Never set it under MatCheck/Verify/Bench — the DuckDB
     * mirrors stay at 10 by design, so a non-default value is an
-    * intentional oracle mismatch. */
+    * intentional oracle mismatch; a set knob therefore fails FAST on a
+    * malformed or non-positive value (a bare NumberFormatException
+    * surfacing from deep inside a query plan was the r14 advice nit)
+    * and every oracle-divergence hazard it creates is asserted at the
+    * point of hazard (see [[annIvfSqDelete]]'s query-survival check). */
   private[scale] def annQueryCount: Int =
-    sys.env.get("SPARK_GRAFT_ANN_QUERIES").map(_.toInt).getOrElse(10)
+    sys.env.get("SPARK_GRAFT_ANN_QUERIES") match {
+      case None => 10
+      case Some(s) =>
+        val n = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_ANN_QUERIES must be a positive integer, got '$s'")
+        }
+        require(n > 0, s"SPARK_GRAFT_ANN_QUERIES must be positive, got $n")
+        n
+    }
 
   /** The quantized query vectors (query_id, qq, qqn), derived from the
     * SAME frame stage 1 scans: inline callers pass the inline-quantized
@@ -2454,12 +2474,38 @@ object Similarity {
     * from the candidate set — equivalent to deleting from both tables
     * because a stage-1 candidate requires presence in BOTH (the list
     * entry routes it, the code row scores it). */
+  /** The scattered GDPR-purge predicate both composed-delete rows
+    * apply — `vec_id % 20 = 13`, exactly 5% of every id block at every
+    * SF (modular, so the scaled fixtures' replica-offset id spaces keep
+    * the same fraction), chosen to defeat row-group pruning by design.
+    * Mirrored as a SQL conjunct by [[ivfSqDoomedSql]]; change BOTH or
+    * neither. */
+  private[scale] val ivfSqDoomed: Column = col("vec_id") % 20 === 13
+  private def ivfSqDoomedLong(id: Long): Boolean = id % 20 == 13
+  private val ivfSqDoomedSql: String = " AND c.vec_id % 20 <> 13"
+
+  /** The oracle-equivalence guard the r14 advice asked to enforce
+    * rather than imply: Spark's quantized queries come from the PURGED
+    * qtable while the oracle's q8 CTE is unpurged, so the equivalence
+    * holds only while every query id survives the purge. Checked at
+    * the point of hazard — a doomed query id (a changed predicate, or
+    * the receipts-only SPARK_GRAFT_ANN_QUERIES knob pushed past one)
+    * now fails loudly instead of silently dropping whole queries on
+    * the Spark side only. */
+  private def requireQueriesSurvive(op: String): Unit = {
+    val doomedQ = (0L until annQueryCount.toLong).filter(ivfSqDoomedLong)
+    require(doomedQ.isEmpty,
+      s"$op: query ids ${doomedQ.mkString(",")} fall inside the purge " +
+        "predicate — the Spark side would drop their queries while the " +
+        "oracle keeps them; shrink SPARK_GRAFT_ANN_QUERIES or change the predicate")
+  }
+
   def annIvfSqDelete(spark: SparkSession, dir: String): DataFrame = {
-    val doomed = col("vec_id") % 20 === 13
+    requireQueriesSurvive("ann_ivfsq_delete")
     val asg = ivf2DeleteStage(spark, dir, "ivfsqdelA")
-    cowDeleteApply(spark, asg, ivf2AssignSchema, doomed)
+    cowDeleteApply(spark, asg, ivf2AssignSchema, ivfSqDoomed)
     val qt = sq8DeleteStage(spark, dir, "ivfsqdelQ")
-    cowDeleteApply(spark, qt, sq8Schema, doomed)
+    cowDeleteApply(spark, qt, sq8Schema, ivfSqDoomed)
     val idx = ivf2Index(spark, dir)
     sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,
       spark.read.schema(ivf2AssignSchema).parquet(asg)
@@ -2467,14 +2513,9 @@ object Similarity {
       sq8TableView(spark, qt)))
   }
 
-  // lazy: derives from annIvfSqSearchSql, which is declared later in
-  // the object body (vals initialize in declaration order)
-  lazy val annIvfSqDeleteSql: String = {
-    val anchor = "WHERE c.vec_id <> p.query_id)"
-    require(annIvfSqSearchSql.contains(anchor), "ivfsq oracle anchor moved")
-    annIvfSqSearchSql.replace(anchor,
-      "WHERE c.vec_id <> p.query_id AND c.vec_id % 20 <> 13)")
-  }
+  // the composed search oracle with the purged ids excluded from the
+  // stage-1 candidate set — parameterized, not string-replaced
+  val annIvfSqDeleteSql: String = ivfSqSearchSqlWith(ivfSqDoomedSql)
 
   /** IVF-SQ8 — the composed index FAISS ships as `IVF<k>,SQ8`, and the
     * one a 100 TB deployment actually runs: two-level ROUTING picks the
@@ -2570,7 +2611,13 @@ object Similarity {
       sq8StoredStage1(spark, dir)))
   }
 
-  val annIvfSqSearchSql: String =
+  /** The composed IVF-SQ8 oracle with a caller-supplied extra stage-1
+    * candidate filter (SQL conjunct over `c`, empty for the plain
+    * search) — shared by [[annIvfSqSearchSql]] and the delete rows'
+    * purged-ids exclusion, so the derived oracles are parameterized at
+    * the source instead of string-replaced after the fact (the r14
+    * verdict's brittleness nit). */
+  private def ivfSqSearchSqlWith(candFilter: String): String =
     s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
@@ -2594,7 +2641,7 @@ object Similarity {
       |  FROM sqn c JOIN lists l ON c.vec_id = l.vec_id
       |             JOIN probes p ON l.cid = p.cid
       |             JOIN q8 ON q8.query_id = p.query_id
-      |  WHERE c.vec_id <> p.query_id),
+      |  WHERE c.vec_id <> p.query_id$candFilter),
       |cand10 AS (
       |  SELECT query_id, vec_id FROM (
       |    SELECT query_id, vec_id,
@@ -2616,6 +2663,8 @@ object Similarity {
       |  FROM resc)
       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) + 0 AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin
+
+  val annIvfSqSearchSql: String = ivfSqSearchSqlWith("")
 
   val annSq8SearchSql: String =
     """WITH e AS (
