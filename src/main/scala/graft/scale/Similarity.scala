@@ -912,11 +912,31 @@ object Similarity {
     * an explicit predicate (must be row-group-stats-prunable on the
     * cluster key for the census to stay file-pruned): the retention
     * rows delete `vec_id < cutoff`; [[annIvfSqDelete]]'s targeted
-    * purge deletes a tail range. */
+    * purge deletes a scattered modular set. */
   private[scale] def cowDeleteApply(spark: SparkSession, src: String,
-      schema: String, doomed: Column): Unit = {
+      schema: String, doomed: Column): Unit =
+    cowDeleteApplyBy(spark, src, schema, _.filter(doomed), _.filter(!doomed))
+
+  /** KEYED variant of the COW kernel — the fold half of the
+    * merge-on-read delete ([[annIvfSqMorFold]]): the doomed set arrives
+    * as a fit-sized id table (the tombstone sidecar), not a predicate,
+    * so the census selects doomed rows by a BROADCAST semi-join and
+    * stages survivors by the matching anti-join; journal and swap are
+    * shared verbatim with the predicate path. A keyed census cannot be
+    * row-group-pruned (scattered ids touch every file — that is
+    * precisely why the MOR rows defer it to compaction time). */
+  private[scale] def cowDeleteApplyKeys(spark: SparkSession, src: String,
+      schema: String, keys: DataFrame): Unit =
+    cowDeleteApplyBy(spark, src, schema,
+      _.join(broadcast(keys), Seq("vec_id"), "left_semi"),
+      _.join(broadcast(keys), Seq("vec_id"), "left_anti"))
+
+  private def cowDeleteApplyBy(spark: SparkSession, src: String, schema: String,
+      doomedRows: DataFrame => DataFrame,
+      survivors: DataFrame => DataFrame): Unit = {
     ivf2DeleteRecover(spark, src) // finish any interrupted prior swap
-    if (cowDeletePrepare(spark, src, schema, doomed)) ivf2DeleteRecover(spark, src)
+    if (cowDeletePrepareBy(spark, src, schema, doomedRows, survivors))
+      ivf2DeleteRecover(spark, src)
   }
 
   /** The assignment-table schema the COW kernel defaults to; the
@@ -947,16 +967,24 @@ object Similarity {
     cowDeletePrepare(spark, src, schema, col("vec_id") < cutoff)
 
   private[scale] def cowDeletePrepare(spark: SparkSession, src: String,
-      schema: String, doomed: Column): Boolean = {
+      schema: String, doomed: Column): Boolean =
+    cowDeletePrepareBy(spark, src, schema, _.filter(doomed), _.filter(!doomed))
+
+  private def cowDeletePrepareBy(spark: SparkSession, src: String, schema: String,
+      doomedRows: DataFrame => DataFrame,
+      survivors: DataFrame => DataFrame): Boolean = {
     import org.apache.hadoop.fs.Path
-    val dirty = spark.read.schema(schema).parquet(src)
-      .filter(doomed)
-      .select(col("_metadata.file_path")).distinct()
+    // the file-path metadata column is attached at the scan, BEFORE the
+    // caller's doomed-row selection runs (a filter sees through the
+    // projection; the keyed variant's semi-join could not request
+    // _metadata on its own output)
+    val dirty = doomedRows(spark.read.schema(schema).parquet(src)
+        .withColumn("__graft_fp", col("_metadata.file_path")))
+      .select(col("__graft_fp")).distinct()
       .collect().map(_.getString(0))
     if (dirty.isEmpty) return false
     val stage = graft.util.Scratch.register(s"$src.rewrite")
-    spark.read.schema(schema).parquet(dirty.toIndexedSeq: _*)
-      .filter(!doomed)
+    survivors(spark.read.schema(schema).parquet(dirty.toIndexedSeq: _*))
       .write.mode("overwrite").parquet(stage)
     val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new Path(stage))
@@ -2517,6 +2545,97 @@ object Similarity {
   // stage-1 candidate set — parameterized, not string-replaced
   val annIvfSqDeleteSql: String = ivfSqSearchSqlWith(ivfSqDoomedSql)
 
+  /** MERGE-ON-READ composed delete — the same scattered GDPR purge as
+    * [[annIvfSqDelete]] (same predicate, same survivors, SAME oracle)
+    * through the mechanism a 100 TB deployment actually wants for it:
+    * the COW row honestly measures that a scattered predicate defeats
+    * file pruning and full-rewrites both corpus-sized tables — the
+    * known lakehouse pain a DELETION VECTOR solves. Here delete time
+    * writes ONLY the tombstone sidecar (the purge-set id table — KB to
+    * MB at any corpus size, one column-pruned scan to derive, zero
+    * data-file rewrites; MorSpec pins the census byte-identical), and
+    * the serve path merges on read: both stored halves anti-join the
+    * BROADCAST sidecar (purge sets are fit-sized — that is the deletion-
+    * vector premise) before the composed search runs. Reclaim is
+    * deferred to compaction ([[annIvfSqMorFold]]), exactly the
+    * Delta/Iceberg merge-on-read → OPTIMIZE split, and the reference's
+    * own K5 retention is likewise deferred-not-eager. Delete-time cost
+    * is O(purge set) instead of O(table); the serve pays one broadcast
+    * anti-join per half — SCALE.md carries the measured comparison
+    * against the COW row. */
+  def annIvfSqDeleteMor(spark: SparkSession, dir: String): DataFrame = {
+    requireQueriesSurvive("ann_ivfsq_delete_mor")
+    val asg = ivf2DeleteStage(spark, dir, "ivfsqmorA")
+    val qt = sq8DeleteStage(spark, dir, "ivfsqmorQ")
+    val tomb = ivfSqMorTombstones(spark, dir, asg, "ivfsqmorT")
+    ivfSqMorServeRead(spark, dir, asg, qt, tomb)
+  }
+
+  /** The MOR delete step: derive the purge-set id table from the
+    * predicate over ONE column of the assignment table (a production
+    * purge set arrives as ids; this is its fixture stand-in) and land
+    * it as the sidecar — a single tiny file, gated by the completion-
+    * marker protocol every other index table uses. The stored halves
+    * are not touched: this write IS the entire delete-time cost. */
+  private[scale] def ivfSqMorTombstones(spark: SparkSession, dir: String,
+      asg: String, tag: String): String = {
+    val tomb = graft.util.Scratch.path(tag, dir)
+    val marker = new java.io.File(s"$tomb/_GRAFT_INDEX_COMPLETE")
+    marker.delete()
+    spark.read.schema(ivf2AssignSchema).parquet(asg)
+      .filter(ivfSqDoomed).select(col("vec_id"))
+      .coalesce(1).write.mode("overwrite").parquet(tomb)
+    marker.createNewFile()
+    tomb
+  }
+
+  /** The merge-on-read serve: each stored half applies the tombstones
+    * at read time via a broadcast anti-join, then the composed search
+    * runs unchanged. An id in the sidecar can never be served even
+    * though its bytes are still in both tables — the deletion-vector
+    * contract. */
+  private[scale] def ivfSqMorServeRead(spark: SparkSession, dir: String,
+      asg: String, qt: String, tomb: String): DataFrame = {
+    require(new java.io.File(s"$tomb/_GRAFT_INDEX_COMPLETE").exists(),
+      s"tombstone sidecar incomplete at $tomb")
+    val tombIds = spark.read.schema("vec_id BIGINT").parquet(tomb)
+    def live(df: DataFrame): DataFrame =
+      df.join(broadcast(tombIds), Seq("vec_id"), "left_anti")
+    val idx = ivf2Index(spark, dir)
+    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,
+      live(spark.read.schema(ivf2AssignSchema).parquet(asg))
+        .select(col("vec_id"), col("cid")),
+      live(sq8TableView(spark, qt))))
+  }
+
+  /** The FOLD half of the merge-on-read delete — compaction applying
+    * the accumulated tombstones to the data files (Delta/Iceberg's
+    * OPTIMIZE folding deletion vectors): both stored halves run the
+    * KEYED COW kernel ([[cowDeleteApplyKeys]] — doomed rows selected by
+    * a broadcast semi-join against the sidecar, journal/swap machinery
+    * shared with the eager row), the sidecar is cleared, and the
+    * composed search then serves the folded tables with NO anti-join in
+    * the plan. Same survivors as both other delete rows, same oracle —
+    * the lifecycle claim is that delete → serve-merged → fold → serve-
+    * plain never changes a result, only WHEN the rewrite cost is paid
+    * (at compaction, amortized across every other reason to compact,
+    * instead of inline with the delete). */
+  def annIvfSqMorFold(spark: SparkSession, dir: String): DataFrame = {
+    requireQueriesSurvive("ann_ivfsq_mor_fold")
+    val asg = ivf2DeleteStage(spark, dir, "ivfsqfoldA")
+    val qt = sq8DeleteStage(spark, dir, "ivfsqfoldQ")
+    val tomb = ivfSqMorTombstones(spark, dir, asg, "ivfsqfoldT")
+    val keys = spark.read.schema("vec_id BIGINT").parquet(tomb)
+    cowDeleteApplyKeys(spark, asg, ivf2AssignSchema, keys)
+    cowDeleteApplyKeys(spark, qt, sq8Schema, keys)
+    graft.util.Scratch.cleanupPath(tomb) // tombstones folded in: sidecar retires
+    val idx = ivf2Index(spark, dir)
+    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,
+      spark.read.schema(ivf2AssignSchema).parquet(asg)
+        .select(col("vec_id"), col("cid")),
+      sq8TableView(spark, qt)))
+  }
+
   /** IVF-SQ8 — the composed index FAISS ships as `IVF<k>,SQ8`, and the
     * one a 100 TB deployment actually runs: two-level ROUTING picks the
     * nprobe = 2 lists per query (the [[annIvf2Search]] machinery,
@@ -3028,6 +3147,8 @@ object Similarity {
     "ann_sq8_append"  -> (annSq8Append _),
     "ann_sq8_delete"  -> (annSq8Delete _),
     "ann_ivfsq_delete" -> (annIvfSqDelete _),
+    "ann_ivfsq_delete_mor" -> (annIvfSqDeleteMor _),
+    "ann_ivfsq_mor_fold" -> (annIvfSqMorFold _),
     "ann_ivfsq_search" -> (annIvfSqSearch _),
     "ann_ivfsq_serve" -> (annIvfSqServe _),
     "ann_ivf_search"  -> (annIvfSearch _),
@@ -3075,6 +3196,10 @@ object Similarity {
     "ann_sq8_append"  -> annSq8SearchSql,
     "ann_sq8_delete"  -> annSq8DeleteSql,
     "ann_ivfsq_delete" -> annIvfSqDeleteSql,
+    // merge-on-read and its fold share the eager COW row's oracle by
+    // construction: same purge, same survivors, different mechanism
+    "ann_ivfsq_delete_mor" -> annIvfSqDeleteSql,
+    "ann_ivfsq_mor_fold" -> annIvfSqDeleteSql,
     "ann_ivfsq_search" -> annIvfSqSearchSql,
     // serve = search content-wise (stored routing argmins + lossless
     // int8 round-trip); only the plan differs — nothing recomputes
