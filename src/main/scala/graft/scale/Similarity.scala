@@ -539,9 +539,17 @@ object Similarity {
   private[scale] case class Ivf2Index(k: Int, k1: Int, c: DataFrame,
       supers: DataFrame, groups: DataFrame, assigned: DataFrame)
 
-  private[scale] def ivf2Index(spark: SparkSession, dir: String): Ivf2Index = {
-    val c = corpus(spark, dir)
-    val k = ivfK(spark, dir)
+  private[scale] def ivf2Index(spark: SparkSession, dir: String): Ivf2Index =
+    ivf2IndexOver(corpus(spark, dir), corpusCount(spark, dir))
+
+  /** [[ivf2Index]] over an EXPLICIT corpus frame and its row count —
+    * the training kernel behind both the steady-state index (full
+    * corpus) and [[annIvf2Rebuild]]'s day-0 generation (a corpus
+    * prefix, scheduled at ITS OWN n). The centroid/super sets are
+    * vec_id prefixes, so any prefix slice contains its own training
+    * set. */
+  private[scale] def ivf2IndexOver(c: DataFrame, n: Long): Ivf2Index = {
+    val k = ivfSchedule(n)
     val k1 = ivfSchedule(k.toLong)
     val cents = c.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -855,6 +863,106 @@ object Similarity {
       |SELECT s.scenario, s.n, kt.k_built, 256 * kt.k_built AS capacity,
       |       s.n > 256 * kt.k_built AS rebuild_needed
       |FROM s CROSS JOIN kt""".stripMargin
+
+  // ------------------------------------------------------------- rebuild
+  /** Root dir of the GENERATIONED serve index [[annIvf2Rebuild]]
+    * maintains: `$root/gen-<g>/{supers,groups,assigned}` per
+    * generation, each behind its own completion marker, with the live
+    * generation named by the `_GRAFT_CURRENT` pointer file. */
+  private[scale] def ivf2RebuildPath(dir: String): String =
+    graft.util.Scratch.path("ivf2rebuild", dir)
+
+  private def ivf2GenPointer(root: String): java.io.File =
+    new java.io.File(s"$root/_GRAFT_CURRENT")
+
+  /** The live generation name, read from the pointer — None before the
+    * first cutover. */
+  private[scale] def ivf2CurrentGen(root: String): Option[String] = {
+    val p = ivf2GenPointer(root)
+    if (p.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8").trim)
+    else None
+  }
+
+  /** Build ONE generation aside: train the two-level index over the
+    * given corpus slice at ITS OWN schedule, land the three tables
+    * under `$root/$gen`, then the completion marker. Nothing here
+    * touches the live generation — readers keep serving it. */
+  private[scale] def ivf2RebuildAside(spark: SparkSession, root: String,
+      gen: String, c: DataFrame, n: Long): Unit = {
+    val base = s"$root/$gen"
+    val marker = new java.io.File(s"$base/_GRAFT_INDEX_COMPLETE")
+    marker.delete()
+    val idx = ivf2IndexOver(c, n)
+    idx.supers.write.mode("overwrite").parquet(s"$base/supers")
+    idx.groups.write.mode("overwrite").parquet(s"$base/groups")
+    idx.assigned.select(col("vec_id"), col("cid"))
+      .write.mode("overwrite").parquet(s"$base/assigned")
+    marker.createNewFile()
+  }
+
+  /** The CUTOVER: flip the pointer to a completed generation with an
+    * atomic rename (tmp write + ATOMIC_MOVE), so a reader sees either
+    * the old pointer or the new — never a partial one. The old
+    * generation's tables stay on disk (in-flight readers finish
+    * against them; reclaim is a later sweep), which is the
+    * two-phase swap every online index rebuild runs. */
+  private[scale] def ivf2RebuildCutover(root: String, gen: String): Unit = {
+    require(new java.io.File(s"$root/$gen/_GRAFT_INDEX_COMPLETE").exists(),
+      s"cutover to incomplete generation $gen at $root")
+    val tmp = java.nio.file.Paths.get(s"$root/_GRAFT_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, ivf2GenPointer(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Serve against whatever generation the pointer names — the read
+    * path a deployment's query fleet runs while rebuilds happen
+    * underneath it. */
+  private[scale] def ivf2GenServeRead(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val gen = ivf2CurrentGen(root).getOrElse(
+      sys.error(s"no live generation at $root"))
+    val base = s"$root/$gen"
+    require(new java.io.File(s"$base/_GRAFT_INDEX_COMPLETE").exists(),
+      s"live generation $gen incomplete at $root")
+    top3(ivf2Route(corpus(spark, dir),
+      spark.read.schema("sid BIGINT, sv ARRAY<DOUBLE>").parquet(s"$base/supers"),
+      spark.read.schema("cid BIGINT, cv ARRAY<DOUBLE>, sid BIGINT").parquet(s"$base/groups"),
+      spark.read.schema("vec_id BIGINT, cid BIGINT").parquet(s"$base/assigned")))
+  }
+
+  /** INDEX REBUILD — the retrain-and-swap executor for the
+    * [[annIvf2Staleness]] census's `rebuild_needed` flag, the last
+    * verb of the FAISS index lifecycle (build → serve → add → compact
+    * → delete → RETRAIN): day-0 serves a generation trained on the
+    * early corpus (the first 10% of vec_ids, scheduled at ITS n — the
+    * frozen codebook every append inherits), growth then outruns it
+    * (the census detects n > 256·k_built; at sf10 the day-0 schedule
+    * genuinely differs, k 128 → 1024), and the executor retrains ASIDE
+    * at the grown corpus's own schedule, lands the new generation
+    * behind its completion marker, and CUTS OVER with one atomic
+    * pointer rename. The old generation serves every query until the
+    * flip — RebuildSpec pins that a serve issued after the new build
+    * lands but before the cutover still returns day-0 results — so a
+    * query fleet never sees a partial index, the same contract the
+    * journaled COW swap gives the delete rows. Oracle: the fresh-build
+    * search at the post-growth corpus ([[annIvf2SearchSql]]) — a
+    * rebuilt index must be indistinguishable from one built from
+    * scratch today. */
+  def annIvf2Rebuild(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivf2RebuildPath(dir)
+    val c = corpus(spark, dir)
+    val n = corpusCount(spark, dir)
+    if (ivf2CurrentGen(root).isEmpty) { // day-0: the soon-stale build
+      ivf2RebuildAside(spark, root, "gen-0", c.filter(col("vec_id") < n / 10L), n / 10L)
+      ivf2RebuildCutover(root, "gen-0")
+    }
+    ivf2RebuildAside(spark, root, "gen-1", c, n) // retrain at grown n
+    ivf2RebuildCutover(root, "gen-1")            // atomic flip
+    ivf2GenServeRead(spark, dir, root)
+  }
 
   /** The staged table [[annIvf2Delete]] mutates: the full two-level
     * assignment, RANGE-CLUSTERED on vec_id into a fixed 8 files. The
@@ -3141,6 +3249,7 @@ object Similarity {
     "ann_ivf2_append" -> (annIvf2Append _),
     "ann_ivf2_compact" -> (annIvf2Compact _),
     "ann_ivf2_staleness" -> (annIvf2Staleness _),
+    "ann_ivf2_rebuild" -> (annIvf2Rebuild _),
     "ann_ivf2_delete" -> (annIvf2Delete _),
     "ann_sq8_search"  -> (annSq8Search _),
     "ann_sq8_serve"   -> (annSq8Serve _),
@@ -3185,6 +3294,9 @@ object Similarity {
     // file-count drop
     "ann_ivf2_compact" -> annIvf2AssignSql,
     "ann_ivf2_staleness" -> annIvf2StalenessSql,
+    // a rebuilt index must be indistinguishable from a fresh build at
+    // the post-growth corpus: same search oracle as the inline row
+    "ann_ivf2_rebuild" -> annIvf2SearchSql,
     "ann_ivf2_delete" -> annIvf2DeleteSql,
     "ann_sq8_search"  -> annSq8SearchSql,
     // serve = search content-wise (lossless TINYINT round-trip); only
