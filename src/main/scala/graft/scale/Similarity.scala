@@ -1656,8 +1656,8 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
         .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
     val brute = top10(bruteScored(spark, dir))
-    def recallOf(approx: DataFrame, method: String): DataFrame =
-      approx.alias("a").join(brute.alias("b"),
+    def recallAgainst(approx: DataFrame, truth: DataFrame, method: String): DataFrame =
+      approx.alias("a").join(truth.alias("b"),
           col("a.query_id") === col("b.query_id") && col("a.vec_id") === col("b.vec_id"),
           "left")
         .groupBy(col("a.query_id").as("query_id"))
@@ -1665,6 +1665,8 @@ object Similarity {
         .select(col("query_id"), lit(method).as("method"),
           col("n_retrieved"), col("n_hits"),
           round(col("n_hits").cast("double") / k, 6).as("recall_at_10"))
+    def recallOf(approx: DataFrame, method: String): DataFrame =
+      recallAgainst(approx, brute, method)
     // PQ orders by ASYMMETRIC DISTANCE (ascending), not cosine — its
     // own cut, same ground truth
     def adistTop(scored: DataFrame): DataFrame = scored
@@ -1695,7 +1697,53 @@ object Similarity {
       // see [[annOpqSearch]]); the row is how an anisotropic corpus
       // would surface the standard OPQ win
       .union(recallOf(opqTop, "opq"))
+      // r15: the ANISOTROPIC regime the opq row could not show on the
+      // isotropic fixture — a deterministic energy-concentrated corpus
+      // variant ([[anisoCorpus]]: dim j scaled by the exact 2^-(j/8),
+      // so PQ subspace s carries 4^-s of the variance), ground truth
+      // recomputed exact on it, then the SAME pq and opq kernels at
+      // the same 8-byte code size. Here the rotation has real work to
+      // do (spread the dominant block across all 8 subspaces so the
+      // fixed 4-bit budget per subspace quantizes signal, not dead
+      // dims) and the sheet carries the measured opq>pq delta next to
+      // the honest isotropic null — both regimes, one acceptance row.
+      .union(recallAgainst(adistTop(pqScoredOver(anisoCorpus(spark, dir))),
+        anisoBrute(spark, dir), "pq_aniso"))
+      .union(recallAgainst(adistTop(pqScoredOver(anisoCorpus(spark, dir)
+          .select(col("vec_id"), hdRotate(col("v")).as("v")))),
+        anisoBrute(spark, dir), "opq_aniso"))
   }
+
+  /** Deterministic ANISOTROPIC corpus variant: dim j scaled by
+    * 2^-(j div 8) — an exact exponent shift in IEEE double (no rounding
+    * anywhere, so DuckDB reproduces it bit-for-bit), giving PQ
+    * subspace s exactly 4^-s of the per-dim variance. This is the
+    * energy concentration trained encoders actually exhibit (the OPQ
+    * paper's premise) made reproducible: strong enough that vanilla
+    * PQ's uniform 4-bit-per-subspace budget is provably misallocated,
+    * axis-aligned so the fixed Hadamard rotation's spreading is
+    * exactly the fix. */
+  private def anisoCorpus(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).select(col("vec_id"),
+      zip_with(col("v"), sequence(lit(0), lit(63)),
+        (x, j) => x / pow(lit(2.0), floor(j / lit(8.0)))).as("v"))
+
+  /** Exact top-10 ground truth on the anisotropic corpus (cosine, same
+    * cut as the main sheet's `brute`) — memoized like the isotropic
+    * ground truth: both aniso rows re-read it. */
+  private def anisoBrute(spark: SparkSession, dir: String): DataFrame =
+    DirMemo.getOrCompute(spark, "ann_aniso_brute", dir) {
+      val c = anisoCorpus(spark, dir).withColumn("nrm", norm(col("v")))
+      val q = c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= 10).select(col("query_id"), col("vec_id"))
+        .localCheckpoint()
+    }
 
   val annRecall2Sql: String =
     s"""WITH e AS (
@@ -1827,6 +1875,101 @@ object Similarity {
       |                 ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
       |        FROM opqagg)
       |  WHERE rank <= 10),
+      |aniso AS (
+      |  SELECT vec_id,
+      |         list_transform(generate_series(0, 63), j -> v[j+1] / pow(2.0, j // 8)) AS v
+      |  FROM e),
+      |anison AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM aniso),
+      |aqb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM anison WHERE vec_id < 10),
+      |abscored AS (
+      |  SELECT aqb.query_id, c.vec_id,
+      |         list_sum(list_transform(list_zip(c.v, aqb.qv), p -> p[1] * p[2])) / (c.nrm * aqb.qn) AS cosine
+      |  FROM anison c, aqb WHERE c.vec_id <> aqb.query_id),
+      |abrute AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |        FROM abscored)
+      |  WHERE rank <= 10),
+      |apqsub AS (
+      |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+      |  FROM aniso, unnest(generate_series(0, 7)) AS t(s)),
+      |apqcsub AS (SELECT vec_id AS cid, s, sub AS csub FROM apqsub WHERE vec_id < 16),
+      |apqd AS (
+      |  SELECT p.vec_id, p.s, c.cid,
+      |         list_sum(list_transform(list_zip(p.sub, c.csub),
+      |                                 q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d
+      |  FROM apqsub p JOIN apqcsub c USING (s)),
+      |apqcodes AS (
+      |  SELECT vec_id, s, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+      |        FROM apqd)
+      |  WHERE rk = 1),
+      |apqqd AS (SELECT vec_id AS query_id, s, cid, d FROM apqd WHERE vec_id < 10),
+      |apqagg AS (
+      |  SELECT c.vec_id, q.query_id,
+      |         sum(CASE WHEN c.s = 0 THEN q.d END) AS d0,
+      |         sum(CASE WHEN c.s = 1 THEN q.d END) AS d1,
+      |         sum(CASE WHEN c.s = 2 THEN q.d END) AS d2,
+      |         sum(CASE WHEN c.s = 3 THEN q.d END) AS d3,
+      |         sum(CASE WHEN c.s = 4 THEN q.d END) AS d4,
+      |         sum(CASE WHEN c.s = 5 THEN q.d END) AS d5,
+      |         sum(CASE WHEN c.s = 6 THEN q.d END) AS d6,
+      |         sum(CASE WHEN c.s = 7 THEN q.d END) AS d7
+      |  FROM apqcodes c JOIN apqqd q ON q.s = c.s AND q.cid = c.cid
+      |  WHERE c.vec_id <> q.query_id
+      |  GROUP BY c.vec_id, q.query_id),
+      |apqtop AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
+      |        FROM apqagg)
+      |  WHERE rank <= 10),
+      |arote AS (
+      |  SELECT vec_id,
+      |         list_transform(generate_series(0, 63), i ->
+      |           list_sum(list_transform(generate_series(0, 63), j ->
+      |             CASE WHEN (bit_count(i & j) + bit_count(j)) % 2 = 0
+      |                  THEN v[j+1] ELSE -v[j+1] END)) / 8.0) AS v
+      |  FROM aniso),
+      |aopqsub AS (
+      |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+      |  FROM arote, unnest(generate_series(0, 7)) AS t(s)),
+      |aopqcsub AS (SELECT vec_id AS cid, s, sub AS csub FROM aopqsub WHERE vec_id < 16),
+      |aopqd AS (
+      |  SELECT p.vec_id, p.s, c.cid,
+      |         list_sum(list_transform(list_zip(p.sub, c.csub),
+      |                                 q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d
+      |  FROM aopqsub p JOIN aopqcsub c USING (s)),
+      |aopqcodes AS (
+      |  SELECT vec_id, s, cid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+      |        FROM aopqd)
+      |  WHERE rk = 1),
+      |aopqqd AS (SELECT vec_id AS query_id, s, cid, d FROM aopqd WHERE vec_id < 10),
+      |aopqagg AS (
+      |  SELECT c.vec_id, q.query_id,
+      |         sum(CASE WHEN c.s = 0 THEN q.d END) AS d0,
+      |         sum(CASE WHEN c.s = 1 THEN q.d END) AS d1,
+      |         sum(CASE WHEN c.s = 2 THEN q.d END) AS d2,
+      |         sum(CASE WHEN c.s = 3 THEN q.d END) AS d3,
+      |         sum(CASE WHEN c.s = 4 THEN q.d END) AS d4,
+      |         sum(CASE WHEN c.s = 5 THEN q.d END) AS d5,
+      |         sum(CASE WHEN c.s = 6 THEN q.d END) AS d6,
+      |         sum(CASE WHEN c.s = 7 THEN q.d END) AS d7
+      |  FROM aopqcodes c JOIN aopqqd q ON q.s = c.s AND q.cid = c.cid
+      |  WHERE c.vec_id <> q.query_id
+      |  GROUP BY c.vec_id, q.query_id),
+      |aopqtop AS (
+      |  SELECT query_id, vec_id
+      |  FROM (SELECT query_id, vec_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id) AS rank
+      |        FROM aopqagg)
+      |  WHERE rank <= 10),
       |ivfsqscored AS (
       |  SELECT p.query_id, c.vec_id,
       |         list_sum(list_transform(list_zip(c.q, sq8q.qq), z -> z[1] * z[2]))
@@ -1871,6 +2014,16 @@ object Similarity {
       |  UNION ALL
       |  SELECT a.query_id, 'opq', count(*), count(b.vec_id)
       |  FROM opqtop a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  -- the anisotropic regime: same kernels, energy-concentrated
+      |  -- corpus, ground truth recomputed exact on it
+      |  SELECT a.query_id, 'pq_aniso', count(*), count(b.vec_id)
+      |  FROM apqtop a LEFT JOIN abrute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      |  GROUP BY a.query_id
+      |  UNION ALL
+      |  SELECT a.query_id, 'opq_aniso', count(*), count(b.vec_id)
+      |  FROM aopqtop a LEFT JOIN abrute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
       |  GROUP BY a.query_id)
       |SELECT query_id, method, n_retrieved, n_hits,
       |       round(CAST(n_hits AS DOUBLE) / 10, 6) + 0 AS recall_at_10

@@ -134,10 +134,19 @@ object PlanAuditSpec {
     // routing broadcast + one supers-broadcast stage from the in-plan
     // index frames the routing reuses
     "ann_ivfsq_delete" -> 2,
+    // same post-delete search shape for the merge-on-read variant and
+    // its fold — the tombstone merge itself is a broadcast HASH
+    // anti-join (MorDeleteSpec pins it), never nested-loop
+    "ann_ivfsq_delete_mor" -> 2,
+    "ann_ivfsq_mor_fold" -> 2,
     // the production serve shape: croute/vroute vanish into the
     // materialized index tables, leaving ONLY the 10-query × supers
     // routing broadcast — the 4-vs-1 delta IS the point of the row
     "ann_ivf2_serve" -> 1,
+    // rebuild serves the stored live generation: the same one
+    // routing-broadcast shape as ann_ivf2_serve (both generations'
+    // build writes happen before the measured read plan)
+    "ann_ivf2_rebuild" -> 1,
     // acceptance probe: croute + vroute + qsup from the ivf2 candidate
     // frame, plus the brute-force ground-truth pass (broadcast 10-row
     // query set over the corpus — the documented bounded kernel shared
