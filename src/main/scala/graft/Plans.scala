@@ -71,6 +71,22 @@ object Plans {
       "purge predicate (vec_id%20=13) COW-deleted from BOTH stored halves (assignment + int8 corpus), " +
       "then the composed search over the post-delete staged tables — candidates join the purged " +
       "assignment so deleted ids cannot route, and the purged qtable so they cannot score"),
+    "ann_opq_search"      -> ("OPQ (r14): PQ's ADC plan behind the fixed orthogonal Hadamard-with-" +
+      "signs rotation — the 4096-term projection (the row's real cost) is ONE codegen'd column " +
+      "expression in the corpus scan's Project, map-side, adding ZERO exchanges over vanilla PQ; " +
+      "the stored-rotated-corpus serve variant exists if the projection ever dominates"),
+    "ann_ivf2_rebuild"    -> ("index RETRAIN-AND-SWAP (r15, the staleness census's executor): the " +
+      "stale day-0 generation and the retrained one are built ASIDE behind completion markers, " +
+      "the cutover is one atomic pointer rename, and THIS plan — the serve read through the " +
+      "pointer — is just the stored-table ivf2 serve shape: the rebuild never touches the serve path"),
+    "ann_ivfsq_delete_mor" -> ("MERGE-ON-READ composed delete (r15, the deletion-vector mechanism): " +
+      "delete time writes ONLY the tombstone sidecar; the serve plan anti-joins the BROADCAST " +
+      "sidecar into BOTH stored halves (BroadcastHashJoin LeftAnti, no shuffle added) before the " +
+      "composed search — O(purge set) delete cost where the COW row full-rewrites both tables"),
+    "ann_ivfsq_mor_fold"  -> ("the FOLD half of merge-on-read (r15, OPTIMIZE folding deletion " +
+      "vectors): the keyed COW kernel selects doomed rows by broadcast semi-join against the " +
+      "sidecar, rewrites, swaps; the post-fold serve is the PLAIN composed search — the anti-joins " +
+      "are gone from the plan because the bytes are gone from the table"),
     "ann_ivfsq_search"    -> ("IVF-SQ8 composed index (r13, FAISS IVF<k>,SQ8): the ivf2 routing " +
       "argmins pick nprobe=2 lists, the probed lists scan QUANTIZED through equi-joins on " +
       "(cid)/(vec_id) — zero new nested loops — and the <=10/query winners re-score exact; " +

@@ -2991,6 +2991,41 @@ object Similarity {
       sq8StoredStage1(spark, dir)))
   }
 
+  /** The stored composed index re-laid for the STREAMING serve path
+    * ([[graft.streaming.IndexNearDup]]): (routing, lists) where
+    * `routing` is a ONE-ROW frame packing the fit-sized routing tables
+    * (supers + groups as array<struct> columns — a stream-static cross
+    * join rides it along every arriving row so the per-row argmins run
+    * as map-side array folds, no streaming aggregation), and `lists`
+    * is the stored int8 corpus re-laid one-row-per-inverted-list
+    * (cid, entries array<struct<vec_id, q TINYINT[], qn>>) — the
+    * contiguous-list layout FAISS itself serves from, materialized
+    * once behind the completion-marker protocol every other index
+    * table uses. List size is bounded by the k-schedule (~256 vectors
+    * per list), so a list row is O(tens of KB) at any corpus size and
+    * the stream-static equi-join on cid is the whole per-arrival
+    * candidate fetch. */
+  private[graft] def ivfSqStreamIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (supers, groups, assigned) = ivf2StoredIndex(spark, dir)
+    sq8StoredStage1(spark, dir) // ensure the int8 table is down
+    val tmp = graft.util.Scratch.path("ivfsqlists", dir)
+    val marker = new java.io.File(s"$tmp/_GRAFT_INDEX_COMPLETE")
+    if (!marker.exists()) {
+      spark.read.schema(sq8Schema).parquet(s"${sq8ServePath(dir)}/qtable")
+        .join(assigned, "vec_id")
+        .groupBy(col("cid"))
+        .agg(collect_list(struct(col("vec_id"), col("q"), col("qn"))).as("entries"))
+        .write.mode("overwrite").parquet(tmp)
+      marker.createNewFile()
+    }
+    val routing = supers.agg(collect_list(struct(col("sid"), col("sv"))).as("supers"))
+      .crossJoin(groups.agg(collect_list(struct(col("cid"), col("cv"), col("sid"))).as("groups")))
+    val lists = spark.read.schema(
+        "cid BIGINT, entries ARRAY<STRUCT<vec_id: BIGINT, q: ARRAY<TINYINT>, qn: DOUBLE>>")
+      .parquet(tmp)
+    (routing, lists)
+  }
+
   /** The composed IVF-SQ8 oracle with a caller-supplied extra stage-1
     * candidate filter (SQL conjunct over `c`, empty for the plain
     * search) — shared by [[annIvfSqSearchSql]] and the delete rows'

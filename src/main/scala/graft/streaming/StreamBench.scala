@@ -87,6 +87,9 @@ object StreamBench {
     // key-population knob for the saturation receipt: the stateful fold
     // ceiling should scale with symbol count, not executor count
     val nSymbols = sys.env.getOrElse("SPARK_GRAFT_STREAM_SYMBOLS", "3").toInt
+    // corpus dir for the stream-static channel (index_near_dup checks
+    // arrivals against the stored ANN index built from this fixture)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     require(nSymbols >= 1,
       s"SPARK_GRAFT_STREAM_SYMBOLS must be >= 1, got $nSymbols — 0 or negative " +
         "would flow into `value % nSymbols` and yield null symbols or an ANSI error")
@@ -163,7 +166,19 @@ object StreamBench {
         "garch_vol"          -> (() => counting("garch_vol",
           Channels.garchVolStream(spark, tickCandles).toDF())),
         "trending"           -> (() => counting("trending",
-          Channels.trendingStream(spark, ticks).toDF())))
+          Channels.trendingStream(spark, ticks).toDF())),
+        // stream-static serve: every arriving synthetic embedding is
+        // near-dup-checked against the STORED IVF-SQ8 index (built once
+        // at channel start, OUTSIDE the measured window — the serve-path
+        // contract). Stateless: throughput is pure per-batch plan cost.
+        "index_near_dup"     -> (() => counting("index_near_dup",
+          IndexNearDup.nearDupStream(spark, sfDir,
+            spark.readStream.format("rate").option("rowsPerSecond", r).load()
+              .select(col("value").as("vec_id"),
+                transform(sequence(lit(0), lit(63)), i =>
+                  pmod(hash(col("value"), i), lit(997)).cast("double") / lit(498.0)
+                    - lit(1.0)).as("v"),
+                col("timestamp").as("ts"))))))
 
       runs.filter(r => onlyChannels.forall(_.contains(r._1))).map { case (name, start) =>
         val s = measure(start(), seconds)
