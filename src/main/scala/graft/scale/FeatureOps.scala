@@ -327,7 +327,18 @@ object FeatureOps {
       .when(u < 0.919698602, 2)
       .when(u < 0.981011843, 3)
       .otherwise(4)
-    val replicated = Tables.events(spark, dir)
+    // r15: a small-file scan is ONE partition, so the ×32 explode +
+    // 3.2M md5 PRN draws + the partial aggregate all ran in one task
+    // (guide §2.5 input skew). Spread the heavy map work ONLY when the
+    // scan under-parallelizes the cluster (hash on event_id — a
+    // deterministic key, never round-robin-on-rand); a 100 TB scan is
+    // already thousands of tasks and must not pay a fact-table shuffle.
+    val ev = Tables.events(spark, dir)
+    val evSpread =
+      if (ev.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        ev.repartition(col("event_id"))
+      else ev
+    val replicated = evSpread
       .select(col("event_type"), col("event_id"), col("value"),
         explode(sequence(lit(0), lit(reps - 1))).as("rep"))
       .select(col("event_type"), col("rep"), col("value"), w.as("w"))

@@ -2379,13 +2379,13 @@ object Similarity {
     * expression (d = 64 ⇒ 4096 fused terms per row — a map-side pass;
     * the O(d log d) in-place FWHT would need mapPartitions and fall
     * out of codegen for no win at this d). */
+  /** r15: the HOF form of this rotation (transform/aggregate/zip_with
+    * lambdas) evaluated interpreted at ~0.6 ms/vector — see
+    * [[graft.functions.HadamardRotate]] for the codegen'd replacement
+    * and its bit-identity argument; the DuckDB mirror (opqRotCte) is
+    * unchanged and the oracle pins the equivalence. */
   private def hdRotate(v: Column): Column =
-    transform(sequence(lit(0), lit(63)), i =>
-      aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, j) =>
-          when((bit_count(i.bitwiseAND(j)) + bit_count(j)) % 2 === 0, x)
-            .otherwise(-x)),
-        lit(0.0), (a, b) => a + b) / 8.0)
+    graft.functions.GraftFunctions.hdRotate64(v)
 
   /** OPQ-rotated ADC scores — [[pqScoredOver]] on the rotated corpus:
     * codebook (rotated slices of `vec_id < 16`), corpus codes, and the

@@ -81,7 +81,12 @@ object Sinks {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
       .select(col("user_id"), col("date"), col("n"), col("total_value"),
         lit("kept").as("origin"))
-    daily.write.mode(SaveMode.Overwrite).partitionBy("date")
+    // hash-distribute on the partition column before every partitioned
+    // write (guide §6 / Iceberg write.distribution-mode=hash): without
+    // it every shuffle task opens a writer in every date dir — up to
+    // tasks×dates tiny files; with it, one right-sized file per date
+    daily.repartition(col("date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd").parquet(tmp)
     val target = spark.read.schema(daily.schema).parquet(tmp)
     // late correction batch: doubled totals for a sampled subset of the
@@ -107,7 +112,8 @@ object Sinks {
           .otherwise(lit("kept")).as("origin"),
         col("date"))
     // COW write side: dynamic overwrite rewrites ONLY merged's dates
-    merged.write.mode(SaveMode.Overwrite)
+    merged.repartition(col("date"))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "zstd")
       .partitionBy("date").parquet(tmp)
@@ -426,7 +432,10 @@ object Sinks {
         round(avg(col("close")), 6).as("avg_close"),
         round(max(col("high")), 6).as("max_high"),
         round(min(col("low")), 6).as("min_low"))
-    daily.write.mode(SaveMode.Overwrite).partitionBy("date")
+    // r15: hash-distribute on the partition column (see k1MergeCow) —
+    // one file per date dir instead of one per (task, date)
+    daily.repartition(col("date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd").parquet(tmp)
     // explicit schema: the consumer contract — and an EMPTY write leaves
     // no footers to infer from (schema inference would throw)

@@ -40,18 +40,26 @@ class PlanSpec extends SparkSpec {
     assert(executed.contains("*("), executed.take(600))
   }
 
-  test("the multi-indicator window query adds exactly ONE exchange over the candle agg") {
+  test("the multi-indicator window query adds exactly ONE exchange over the candle frame") {
     // a cache another suite materialized would substitute InMemoryRelation
     // (whose printed child plan inflates the exchange count) — plan fresh
     spark.catalog.clearCache()
-    // exchange 1: candle groupBy(user_id, bucket); exchange 2: the single
-    // window exchange on user_id SHARED by every indicator's window spec
-    // (diff, pct_change, sma 5/10/20 — five specs, one shuffle+sort)
+    // r15: candles are memoized (the reference materializes OHLCV once;
+    // ~100 queries consume it), so the consumer plan reads the
+    // checkpointed frame and adds ONLY the single window exchange on
+    // user_id SHARED by every indicator's window spec (diff,
+    // pct_change, sma 5/10/20 — five specs, one shuffle+sort)
     val p = plan(operators.Windows.w2w3SmaReturns(spark, sfDir))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(exchanges == 2, s"expected 2 exchanges (candle agg + one shared window), got $exchanges:\n$p")
+    assert(exchanges == 1, s"expected 1 exchange (one shared window), got $exchanges:\n$p")
     val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).size
     assert(sorts == 1, s"expected 1 shared window sort, got $sorts:\n$p")
+    // and the memoized frame's BUILD keeps the one-shuffle candle agg
+    // with map-side combine (the at-scale contract the old assertion
+    // pinned in-plan)
+    val b = plan(Tables.candlesUncached(spark, sfDir))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(b).size == 1, b)
+    assert(b.contains("partial_"), "candle agg lost its map-side combine:\n" + b)
   }
 
   test("the 4-stage pipeline fuses into one plan: shuffles only for candle agg + shared windows, fit broadcast") {
