@@ -44,6 +44,19 @@ object PhaseProbe {
       val h = CodegenMetrics.METRIC_COMPILATION_TIME
       (h.getCount, h.getSnapshot.getMean)
     }
+    // per-stage telemetry: (numTasks, stage wall ms, sum task ms) — the
+    // single-task-hot-stage detector (wall ≈ sum ⇒ no parallelism)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
+        val m = si.taskMetrics
+        stageLog.add((si.numTasks, wall, if (m == null) 0L else m.executorRunTime))
+        ()
+      }
+    })
     println(f"${"query"}%-26s ${"wall"}%7s ${"analys"}%7s ${"optim"}%7s ${"plan"}%7s ${"ncomp"}%6s ${"cg_est"}%7s ${"exec~"}%7s")
     names.foreach { n =>
       val fn = SparkEntry.benchImpls.getOrElse(n, SparkEntry.queries(n))
@@ -62,7 +75,11 @@ object PhaseProbe {
         val nComp = c1 - c0
         val cgEst = (c1 * m1 - c0 * m0) / 1e3 // sec, estimated from histogram mean*count
         val known = g("analysis") + g("optimization") + g("planning")
-        println(f"$n%-26s $wall%7.3f ${g("analysis")}%7.3f ${g("optimization")}%7.3f ${g("planning")}%7.3f $nComp%6d $cgEst%7.3f ${wall - known}%7.3f")
+        Thread.sleep(150) // let trailing stage events land
+        val stages = Iterator.continually(stageLog.poll()).takeWhile(_ != null).toList
+        val hot = stages.filter(_._2 > 150).sortBy(-_._2).take(4)
+          .map { case (nt, w, tt) => s"${nt}t/${w}ms(sum ${tt})" }.mkString(" ")
+        println(f"$n%-26s $wall%7.3f ${g("analysis")}%7.3f ${g("optimization")}%7.3f ${g("planning")}%7.3f $nComp%6d $cgEst%7.3f ${wall - known}%7.3f  nstages=${stages.size}%3d hot: $hot")
       }
     }
     spark.stop()

@@ -58,8 +58,21 @@ object QualityOps {
   /** The W37 operator over any (user_id, bucket, close, volume) frame —
     * separated so synthetic gap fixtures can drive it (FIXTURES.md §B). */
   def gapFill(candles: DataFrame): DataFrame = {
+    // r15: the grid explode fans ~1.5k (user, span) rows out to the
+    // full per-hour grid; the seed aggregate's exchange is bytes-tiny
+    // so AQE coalesced its reader to ONE task — and because the agg
+    // key (user_id) also satisfies the window partitioning, the
+    // explode, the candle join, AND all four window passes fused into
+    // that single serial task (measured 1t/1.2–1.4s ≈ the whole
+    // query). Repartition on (user_id, b0) — deterministic, and NOT a
+    // partitioning the window can reuse, so Catalyst cannot elide it
+    // as redundant — with an EXPLICIT cluster-scaled count AQE must
+    // respect: the fan-out spreads, and the windows get their own
+    // parallel exchange.
+    val para = candles.sparkSession.sparkContext.defaultParallelism
     val grid = candles.groupBy(col("user_id"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .repartition(para, col("user_id"), col("b0"))
       .select(col("user_id"),
         explode(sequence(col("b0"), col("b1"), expr("interval 1 hour"))).as("bucket"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))

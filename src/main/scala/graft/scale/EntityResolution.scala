@@ -74,7 +74,17 @@ object EntityResolution {
       erCandidatesImpl(spark, dir).localCheckpoint())
 
   private[graft] def erCandidatesImpl(spark: SparkSession, dir: String): DataFrame = {
-    val r = records(spark, dir)
+    // r15: the blocked self-join's levenshtein runs IN the join stage,
+    // and with both sides derived from one small-file scan AQE
+    // coalesced that stage to a single task (measured 1t/2.3s — the
+    // whole query). Hash-distribute the base on the block keys with an
+    // EXPLICIT partition count (AQE must respect it; by bytes this
+    // shuffle is KBs and would fold back to 1 task): both aliased
+    // sides inherit the layout, so the equi-join adds no new exchange
+    // and the edit-distance work spreads across the cluster.
+    val r = records(spark, dir).repartition(
+      spark.sparkContext.defaultParallelism,
+      col("noun"), col("ptype"), col("size_bucket"))
     def side(p: String) =
       r.select(r.columns.map(c => col(c).as(p + c)).toIndexedSeq: _*)
     side("a_").join(side("b_"),

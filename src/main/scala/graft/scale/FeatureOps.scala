@@ -333,10 +333,14 @@ object FeatureOps {
     // scan under-parallelizes the cluster (hash on event_id — a
     // deterministic key, never round-robin-on-rand); a 100 TB scan is
     // already thousands of tasks and must not pay a fact-table shuffle.
+    // The partition count is EXPLICIT: a bare repartition(col) leaves
+    // AQE free to coalesce the 2 MB shuffle back to one task by BYTES
+    // (measured: the md5 stage stayed 1t/2.4s) — per-row CPU here is
+    // ~1000× the per-row bytes, which AQE cannot see.
     val ev = Tables.events(spark, dir)
+    val para = spark.sparkContext.defaultParallelism
     val evSpread =
-      if (ev.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
-        ev.repartition(col("event_id"))
+      if (ev.rdd.getNumPartitions < para) ev.repartition(para, col("event_id"))
       else ev
     val replicated = evSpread
       .select(col("event_type"), col("event_id"), col("value"),

@@ -2791,10 +2791,15 @@ object Similarity {
 
   def annIvfSqDelete(spark: SparkSession, dir: String): DataFrame = {
     requireQueriesSurvive("ann_ivfsq_delete")
-    val asg = ivf2DeleteStage(spark, dir, "ivfsqdelA")
-    cowDeleteApply(spark, asg, ivf2AssignSchema, ivfSqDoomed)
-    val qt = sq8DeleteStage(spark, dir, "ivfsqdelQ")
-    cowDeleteApply(spark, qt, sq8Schema, ivfSqDoomed)
+    // r15: the two halves (assignment table, int8 corpus) stage and
+    // COW-rewrite INDEPENDENT scratch dirs with independent journals —
+    // run them concurrently (guide §2.6) instead of idling the cluster
+    // through each half's write/census/swap barriers in turn
+    val (asg, qt) = graft.util.Par.both(
+      { val a = ivf2DeleteStage(spark, dir, "ivfsqdelA")
+        cowDeleteApply(spark, a, ivf2AssignSchema, ivfSqDoomed); a },
+      { val q = sq8DeleteStage(spark, dir, "ivfsqdelQ")
+        cowDeleteApply(spark, q, sq8Schema, ivfSqDoomed); q })
     val idx = ivf2Index(spark, dir)
     sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,
       spark.read.schema(ivf2AssignSchema).parquet(asg)
@@ -2826,8 +2831,10 @@ object Similarity {
     * against the COW row. */
   def annIvfSqDeleteMor(spark: SparkSession, dir: String): DataFrame = {
     requireQueriesSurvive("ann_ivfsq_delete_mor")
-    val asg = ivf2DeleteStage(spark, dir, "ivfsqmorA")
-    val qt = sq8DeleteStage(spark, dir, "ivfsqmorQ")
+    // the two staged halves are independent writes — overlap them (§2.6)
+    val (asg, qt) = graft.util.Par.both(
+      ivf2DeleteStage(spark, dir, "ivfsqmorA"),
+      sq8DeleteStage(spark, dir, "ivfsqmorQ"))
     val tomb = ivfSqMorTombstones(spark, dir, asg, "ivfsqmorT")
     ivfSqMorServeRead(spark, dir, asg, qt, tomb)
   }
@@ -2883,12 +2890,16 @@ object Similarity {
     * instead of inline with the delete). */
   def annIvfSqMorFold(spark: SparkSession, dir: String): DataFrame = {
     requireQueriesSurvive("ann_ivfsq_mor_fold")
-    val asg = ivf2DeleteStage(spark, dir, "ivfsqfoldA")
-    val qt = sq8DeleteStage(spark, dir, "ivfsqfoldQ")
+    // staging, and later the two keyed folds, touch independent dirs
+    // with independent journals — overlap each pair (§2.6)
+    val (asg, qt) = graft.util.Par.both(
+      ivf2DeleteStage(spark, dir, "ivfsqfoldA"),
+      sq8DeleteStage(spark, dir, "ivfsqfoldQ"))
     val tomb = ivfSqMorTombstones(spark, dir, asg, "ivfsqfoldT")
     val keys = spark.read.schema("vec_id BIGINT").parquet(tomb)
-    cowDeleteApplyKeys(spark, asg, ivf2AssignSchema, keys)
-    cowDeleteApplyKeys(spark, qt, sq8Schema, keys)
+    graft.util.Par.both(
+      cowDeleteApplyKeys(spark, asg, ivf2AssignSchema, keys),
+      cowDeleteApplyKeys(spark, qt, sq8Schema, keys))
     graft.util.Scratch.cleanupPath(tomb) // tombstones folded in: sidecar retires
     val idx = ivf2Index(spark, dir)
     sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,

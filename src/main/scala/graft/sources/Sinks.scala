@@ -84,8 +84,10 @@ object Sinks {
     // hash-distribute on the partition column before every partitioned
     // write (guide §6 / Iceberg write.distribution-mode=hash): without
     // it every shuffle task opens a writer in every date dir — up to
-    // tasks×dates tiny files; with it, one right-sized file per date
-    daily.repartition(col("date"))
+    // tasks×dates tiny files; with it, one right-sized file per date.
+    // The count is EXPLICIT so AQE cannot byte-coalesce the (tiny at
+    // fixture scale) exchange back to one serial writer task
+    daily.repartition(spark.sparkContext.defaultParallelism, col("date"))
       .write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd").parquet(tmp)
     val target = spark.read.schema(daily.schema).parquet(tmp)
@@ -112,7 +114,7 @@ object Sinks {
           .otherwise(lit("kept")).as("origin"),
         col("date"))
     // COW write side: dynamic overwrite rewrites ONLY merged's dates
-    merged.repartition(col("date"))
+    merged.repartition(spark.sparkContext.defaultParallelism, col("date"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "zstd")
@@ -434,7 +436,7 @@ object Sinks {
         round(min(col("low")), 6).as("min_low"))
     // r15: hash-distribute on the partition column (see k1MergeCow) —
     // one file per date dir instead of one per (task, date)
-    daily.repartition(col("date"))
+    daily.repartition(spark.sparkContext.defaultParallelism, col("date"))
       .write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd").parquet(tmp)
     // explicit schema: the consumer contract — and an EMPTY write leaves

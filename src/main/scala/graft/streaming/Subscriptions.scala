@@ -106,7 +106,12 @@ object Subscriptions {
     * is the per-(channel, tier) adjudication census. */
   def t8ClientFanout(spark: SparkSession, dir: String): DataFrame = {
     val channels = array(channelNames.map(lit): _*)
+    // r15: the broadcast fan-out (~20 subscribers/channel) and its
+    // partial aggregates ran inside the single-task small-file scan
+    // (measured 1t/1.0s); spread the message side on a deterministic
+    // key with an explicit cluster-scaled count before fanning out
     val msgs = graft.Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .select(col("event_id"), col("ts"),
         element_at(channels, (col("event_id") % 8).cast("int") + 1).as("channel"),
         ((col("event_id") % 100).cast("double") / 100.0).as("confidence"))
