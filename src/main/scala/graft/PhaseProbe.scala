@@ -24,6 +24,12 @@ object PhaseProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
+    // experiment hook: SPARK_GRAFT_PROBE_CONF="k=v;k=v" session confs
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"[phase] conf $k=$v")
+    })
     spark.sparkContext.setLogLevel("ERROR")
     // the exact BenchAction.consume shape, but instrumented on the
     // QueryExecution that actually runs (the select's, not the input's)

@@ -40,6 +40,7 @@ object Tables {
     raw.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** OHLC candles derived from the `events` stream table — the engine's

@@ -71,7 +71,14 @@ object EntityResolution {
     * kernel cost — without the memo each consumer re-pays it. */
   def erCandidates(spark: SparkSession, dir: String): DataFrame =
     DirMemo.getOrCompute(spark, "er_cand", dir)(
-      erCandidatesImpl(spark, dir).localCheckpoint())
+      // r15: compact the checkpoint before storing it — the impl's
+      // levenshtein join now runs cluster-wide (32 partitions), but a
+      // memo checkpointed that wide makes every consumer of this
+      // fit-sized pair frame pay ~32 block-read tasks per stage
+      // (er_golden regressed 0.46→1.05 s before the repartition; the
+      // 7.7k-row shuffle here is trivial and the join's own
+      // parallelism is untouched)
+      erCandidatesImpl(spark, dir).repartition(2).localCheckpoint())
 
   private[graft] def erCandidatesImpl(spark: SparkSession, dir: String): DataFrame = {
     // r15: the blocked self-join's levenshtein runs IN the join stage,
