@@ -91,8 +91,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val w0 = System.nanoTime()
+    val coldT0 = System.currentTimeMillis()
     try { BenchAction.consume(SparkEntry.entry(spark)) } catch { case _: Throwable => failed += "entry" }
     val cold = ordered.map { case (name, fn) => timed(name, fn) }
+    val coldT1 = System.currentTimeMillis()
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // WARM pass: index-serving queries run their build plan (see the
     // scaladoc) — their warm time is the real marginal cost of the
@@ -107,9 +109,18 @@ object Bench {
     // whole registry between samples decorrelates them: a window now
     // taints one sample of a few queries, which the median discards.
     // min/max still go to BENCH_FULL as the per-query noise band.
+    // per-sweep wall-clock bounds go to BENCH_FULL (r16, verdict item
+    // 9): a host-contention window that taints one sweep (the r15
+    // dedup_incremental 6.45 s artifact) is now diagnosable from the
+    // artifact alone — the tainted sample's sweep is identifiable by
+    // its timestamp band. No timing-protocol change.
     val impls = SparkEntry.benchImpls
+    val sweepTs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val sweeps = (1 to 3).map { _ =>
-      ordered.map { case (name, fn) => timed(name, impls.getOrElse(name, fn)) }.toMap
+      val s0 = System.currentTimeMillis()
+      val r = ordered.map { case (name, fn) => timed(name, impls.getOrElse(name, fn)) }.toMap
+      sweepTs += ((s0, System.currentTimeMillis()))
+      r
     }
     val warmSamples = ordered.map { case (name, _) =>
       name -> sweeps.map(_(name))
@@ -126,8 +137,11 @@ object Bench {
     // driver's stdout tail buffer. The printed line stays compact:
     // summary stats + one headline query per family.
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ts = (("cold", coldT0, coldT1) +: sweepTs.zipWithIndex.map {
+      case ((s, e), i) => (s"sweep${i + 1}", s, e)
+    }).map { case (k, s, e) => s""""$k":[$s,$e]""" }.mkString("{", ",", "}")
     val fw = new java.io.PrintWriter("BENCH_FULL.json")
-    try fw.println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"errors":$errs,"queries":${m(results)},"queries_cold":${m(cold)},"queries_warm_min":${m(warmMin)},"queries_warm_max":${m(warmMax)},"sf":"$sfDir"}""")
+    try fw.println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"n_queries":${results.size},"errors":$errs,"pass_ts_ms":$ts,"queries":${m(results)},"queries_cold":${m(cold)},"queries_warm_min":${m(warmMin)},"queries_warm_max":${m(warmMax)},"sf":"$sfDir"}""")
     finally fw.close()
     val byName = results.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + f(v)))

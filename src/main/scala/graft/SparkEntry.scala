@@ -53,7 +53,7 @@ object SparkEntry {
     "er_candidates"       -> (scale.EntityResolution.erCandidatesImpl _),
     "ngram_novelty"       -> (scale.CorpusOps.ngramNoveltyImpl _),
     "graph_pagerank"      -> ((s, d) => scale.GraphOps.graphPagerankImpl(s, d)),
-    "text_bpe_merges"     -> (scale.TextAnalysis.bpeMergesImpl _),
+    "text_bpe_merges"     -> ((s, d) => scale.TextAnalysis.bpeMergesImpl(s, d)),
     "w34_backtest"        -> (analysis.Stateful.backtestTradesImpl _),
     // steady-state serve cost: the warm pass searches the index the
     // cold (public) run materialized, no index rebuild in the plan

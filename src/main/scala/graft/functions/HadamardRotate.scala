@@ -33,10 +33,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * The DuckDB mirror ([[graft.scale.Similarity.opqRotCte]]) is
   * unchanged — the oracle pins the equivalence.
   *
-  * Null contract mirrors the HOF on every input the engine can see:
-  * null array → null; any null element or arity ≠ 64 → an all-null
-  * 64-element array (zip_with pads/propagates null through the fold,
-  * nulling every output). */
+  * Null contract: null array → null; any null element or arity < 64 →
+  * an all-null 64-element array, mirroring the HOF (zip_with pads the
+  * SHORT side with nulls, which propagate through the fold and null
+  * every output). For arity > 64 the two forms DIVERGE by design
+  * (r16, the r15 advice item): zip_with then pads the SEQUENCE side,
+  * the null `when` condition falls through to `otherwise(-x)`, and
+  * the fold returns non-null sums that include the extra negated
+  * terms — a 64-dim rotation applied to a longer vector is
+  * meaningless, so this expression returns the all-null array there
+  * too (fail-closed) rather than reproducing the HOF's accidental
+  * arithmetic. Engine embeddings are fixed 64-dim, so no registered
+  * query can observe the divergence; `HadamardRotateSpec` pins both
+  * sides of the contract. */
 case class HadamardRotate(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)

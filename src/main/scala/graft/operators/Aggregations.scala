@@ -364,7 +364,23 @@ object Aggregations {
       |  CASE WHEN n > 1 THEN round(sqrt((s2 - s * s / n) / (n - 1)), 6) + 0 END AS std_value
       |FROM p""".stripMargin
 
+  /** The OHLC candle BUILD as its own first-class query (r16, verdict
+    * item 2): ~100 registered queries consume the memoized
+    * [[graft.Tables.candles]] frame, so since the r15 memo their warm
+    * times measure marginal window/join work while the build cost sat
+    * only inside `warmup_sec`/`queries_cold`. This row pins the build's
+    * steady-state cost as an attributable bench number — the public
+    * entry IS the uncached derivation (no memo read on either pass),
+    * and the oracle replays the exact shared [[graft.Tables.candlesSql]]
+    * aggregate every indicator oracle already opens with. */
+  def candlesBuild(spark: SparkSession, dir: String): DataFrame =
+    Tables.candlesUncached(spark, dir)
+
+  val candlesBuildSql: String = Tables.candlesSql +
+    "\nSELECT user_id, bucket, open, high, low, close, volume FROM candles"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "candles_build"       -> (candlesBuild _),
     "rollup_incremental"  -> (rollupIncremental _),
     "a1_stats"            -> (a1Stats _),
     "a2_group_counts"     -> (a2GroupCounts _),
@@ -381,6 +397,7 @@ object Aggregations {
     "a5_rollup"           -> (a5Rollup _))
 
   def oracles: Map[String, String] = Map(
+    "candles_build"       -> candlesBuildSql,
     "rollup_incremental"  -> rollupIncrementalSql,
     "a1_stats"            -> a1Sql,
     "a2_group_counts"     -> a2Sql,

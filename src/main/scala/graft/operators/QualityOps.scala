@@ -69,10 +69,13 @@ object QualityOps {
     // as redundant — with an EXPLICIT cluster-scaled count AQE must
     // respect: the fan-out spreads, and the windows get their own
     // parallel exchange.
-    val para = candles.sparkSession.sparkContext.defaultParallelism
-    val grid = candles.groupBy(col("user_id"))
+    // (r16: width from the shared bytes-aware helper — the seed frame
+    // is key-count-sized, so the estimate keeps the local width at the
+    // core count and grows it with the key population at scale)
+    val seeds = candles.groupBy(col("user_id"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-      .repartition(para, col("user_id"), col("b0"))
+    val grid = seeds
+      .repartition(graft.util.Spread.width(seeds), col("user_id"), col("b0"))
       .select(col("user_id"),
         explode(sequence(col("b0"), col("b1"), expr("interval 1 hour"))).as("bucket"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))

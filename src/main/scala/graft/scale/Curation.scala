@@ -268,13 +268,17 @@ object Curation {
     * is decided per shingle string, not per pair. */
   def substringRuns(spark: SparkSession, dir: String): DataFrame = {
     val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // r16: positional shingles as a PURE MAP over the token array
+    // ([[Dedup.shingles]] — posexplode's 0-based pos equals the old
+    // lead-window pos) instead of posexplode + two `lead` windows,
+    // which paid a doc_id shuffle AND a per-doc sort before the first
+    // aggregate. `ts` is projected as its own attribute so
+    // CollapseProject cannot inline the regex tokenizer into the
+    // lambda's element_at sites (the shingleRows trap: ~3× re-split).
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(wPos))
-      .withColumn("t2", lead(col("tok"), 2).over(wPos))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        posexplode(Dedup.shingles(col("ts"))).as(Seq("pos", "s")))
     val dupSet = sh.groupBy(col("s"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -88,9 +88,14 @@ object EntityResolution {
     // EXPLICIT partition count (AQE must respect it; by bytes this
     // shuffle is KBs and would fold back to 1 task): both aliased
     // sides inherit the layout, so the equi-join adds no new exchange
-    // and the edit-distance work spreads across the cluster.
-    val r = records(spark, dir).repartition(
-      spark.sparkContext.defaultParallelism,
+    // and the edit-distance work spreads across the cluster. r16: the
+    // count comes from the shared bytes-aware helper — the self-join
+    // needs this hash layout at any scale (the repartition REPLACES the
+    // join's own exchange, it never adds one), but a core-pinned count
+    // under-partitions a corpus-sized input; Spread.width follows the
+    // size estimate with the cluster width as the floor.
+    val r0 = records(spark, dir)
+    val r = r0.repartition(graft.util.Spread.width(r0),
       col("noun"), col("ptype"), col("size_bucket"))
     def side(p: String) =
       r.select(r.columns.map(c => col(c).as(p + c)).toIndexedSeq: _*)

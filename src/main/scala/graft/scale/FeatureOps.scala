@@ -337,11 +337,11 @@ object FeatureOps {
     // AQE free to coalesce the 2 MB shuffle back to one task by BYTES
     // (measured: the md5 stage stayed 1t/2.4s) — per-row CPU here is
     // ~1000× the per-row bytes, which AQE cannot see.
-    val ev = Tables.events(spark, dir)
-    val para = spark.sparkContext.defaultParallelism
-    val evSpread =
-      if (ev.rdd.getNumPartitions < para) ev.repartition(para, col("event_id"))
-      else ev
+    // r16: the gate + width policy moved to the shared bytes-aware
+    // helper (graft.util.Spread) — same gate, width now follows the
+    // input size estimate instead of pinning to the local core count
+    val evSpread = graft.util.Spread.ifNarrow(
+      Tables.events(spark, dir), col("event_id"))
     val replicated = evSpread
       .select(col("event_type"), col("event_id"), col("value"),
         explode(sequence(lit(0), lit(reps - 1))).as("rep"))

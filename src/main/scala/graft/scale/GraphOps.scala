@@ -188,9 +188,13 @@ object GraphOps {
     // loop below is the ≥ threshold path and the semantics both paths
     // share; 100k edges ≈ 1.6 MB of longs, far under any sane driver
     // budget, while a graph OVER it is exactly when the loop's
-    // per-iteration cost amortizes.
-    val collected = pairs.select(col("a"), col("b")).limit(driverEdgeCap + 1).collect()
-    if (collected.length <= driverEdgeCap) {
+    // per-iteration cost amortizes. (r16: cap 0 — the probes that
+    // FORCE the distributed branch — skips the probe job entirely
+    // instead of collecting one row to learn 1 > 0.)
+    val collected =
+      if (driverEdgeCap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else pairs.select(col("a"), col("b")).limit(driverEdgeCap + 1).collect()
+    if (driverEdgeCap > 0 && collected.length <= driverEdgeCap) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -224,7 +228,15 @@ object GraphOps {
     val runT0 = System.nanoTime()
     while (changed && rounds < maxRounds) {
       val roundT0 = System.nanoTime()
-      // half-round 1: closed-neighborhood min (label propagation)
+      // half-round 1: closed-neighborhood min (label propagation).
+      // EAGER localCheckpoint, deliberately (r16 A/B): the lazy
+      // variant (localCheckpoint(false), blocks materializing inside
+      // the convergence-sum job) looked like 1 job/round instead of 3,
+      // but under AQE a lazily-marked local checkpoint whose rdd is
+      // only partially computed by the stage-materialization jobs gets
+      // its missing partitions recomputed by EXTRA jobs at every
+      // doCheckpoint — measured 2.1 → 3.4 s on deep_chain and 1.0 →
+      // 10+ s on core_numbers. Eager is the fast shape; reverted.
       val prop = edges
         .join(labels.select(col("id").as("b"), col("label")), "b")
         .select(col("a").as("id"), col("label"))

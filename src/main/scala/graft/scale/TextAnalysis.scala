@@ -449,17 +449,61 @@ object TextAnalysis {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     DirMemo.getOrCompute(spark, "bpe_merges", dir)(bpeMergesImpl(spark, dir))
 
-  private[graft] def bpeMergesImpl(spark: SparkSession, dir: String): DataFrame = {
+  /** Doc-count ceiling below which the BPE fit replays on the driver
+    * instead of running 4 scheduled corpus jobs (r16 — the
+    * [[GraphOps]] `DefaultDriverEdgeCap` pattern): each merge step's
+    * distributed plan produces a SINGLE winning row, so at fixture
+    * scale the per-step job scheduling + codegen is the whole query
+    * (measured 1.27 s warm for 500 docs). 20k docs of the fixture
+    * shape is ~20 MB of strings — well under any driver budget — while
+    * a corpus OVER the cap is where the distributed loop's cost
+    * amortizes. Injectable so the spec pins driver ≡ distributed. */
+  private[graft] val DefaultBpeDriverDocCap = 20000
+
+  private[graft] def bpeMergesImpl(spark: SparkSession, dir: String,
+      driverDocCap: Int = DefaultBpeDriverDocCap): DataFrame = {
       import spark.implicits._
-      // materialize the tokenized stream ONCE: the fit loop's per-step
-      // plan otherwise re-runs the regexp tokenizer over the corpus on
-      // every iteration (4 scans × regexp split ≈ half the fit's cost);
-      // steps stack only the cheap delimiter-guarded replaces on top of
-      // this checkpoint. At 100 TB this is the same call pattern — one
-      // tokenize pass persisted, k cheap merge passes over it.
-      var txt = Tables.documents(spark, dir).select(col("doc_id"),
+      val txt0 = Tables.documents(spark, dir).select(col("doc_id"),
         concat(lit(" "), concat_ws(" ", Dedup.tokens(col("text"))), lit(" ")).as("t"))
-        .localCheckpoint()
+      // ADAPTIVE small-corpus path: collect the delimited token stream
+      // once and replay the fit in memory with IDENTICAL semantics —
+      // Java String.replace is the same leftmost non-overlapping scan
+      // as the delimiter-guarded `replace` expression, the pair count /
+      // (n desc, l, r) tie-break are order-insensitive, and tokens are
+      // [a-z0-9]+ so binary and UTF-16 string orderings agree. The
+      // oracle pins the equivalence on every fixture.
+      val smallDocs = txt0.select(col("t")).limit(driverDocCap + 1).collect()
+      if (smallDocs.length <= driverDocCap) {
+        var texts = smallDocs.map(_.getString(0))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        for (step <- 1 to 4) {
+          val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          texts.foreach { t =>
+            val ts = t.split(" ").filter(_.nonEmpty)
+            var i = 0
+            while (i < ts.length - 1) {
+              val k = (ts(i), ts(i + 1))
+              counts(k) = counts.getOrElse(k, 0L) + 1
+              i += 1
+            }
+          }
+          if (counts.isEmpty)
+            return out.toSeq.toDF("step", "left_tok", "right_tok", "n_pair")
+          val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((step, l, r, n))
+          if (step < 4)
+            texts = texts.map(_.replace(s" $l $r ", s" ${l}_$r "))
+        }
+        return out.toSeq.toDF("step", "left_tok", "right_tok", "n_pair")
+      }
+      // distributed path (≥ cap): materialize the tokenized stream ONCE —
+      // the fit loop's per-step plan otherwise re-runs the regexp
+      // tokenizer over the corpus on every iteration (4 scans × regexp
+      // split ≈ half the fit's cost); steps stack only the cheap
+      // delimiter-guarded replaces on top of this checkpoint. At 100 TB
+      // this is the same call pattern — one tokenize pass persisted, k
+      // cheap merge passes over it.
+      var txt = txt0.localCheckpoint()
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (step <- 1 to 4) {
         val toks = filter(split(col("t"), " "), x => x =!= "")

@@ -109,9 +109,12 @@ object Subscriptions {
     // r15: the broadcast fan-out (~20 subscribers/channel) and its
     // partial aggregates ran inside the single-task small-file scan
     // (measured 1t/1.0s); spread the message side on a deterministic
-    // key with an explicit cluster-scaled count before fanning out
-    val msgs = graft.Tables.events(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
+    // key before fanning out. r16: GATED like bootstrap_ci — events is
+    // the fact table, and an unconditional repartition would shuffle a
+    // 100 TB scan down to a pinned width; Spread only fires when the
+    // scan under-fills the cluster, and sizes the width by bytes.
+    val msgs = graft.util.Spread.ifNarrow(
+        graft.Tables.events(spark, dir), col("event_id"))
       .select(col("event_id"), col("ts"),
         element_at(channels, (col("event_id") % 8).cast("int") + 1).as("channel"),
         ((col("event_id") % 100).cast("double") / 100.0).as("confidence"))

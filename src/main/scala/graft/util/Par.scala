@@ -13,8 +13,13 @@ import scala.concurrent.duration.Duration
   * concurrent jobs stay correctly labelled.
   *
   * Only for pipelines with NO shared mutable state (distinct scratch
-  * dirs, distinct journals). Exceptions propagate from either side;
-  * the surviving side is allowed to finish before the pool dies. */
+  * dirs, distinct journals). BOTH sides are awaited to completion
+  * before the call returns or throws (r16, the r15 advice item): an
+  * eager `Await.result(fa)` would propagate a's failure while b's
+  * in-flight writes still run — overlapping whatever the caller's
+  * error path does next — and would silently drop b's own exception.
+  * The first failure (in argument order) is rethrown after both sides
+  * have quiesced. */
 object Par {
   def both[A, B](a: => A, b: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
@@ -22,7 +27,9 @@ object Par {
     try {
       val fa = Future(a)(ec)
       val fb = Future(b)(ec)
-      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+      Await.ready(fa, Duration.Inf)
+      Await.ready(fb, Duration.Inf)
+      (fa.value.get.get, fb.value.get.get)
     } finally pool.shutdown()
   }
 }

@@ -50,6 +50,24 @@ class HadamardRotateSpec extends SparkSpec {
     }
   }
 
+  test("arity > 64 yields the all-null array (documented HOF divergence)") {
+    // the HOF form returns NON-null sums for a 65-element vector
+    // (zip_with pads the sequence side; the null `when` condition
+    // falls through to otherwise(-x)) — the expression deliberately
+    // fails closed instead of reproducing that accidental arithmetic;
+    // the scaladoc documents the divergence and this test pins it
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq.fill(65)(1.0).map(Option(_))).toDF("v")
+    val fast = df.select(GraftFunctions.hdRotate64(col("v")).as("r")).collect()(0)
+      .getSeq[Any](0)
+    assert(fast.size == 64 && fast.forall(_ == null))
+    val hof = df.select(hofRotate(col("v")).as("r")).collect()(0).getSeq[Any](0)
+    // the divergence is real: the HOF yields at least one non-null cell
+    assert(hof.exists(_ != null),
+      "HOF no longer diverges at arity > 64 — update the scaladoc/contract")
+  }
+
   test("null array yields null") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -31,6 +31,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4) == (("x_y", "z", 1L)))
   }
 
+  test("BPE fit: driver replay ≡ distributed loop (r16 adaptive path)") {
+    // the r16 small-corpus driver path must learn the IDENTICAL merge
+    // table (counts, tie-breaks, splices) as the distributed loop —
+    // same contract as the graph loops' driverEdgeCap. Forced via the
+    // injectable cap on the real sf0.001 corpus.
+    val driver = TextAnalysis.bpeMergesImpl(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val dist = TextAnalysis.bpeMergesImpl(spark, sfDir, driverDocCap = 0).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(driver.nonEmpty && driver == dist)
+  }
+
   test("BPE encode applies the fitted merges and reports compression") {
     import spark.implicits._
     val tmp = graft.util.Scratch.register(java.nio.file.Files.createTempDirectory("graft-bpe-enc").toString)
