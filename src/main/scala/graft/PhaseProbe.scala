@@ -52,14 +52,15 @@ object PhaseProbe {
     }
     // per-stage telemetry: (numTasks, stage wall ms, sum task ms) — the
     // single-task-hot-stage detector (wall ≈ sum ⇒ no parallelism)
-    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
         val m = si.taskMetrics
-        stageLog.add((si.numTasks, wall, if (m == null) 0L else m.executorRunTime))
+        stageLog.add((si.numTasks, wall, if (m == null) 0L else m.executorRunTime,
+          si.name.take(60)))
         ()
       }
     })
@@ -84,7 +85,7 @@ object PhaseProbe {
         Thread.sleep(150) // let trailing stage events land
         val stages = Iterator.continually(stageLog.poll()).takeWhile(_ != null).toList
         val hot = stages.filter(_._2 > 150).sortBy(-_._2).take(4)
-          .map { case (nt, w, tt) => s"${nt}t/${w}ms(sum ${tt})" }.mkString(" ")
+          .map { case (nt, w, tt, nm) => s"${nt}t/${w}ms(sum $tt)[$nm]" }.mkString(" ")
         println(f"$n%-26s $wall%7.3f ${g("analysis")}%7.3f ${g("optimization")}%7.3f ${g("planning")}%7.3f $nComp%6d $cgEst%7.3f ${wall - known}%7.3f  nstages=${stages.size}%3d hot: $hot")
       }
     }

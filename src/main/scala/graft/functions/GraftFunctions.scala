@@ -36,6 +36,9 @@ object GraftFunctions {
   def hdRotateBuilder(exprs: Seq[Expression]): HadamardRotate =
     HadamardRotate(exprs.head)
 
+  def textStatsBuilder(exprs: Seq[Expression]): TextStats =
+    TextStats(exprs.head)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm_avg", ewmAvgBuilder, "built-in")
@@ -51,6 +54,8 @@ object GraftFunctions {
       "graft_lsh_buckets", lshBucketsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hd_rotate", hdRotateBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_text_stats", textStatsBuilder, "built-in")
   }
 
   /** Codegen'd dense dot product ([[DotProduct]]). */
@@ -70,6 +75,12 @@ object GraftFunctions {
     * ([[HadamardRotate]]) — bit-identical to the HOF form it replaced
     * (see the expression's scaladoc). */
   def hdRotate64(v: Column): Column = call_function("graft_hd_rotate", v)
+
+  /** The quality-kernel text statistics struct (len, n_tok, n_stop,
+    * n_punct, n_digit) in one codegen'd pass ([[TextStats]]) —
+    * bit-identical to the regexp_replace / split+HOF forms it replaces
+    * (see the expression's scaladoc). */
+  def textStats(c: Column): Column = call_function("graft_text_stats", c)
 
   /** pandas `ewm(alpha=α, adjust=True).mean()` as a window aggregate. */
   def ewmAvg(c: Column, alpha: Double): Column =

@@ -61,5 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hd_rotate"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.hdRotateBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[graft.functions.TextStats].getName,
+        "graft_text_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.textStatsBuilder(exprs)))
   }
 }

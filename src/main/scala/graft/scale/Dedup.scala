@@ -890,13 +890,32 @@ object Dedup {
 
   private[graft] def containmentPairsImpl(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // graft_intersect_count
+    // r16: this query's s⋈df join evaluates the document-frequency
+    // join + the per-doc collect_list partials on byte-tiny rows — AQE
+    // coalesced that stage to ONE task (PhaseProbe: 1t/0.9s of a 2.0 s
+    // query). Spreading THIS QUERY's read of the shared shingle memo
+    // on the join key pins the co-partitioned df build and join at
+    // cluster width (the r15 negative result spread the MEMO itself,
+    // which regressed its many light consumers; this is local).
     val s = shingleReps(spark, dir)
+      .repartition(graft.util.Spread.width(shingleReps(spark, dir)), col("s"))
     // df is shingle-vocab-sized and distinct shingles grow ~linearly
     // with the corpus (unlike a word vocab, 5-gram shingles never
     // saturate) — a broadcast hint here is the bigram-table OOM failure
     // mode; the shuffle hash join on s is the scale-safe shape
     val df = s.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val docs = s.join(df, "s")
+    // r16: the per-doc state build (collect_list merge + sort_array +
+    // two array transforms) is CPU-dense on byte-tiny rows, so AQE
+    // coalesced the aggregate's final stage to ONE task (PhaseProbe:
+    // 1t/0.9s of a 2.0 s query). Repartitioning on doc_id BEFORE the
+    // groupBy lets the aggregate REUSE the explicit exchange (§2.4 —
+    // ClusteredDistribution(doc_id) is satisfied, no new exchange),
+    // and a REPARTITION_BY_NUM reader is exempt from AQE coalescing,
+    // so the final agg, the array building, and the cache all run at
+    // cluster width.
+    val joined = s.join(df, "s")
+    val docs = joined
+      .repartition(graft.util.Spread.width(joined), col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("by_df"),
         count(lit(1)).as("n"))
@@ -917,10 +936,19 @@ object Dedup {
     // cache instead of a corpus-shuffle join against a sizes table.
     val full = docs.select(col("doc_id").as("pb"), col("n").as("n_f"),
       explode(col("arr")).as("s"))
-    val cand = prefix.join(full, "s")
+    // r16: the candidate dedup feeds the verify joins as a BROADCAST
+    // build, and its final HashAggregate read an AQE-coalesced
+    // exchange — the whole distinct ran as ONE task inside the
+    // broadcast-build job. Same §2.4 exchange-sharing pin as the docs
+    // aggregate above: distinct's ClusteredDistribution(doc_a, doc_b)
+    // is satisfied by the explicit repartition, whose reader AQE
+    // cannot coalesce.
+    val cand0 = prefix.join(full, "s")
       .filter(col("pa") =!= col("pb") && col("n_p") <= col("n_f"))
       .select(least(col("pa"), col("pb")).as("doc_a"),
         greatest(col("pa"), col("pb")).as("doc_b"))
+    val cand = cand0
+      .repartition(graft.util.Spread.width(cand0), col("doc_a"), col("doc_b"))
       .distinct()
     cand
       .join(docs.select(col("doc_id").as("doc_a"),

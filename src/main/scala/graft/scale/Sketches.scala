@@ -22,15 +22,27 @@ object Sketches {
   /** HLL++ distinct-count sketch vs exact, per group. rsd 0.02 with a 5%
     * acceptance band (HLL error is deterministic for a fixed input set —
     * the sketch is order-insensitive). */
-  def skApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
+  def skApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // r16: mixing countDistinct with a non-distinct aggregate plans an
+    // Expand that doubles every pre-shuffle row. HLL insertion is
+    // idempotent (duplicate values update the same register to the
+    // same max), so BOTH aggregates compute identically over the
+    // distinct (type, value) pairs: two plain map-side-combined hash
+    // aggregates, no Expand, strictly fewer shuffled rows. Nulls are
+    // filtered up front exactly as both distinct aggregates ignore
+    // them, so n_exact / n_approx are value-identical.
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .distinct()
+    d.groupBy(col("event_type"))
       .agg(
-        countDistinct(col("value")).as("n_exact"),
+        count(lit(1)).as("n_exact"),
         approx_count_distinct(col("value"), 0.02).as("n_approx"))
       .select(col("event_type"), col("n_exact"),
         (abs(col("n_approx") - col("n_exact")) <=
           col("n_exact") * 0.05).as("within_5pct"))
+  }
 
   val skApproxDistinctSql: String =
     """SELECT event_type, count(DISTINCT value) AS n_exact, TRUE AS within_5pct

@@ -74,16 +74,25 @@ object TextAnalysis {
     * ([[graft.streaming.CorpusIngest]]), so both paths apply one
     * definition of "quality". */
   def qualityScoreCol: Column = {
-    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
-    val toks = Dedup.tokens(col("text"))
-    val nToks = size(toks)
-    val stopRatio = size(filter(toks, t => t.isInCollection(stop))).cast("double") /
-      greatest(nToks, lit(1))
-    val punctRatio = strippedLen(col("text"), "[^!-/:-@\\[-`{-~]").cast("double") /
-      greatest(length(col("text")), lit(1))
-    val digitRatio = strippedLen(col("text"), "[^0-9]").cast("double") /
-      greatest(length(col("text")), lit(1))
-    val lenScore = least(length(col("text")).cast("double") / 400.0, lit(1.0))
+    // r16: all five integer inputs come from ONE codegen'd pass
+    // ([[graft.functions.TextStats]] — bit-identical to the
+    // regexp_replace / split+interpreted-HOF forms it replaced, see its
+    // scaladoc + TextStatsSpec). The five getField references share a
+    // single evaluation via codegen subexpression elimination. The
+    // IDENTICAL integer counts feed the IDENTICAL double arithmetic,
+    // so the score is bit-equal and the oracle SQL is unchanged.
+    val st = graft.functions.GraftFunctions.textStats(col("text"))
+    val len = st.getField("len")
+    val nToks = st.getField("n_tok")
+    val stopRatio = st.getField("n_stop").cast("double") / greatest(nToks, lit(1))
+    // (len − n_punct) ≡ strippedLen(text, "[^!-/:-@\\[-`{-~]"): the
+    // negated-class regexp_replace KEPT the punct chars, so the length
+    // difference counts the non-punct ones — mirrored exactly
+    val punctRatio = (len - st.getField("n_punct")).cast("double") /
+      greatest(len, lit(1))
+    val digitRatio = (len - st.getField("n_digit")).cast("double") /
+      greatest(len, lit(1))
+    val lenScore = least(len.cast("double") / 400.0, lit(1.0))
     lenScore * 0.4 +
       least(stopRatio * 4.0, lit(1.0)) * 0.3 +
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2 +
@@ -94,15 +103,16 @@ object TextAnalysis {
     * composite score + keep/flag/drop bucket) — the filter stage of a
     * pretraining curation pipeline. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
-    val toks = Dedup.tokens(col("text"))
-    val nToks = size(toks)
-    val stopRatio = size(filter(toks, t => t.isInCollection(stop))).cast("double") /
-      greatest(nToks, lit(1))
-    val punctRatio = strippedLen(col("text"), "[^!-/:-@\\[-`{-~]").cast("double") /
-      greatest(length(col("text")), lit(1))
-    val digitRatio = strippedLen(col("text"), "[^0-9]").cast("double") /
-      greatest(length(col("text")), lit(1))
+    // same single-pass [[graft.functions.TextStats]] struct as
+    // [[qualityScoreCol]] (r16) — identical ints, identical doubles
+    val st = graft.functions.GraftFunctions.textStats(col("text"))
+    val len = st.getField("len")
+    val nToks = st.getField("n_tok")
+    val stopRatio = st.getField("n_stop").cast("double") / greatest(nToks, lit(1))
+    val punctRatio = (len - st.getField("n_punct")).cast("double") /
+      greatest(len, lit(1))
+    val digitRatio = (len - st.getField("n_digit")).cast("double") /
+      greatest(len, lit(1))
     val score = qualityScoreCol
     Tables.documents(spark, dir).select(
       col("doc_id"),

@@ -35,10 +35,26 @@ object Spread {
     * width as a floor (spread small CPU-dense frames across all cores),
     * the Catalyst size estimate over ~128 MB as the scale term, capped
     * at `maxParts` (the unknown-stats estimate is Long.MaxValue-ish —
-    * never turn a bad estimate into a million-task shuffle). */
-  def width(df: DataFrame, maxParts: Int = 65536): Int = {
+    * never turn a bad estimate into a million-task shuffle).
+    *
+    * Plans containing a Join or Generate do NOT use the plan-level
+    * estimate: Catalyst multiplies child sizes through joins and
+    * explodes, so a KB-scale self-join reads as TB-scale (observed:
+    * the containment candidate join drove width to 65536 = a 65k-task
+    * shuffle of 50k rows). For those shapes the width follows the SUM
+    * of the leaf estimates — the real bytes entering the pipeline —
+    * which still grows with corpus size at 100 TB but cannot be
+    * inflated by join-cardinality guesses. */
+  def width(df: DataFrame, maxParts: Int = 4096): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Generate}
     val para = df.sparkSession.sparkContext.defaultParallelism
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    val multiplicative =
+      plan.exists { case _: Join | _: Generate => true; case _ => false }
+    val est =
+      if (multiplicative)
+        plan.collectLeaves().map(_.stats.sizeInBytes).foldLeft(BigInt(0))(_ + _)
+      else plan.stats.sizeInBytes
     // UNKNOWN estimates surface as defaultSizeInBytes (Long.MaxValue)
     // or its products — e.g. a LogicalRDD/localCheckpoint child. Treat
     // anything past a sanity bound (4 PB) as unknown and fall back to

@@ -44,10 +44,24 @@ class SpreadSpec extends SparkSpec {
     val tiny = spark.range(10).toDF("id")
     assert(Spread.width(tiny) == para) // fixture scale: floor = cores
     // a frame whose plan-estimated size is huge must get a bytes-derived
-    // width, not the core count: fake it via a wide cross join estimate
-    val big = spark.range(1L << 22).toDF("a")
-      .crossJoin(spark.range(1L << 22).toDF("b"))
+    // width, not the core count (range stats are exact: rows × 8 bytes)
+    val big = spark.range(1L << 31).toDF("a")
     assert(Spread.width(big) > para)
     assert(Spread.width(big, maxParts = 64) == 64) // cap holds
+  }
+
+  test("width above a join ignores the multiplicative product estimate") {
+    // Catalyst multiplies child sizes through joins, so a KB-scale
+    // self-join reads as TB-scale; width must follow the SUM of the
+    // leaf estimates instead (observed: containment's candidate join
+    // drove width to 65536 — a 65k-task shuffle of 50k rows)
+    val para = spark.sparkContext.defaultParallelism
+    val kb = spark.range(1000).toDF("a")
+    val joined = kb.crossJoin(spark.range(1000).toDF("b"))
+    assert(Spread.width(joined) == para) // leaf sum is KB → floor = cores
+    // but genuinely-large leaves still scale the width up through a join
+    val bigLeaves = spark.range(1L << 31).toDF("a")
+      .join(spark.range(1L << 31).toDF("b"), col("a") === col("b"))
+    assert(Spread.width(bigLeaves) > para)
   }
 }
