@@ -736,7 +736,11 @@ object Similarity {
     val idx = ivf2Index(spark, dir)
     idx.supers.write.mode("overwrite").parquet(s"$tmp/supers")
     idx.groups.write.mode("overwrite").parquet(s"$tmp/groups")
-    idx.assigned.select(col("vec_id"), col("cid"))
+    // r16: `d` rides along so the delete rows can STAGE from the
+    // stored table instead of recomputing the n×k1 assignment per row
+    // ([[ivf2DeleteStage]]); the serve readers' explicit (vec_id, cid)
+    // schemas column-prune it, so their scans read the same bytes
+    idx.assigned.select(col("vec_id"), col("cid"), col("d"))
       .write.mode("overwrite").parquet(s"$tmp/assigned")
     ivf2ServeMarker(tmp).createNewFile() // all three tables are down
   }
@@ -781,7 +785,17 @@ object Similarity {
     val idx = ivf2Index(spark, dir)
     val cut = lit(corpusCount(spark, dir) * 9L / 10L)
     val full = idx.assigned.select(col("vec_id"), col("cid"), col("d"))
-    full.filter(col("vec_id") < cut)
+    // r16: day-0 is BY DEFINITION a built index — stage its rows from
+    // the stored serve table (one markered build per session) instead
+    // of re-routing 90% of the corpus per run. Bit-identical by this
+    // row's own argument: each vector routes independently and the
+    // batch excludes vec_id < k, so the full assignment's prefix IS
+    // the day-0 assignment. The BATCH stays routed in-plan — the
+    // incremental cost this row exists to measure.
+    val serve = ivf2ServePath(dir)
+    if (!ivf2ServeMarker(serve).exists()) ivf2ServeBuild(spark, dir)
+    spark.read.schema(ivf2AssignSchema).parquet(s"$serve/assigned")
+      .filter(col("vec_id") < cut)
       .write.mode("overwrite").parquet(tmp)        // day-0 build
     full.filter(col("vec_id") >= cut)
       .write.mode("append").parquet(tmp)           // the batch: append-only
@@ -976,8 +990,19 @@ object Similarity {
   private[scale] def ivf2DeleteStage(spark: SparkSession, dir: String,
       tag: String = "ivf2del"): String = {
     val tmp = graft.util.Scratch.path(tag, dir)
-    ivf2Index(spark, dir).assigned
-      .select(col("vec_id"), col("cid"), col("d"))
+    // r16: stage FROM the stored serve index (built once per session
+    // behind its completion marker — the table a deployment's delete
+    // actually mutates) instead of recomputing the n×k1 assignment
+    // argmins per delete row. The stored rows ARE ivf2Index().assigned
+    // (parquet doubles round-trip exactly), so the staged bytes — and
+    // every downstream census/swap/read-back — are bit-identical; what
+    // changes is the stage job: a column-pruned read + range write in
+    // place of the routing computation each of the four delete rows
+    // was re-paying (ann_ivf2_assign still prices the computation
+    // itself as its own bench row).
+    val serve = ivf2ServePath(dir)
+    if (!ivf2ServeMarker(serve).exists()) ivf2ServeBuild(spark, dir)
+    spark.read.schema(ivf2AssignSchema).parquet(s"$serve/assigned")
       .repartitionByRange(8, col("vec_id"))
       .write.mode("overwrite").parquet(tmp)
     tmp
@@ -1675,7 +1700,18 @@ object Similarity {
       .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
     val pqTop = adistTop(pqScored(spark, dir))
     val opqTop = adistTop(opqScored(spark, dir))
-    recallOf(top10(ivf2Candidates(spark, dir)), "ivf2")
+    // r16: the ivf2 and ivfsq rows route through the STORED index
+    // tables (one markered build per session — the frames the serve
+    // rows already read) instead of re-running the n×k1 assignment
+    // argmins TWICE inside this one query's plan. Recall is a property
+    // of the index CONTENTS, which are identical bytes either way
+    // (parquet round-trip exactness; sq8's lossless TINYINT round-trip
+    // is itself proved by the sq8_serve row below) — what this sheet
+    // measures is unchanged. sq8/pq/opq stay self-contained: sq8 is
+    // the inline half of the round-trip proof, and pq/opq have no
+    // stored index to read.
+    val (s2, g2, a2) = ivf2StoredIndex(spark, dir)
+    recallOf(top10(ivf2Route(corpus(spark, dir), s2, g2, a2)), "ivf2")
       .union(recallOf(top10(lshMpCandidates(spark, dir)), "lsh_mp"))
       // r12: the SQ8 index joins the acceptance sheet — its stage-1
       // quantized top-10 against the same exact ground truth
@@ -1689,8 +1725,9 @@ object Similarity {
       .union(recallOf(top10(
         sq8ScoredOver(spark, dir, sq8StoredStage1(spark, dir))), "sq8_serve"))
       // the composed production index: routing-bounded recall, scored
-      // through the quantized list scan
-      .union(recallOf(top10(ivfSqScored(spark, dir)), "ivfsq"))
+      // through the quantized list scan (stored frames — see above)
+      .union(recallOf(top10(ivfSqScoredOver(spark, dir, s2, g2, a2,
+        sq8StoredStage1(spark, dir))), "ivfsq"))
       // r14: `opq` — PQ behind the fixed orthogonal rotation at the
       // SAME 8-byte code size; on this isotropic fixture the honest
       // measured delta vs `pq` is ≈ 0 (no energy imbalance to fix —
@@ -2690,7 +2727,15 @@ object Similarity {
   private[scale] def sq8DeleteStage(spark: SparkSession, dir: String,
       tag: String = "sq8del"): String = {
     val tmp = graft.util.Scratch.path(tag, dir)
-    sq8QTable(spark, dir)
+    // r16: stage FROM the stored int8 table (one markered build per
+    // session — the table a production delete mutates) instead of
+    // re-quantizing the float corpus per delete row; TINYINT/DOUBLE
+    // parquet round-trips are exact, so the staged bytes are identical
+    // (same rationale as [[ivf2DeleteStage]]; ann_sq8_search keeps
+    // pricing the inline quantization as a self-contained row).
+    val serve = sq8ServePath(dir)
+    if (!sq8ServeMarker(serve).exists()) sq8ServeBuild(spark, dir)
+    spark.read.schema(sq8Schema).parquet(s"$serve/qtable")
       .repartitionByRange(8, col("vec_id"))
       .write.mode("overwrite").parquet(tmp)
     tmp
@@ -2800,8 +2845,11 @@ object Similarity {
         cowDeleteApply(spark, a, ivf2AssignSchema, ivfSqDoomed); a },
       { val q = sq8DeleteStage(spark, dir, "ivfsqdelQ")
         cowDeleteApply(spark, q, sq8Schema, ivfSqDoomed); q })
-    val idx = ivf2Index(spark, dir)
-    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,
+    // r16: the serve routes through the STORED supers/groups (already
+    // built for the staging above) — the composed production shape —
+    // instead of recomputing them from the corpus after the overlap
+    val (supers, groups, _) = ivf2StoredIndex(spark, dir)
+    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, supers, groups,
       spark.read.schema(ivf2AssignSchema).parquet(asg)
         .select(col("vec_id"), col("cid")),
       sq8TableView(spark, qt)))
@@ -2869,8 +2917,8 @@ object Similarity {
     val tombIds = spark.read.schema("vec_id BIGINT").parquet(tomb)
     def live(df: DataFrame): DataFrame =
       df.join(broadcast(tombIds), Seq("vec_id"), "left_anti")
-    val idx = ivf2Index(spark, dir)
-    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,
+    val (supers, groups, _) = ivf2StoredIndex(spark, dir) // r16: stored routing
+    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, supers, groups,
       live(spark.read.schema(ivf2AssignSchema).parquet(asg))
         .select(col("vec_id"), col("cid")),
       live(sq8TableView(spark, qt))))
@@ -2901,8 +2949,8 @@ object Similarity {
       cowDeleteApplyKeys(spark, asg, ivf2AssignSchema, keys),
       cowDeleteApplyKeys(spark, qt, sq8Schema, keys))
     graft.util.Scratch.cleanupPath(tomb) // tombstones folded in: sidecar retires
-    val idx = ivf2Index(spark, dir)
-    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, idx.supers, idx.groups,
+    val (supers, groups, _) = ivf2StoredIndex(spark, dir) // r16: stored routing
+    sq8Rescore(spark, dir, ivfSqScoredOver(spark, dir, supers, groups,
       spark.read.schema(ivf2AssignSchema).parquet(asg)
         .select(col("vec_id"), col("cid")),
       sq8TableView(spark, qt)))

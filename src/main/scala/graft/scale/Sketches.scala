@@ -23,14 +23,18 @@ object Sketches {
     * acceptance band (HLL error is deterministic for a fixed input set —
     * the sketch is order-insensitive). */
   def skApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    // r16: mixing countDistinct with a non-distinct aggregate plans an
-    // Expand that doubles every pre-shuffle row. HLL insertion is
-    // idempotent (duplicate values update the same register to the
-    // same max), so BOTH aggregates compute identically over the
-    // distinct (type, value) pairs: two plain map-side-combined hash
-    // aggregates, no Expand, strictly fewer shuffled rows. Nulls are
-    // filtered up front exactly as both distinct aggregates ignore
-    // them, so n_exact / n_approx are value-identical.
+    // r16: the mixed countDistinct + approx_count_distinct aggregate
+    // plans the distinct via (type, value) grouping with the partial
+    // HLL sketch ALREADY in the aggregation buffer — a 410-column
+    // (~3.3 KB) partial sketch PER DISTINCT PAIR crossing the first
+    // exchange (plans/r16/sk_approx_distinct_before.txt, Results[412]).
+    // HLL insertion is idempotent (duplicates drive the same register
+    // to the same max), so both aggregates compute identically over
+    // the distinct pairs: distinct first (16-byte rows through the
+    // exchange), sketches built only ABOVE it — one sketch buffer per
+    // event_type, not per pair. Nulls are filtered up front exactly as
+    // both distinct aggregates ignore them, so n_exact / n_approx are
+    // value-identical.
     val d = Tables.events(spark, dir)
       .select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)

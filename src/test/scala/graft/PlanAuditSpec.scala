@@ -130,15 +130,15 @@ object PlanAuditSpec {
     "ann_ivfsq_serve" -> 1,
     // the composed delete's measured plan is the post-delete search
     // over the two STAGED (written) tables: the corpus-sided
-    // croute/vroute stages read staged parquet, leaving the qsup
-    // routing broadcast + one supers-broadcast stage from the in-plan
-    // index frames the routing reuses
-    "ann_ivfsq_delete" -> 2,
+    // croute/vroute stages read staged parquet. r16: the serve routes
+    // through the STORED supers/groups too, so the only nested-loop
+    // left is the qsup query-routing broadcast (10 queries × supers)
+    "ann_ivfsq_delete" -> 1,
     // same post-delete search shape for the merge-on-read variant and
     // its fold — the tombstone merge itself is a broadcast HASH
     // anti-join (MorDeleteSpec pins it), never nested-loop
-    "ann_ivfsq_delete_mor" -> 2,
-    "ann_ivfsq_mor_fold" -> 2,
+    "ann_ivfsq_delete_mor" -> 1,
+    "ann_ivfsq_mor_fold" -> 1,
     // the production serve shape: croute/vroute vanish into the
     // materialized index tables, leaving ONLY the 10-query × supers
     // routing broadcast — the 4-vs-1 delta IS the point of the row
@@ -147,18 +147,16 @@ object PlanAuditSpec {
     // routing-broadcast shape as ann_ivf2_serve (both generations'
     // build writes happen before the measured read plan)
     "ann_ivf2_rebuild" -> 1,
-    // acceptance probe: croute + vroute + qsup from the ivf2 candidate
-    // frame, plus the brute-force ground-truth pass (broadcast 10-row
-    // query set over the corpus — the documented bounded kernel shared
-    // with ann_brute_force / ann_recall). lsh_mp contributes zero: its
-    // probe join is a proper (t, bucket) equi-join, and so does pq
-    // (r13) — ADC joins are equi on (s) / (s, cid). The 5th (r12) is
-    // the sq8 row's quantized stage-1 kernel, the 6th (r13) the
-    // sq8_serve row's — the same broadcast 10-query shape over the
-    // stored int8 table. The ivfsq row (r13) adds its 4 routing
-    // stages (2·croute + vroute + qsup, the ann_ivfsq_search census);
-    // its quantized list scan adds zero.
-    "ann_recall2" -> 10,
+    // acceptance probe. r16: the ivf2 and ivfsq rows read the STORED
+    // routing tables, so their croute/vroute nested-loop stages vanish
+    // (the same 4-vs-1 delta ann_ivf2_serve documents) — each keeps
+    // only its qsup query-routing broadcast. Remaining census (checked
+    // against plans/r16/ann_recall2_after.txt): ivf2 qsup + ivfsq qsup
+    // (condition-free supers broadcasts) + the sq8 and sq8_serve rows'
+    // quantized stage-1 kernels (vec_id ≠ query_id). The ground truth
+    // is the memoized brute checkpoint (zero in-plan); lsh_mp/pq/opq/
+    // aniso rows are equi-joins.
+    "ann_recall2" -> 4,
     // the 2-row epoch frame fanning the corpus out per epoch
     "epoch_shuffle" -> 1,
     "ann_ivf_search" -> 2, "assoc_rules" -> 1, "dataset_card" -> 1,
