@@ -268,17 +268,23 @@ object Curation {
     * is decided per shingle string, not per pair. */
   def substringRuns(spark: SparkSession, dir: String): DataFrame = {
     val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // r16: positional shingles as a PURE MAP over the token array
-    // ([[Dedup.shingles]] — posexplode's 0-based pos equals the old
-    // lead-window pos) instead of posexplode + two `lead` windows,
-    // which paid a doc_id shuffle AND a per-doc sort before the first
-    // aggregate. `ts` is projected as its own attribute so
-    // CollapseProject cannot inline the regex tokenizer into the
-    // lambda's element_at sites (the shingleRows trap: ~3× re-split).
+    // r16: REVERTED back to the r15 lead-window shape after a measured
+    // round trip. The "pure map" variant (shingles as a token-array
+    // transform, no window) looked better ISOLATED (RunOne 1.55 vs
+    // 1.84 s) but its three consumers (df aggregate, totals aggregate,
+    // runs window) each re-ran tokenize+shingle from the scan with no
+    // shuffle boundary to reuse, and IN-BENCH it measured 2.0–2.4 s vs
+    // 1.15 s for this form across three full runs; pinning it with an
+    // explicit doc_id exchange shuffled 3M shingle strings and was
+    // worse still (1.83–2.53 isolated). This form tokenizes ONCE into
+    // the window's doc_id exchange, which all three branches reuse.
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
-      .select(col("doc_id"),
-        posexplode(Dedup.shingles(col("ts"))).as(Seq("pos", "s")))
+      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(wPos))
+      .withColumn("t2", lead(col("tok"), 2).over(wPos))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
     val dupSet = sh.groupBy(col("s"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -30,14 +30,27 @@ object Sinks {
     * (§2.5). This is Iceberg's `write.distribution-mode=range`. The
     * sampling pass is the documented cost of range distribution. */
   private def clusterForDateWrite(df: DataFrame): DataFrame = {
-    // localCheckpoint first: repartitionByRange's range sampler
-    // executes its child once for the bounds sketch and the shuffle
-    // executes it AGAIN — without the checkpoint the daily aggregate
-    // ran twice per write (measured: k1 2.07 s vs 1.48 s warm). The
-    // frame is aggregate-output-sized (keys × dates), not fact-sized.
-    val cp = df.localCheckpoint()
-    cp.repartitionByRange(graft.util.Spread.width(cp),
-      col("date"), col("user_id"))
+    // SCALE-ADAPTIVE (r16): range distribution needs a sampling pass
+    // (and a localCheckpoint so the sampler does not re-execute the
+    // aggregate — measured: k1 2.07 s vs 1.48 s without/with), which
+    // is pure overhead when the WHOLE write fits in one target-sized
+    // partition — there a hot date is by definition small, the skew
+    // hazard range distribution exists to fix cannot occur, and the
+    // plain hash-on-date shape (one writer per date, one file per
+    // date) is strictly cheaper (measured: k3 0.97 s hash vs 1.44 s
+    // range isolated, 0.61 vs 1.57 in-bench). Above the one-partition
+    // bound, range(date, user_id) sizes each date's writer count by
+    // its actual row share — Iceberg's `write.distribution-mode=range`
+    // — so a hot date spans contiguous tasks instead of one serial
+    // writer (§2.5/§6).
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    if (graft.util.Spread.fitsOnePartition(df))
+      df.repartition(para, col("date"))
+    else {
+      val cp = df.localCheckpoint()
+      cp.repartitionByRange(graft.util.Spread.width(cp),
+        col("date"), col("user_id"))
+    }
   }
 
   /** K1 — the merged view an upsert produces: existing rows win on key

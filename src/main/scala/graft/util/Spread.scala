@@ -67,6 +67,17 @@ object Spread {
     math.min(maxParts, math.max(para, byBytes))
   }
 
+  /** True iff the plan-level size estimate is KNOWN and the whole
+    * frame fits inside one ~128 MB target partition — the bound under
+    * which skew-aware layouts (range distribution, salting) cannot pay
+    * for their own overhead because no key can be hot enough to
+    * matter. Unknown estimates return false: scale-safety must never
+    * hinge on a missing statistic. */
+  def fitsOnePartition(df: DataFrame): Boolean = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    est > 0 && est <= BigInt(targetBytes)
+  }
+
   /** Hash-repartition `df` on `keys` at [[width]] — but only when its
     * current partitioning under-fills the cluster (a small/local scan).
     * An already-wide frame is returned untouched: same plan, no
